@@ -1,0 +1,81 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Schemas + table loaders for the engine.
+  *
+  * The reference's wire format is a GeoJSON `Feature` envelope
+  * (reference README.MD:15–43, send.py:8–22); only
+  * `properties.RECEIVED_ON` (event time) and `properties.N02_001`
+  * (group key) are consumed by any query
+  * (reference StreamJobSqlTumbling.java:106–119).
+  */
+object Schemas {
+
+  /** Full GeoJSON envelope schema (FIXTURES.md §1). */
+  val geojson: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("properties", StructType(Seq(
+      StructField("RECEIVED_ON", StringType),
+      StructField("N02_001", StringType),
+      StructField("N02_002", StringType),
+      StructField("N02_003", StringType),
+      StructField("N02_004", StringType),
+      StructField("ID", StringType),
+      StructField("COUNT", IntegerType)
+    )))
+  ))
+
+  /** Pruned parse schema: declaring only the consumed fields lets
+    * `from_json` skip the rest at parse time — the Spark-native form of
+    * the reference's manual early projection
+    * (reference StreamJobSqlTumbling.java:106–119).
+    */
+  val geojsonPruned: StructType = StructType(Seq(
+    StructField("properties", StructType(Seq(
+      StructField("RECEIVED_ON", StringType),
+      StructField("N02_001", StringType)
+    )))
+  ))
+
+  /** ISO-8601 with microsecond fraction, the reference's event-time
+    * format (reference StreamJobSqlTumbling.java:66, send.py:11–13).
+    */
+  val isoMicros = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+}
+
+/** Working record after ingest — the reference's
+  * `Tuple2<String, Timestamp>` (StreamJobSqlTumbling.java:106–119).
+  */
+case class RailEvent(railwayClass: String, receivedOn: java.sql.Timestamp)
+
+/** Harness `events` table row (TESTDATA.md / FIXTURES.md §2). */
+case class Event(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    props: String)
+
+object Tables {
+  /** Load one driver-generated parquet table from an sf directory.
+    *
+    * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL). We read nanos as
+    * a long (legacy conf) and truncate to microsecond TimestampType —
+    * lossless here: the generator emits microsecond-precision values.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case None => df
+    }
+  }
+}

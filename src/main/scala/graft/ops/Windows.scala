@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time window operators — W1–W5, A1, A3, E1, P6 of SURVEY.md §2.
+  *
+  * All functions are pure `DataFrame => DataFrame` over an arbitrary
+  * timestamp column and key column, usable both in batch and (for the
+  * group-window forms) streaming. Window bounds are `[start, end)` with
+  * epoch-aligned floor assignment — identical semantics to Flink's
+  * `TUMBLE`/`HOP` group windows and `TumblingEventTimeWindows.of(size,
+  * offset)` (reference StreamJobSqlTumbling.java:149–152,
+  * StreamJobTumblingOffset.java:157; SURVEY.md §4 items 1–2).
+  *
+  * Scale notes: the group-window counts are ordinary hash aggregates —
+  * Catalyst plans partial (map-side) + final aggregation, so the shuffle
+  * carries one row per (key, window) per input partition, not per event.
+  * Window×key cardinality grows with time span, keeping the shuffle
+  * balanced even when the raw key cardinality is tiny (the reference has
+  * 8 railway classes).
+  */
+object Windows {
+
+  /** W1/W4 + A1 + A3 — tumbling event-time count.
+    *
+    * The flagship query (reference StreamJobSqlTumbling.java:145–153):
+    * `SELECT CAST(key), COUNT(*), TUMBLE_START, TUMBLE_END FROM Inputs
+    * GROUP BY TUMBLE(rowtime, size), key`. Window start/end come free as
+    * fields of the `window()` group key (the reference needs a dedicated
+    * `ProcessWindowFunction` for this — StreamJobTumblingOffset.java:203–219).
+    */
+  def tumblingCount(df: DataFrame, ts: Column, key: Column, size: String): DataFrame =
+    df.groupBy(window(ts, size), key.cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("key"), col("cnt"),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"))
+
+  /** W2 — hopping (sliding-by-period) count.
+    *
+    * Reference: `GROUP BY HOP(rowtime, slide, size)`
+    * (StreamJobSqlHopping.java:149–153). The reference hard-codes
+    * slide = 0 — degenerate (SURVEY.md §7.3); Spark requires slide > 0,
+    * which we enforce and treat as the intended semantics.
+    */
+  def hoppingCount(df: DataFrame, ts: Column, key: Column, size: String, slide: String): DataFrame = {
+    df.groupBy(window(ts, size, slide), key.cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("key"), col("cnt"),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"))
+  }
+
+  /** W5 — tumbling window with alignment offset.
+    *
+    * Flink's `TumblingEventTimeWindows.of(size, offset)`
+    * (reference StreamJobTumblingOffset.java:157) maps 1:1 onto
+    * `window(ts, size, size, startTime = offset)`.
+    */
+  def tumblingOffsetCount(df: DataFrame, ts: Column, key: Column, size: String, offset: String): DataFrame =
+    df.groupBy(window(ts, size, size, offset), key.cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("key"), col("cnt"),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"))
+
+  /** W3 — per-row sliding OVER count (trailing range frame).
+    *
+    * Reference: `COUNT(*) OVER (PARTITION BY key ORDER BY rowtime RANGE
+    * BETWEEN INTERVAL 'n' PRECEDING AND CURRENT ROW)`
+    * (StreamJobSqlSliding.java:153–160; 30-minute hard-coded variant
+    * StreamJobSingle.java:149–156). Output cardinality = input
+    * cardinality. Frame is inclusive at both ends, matching Flink/SQL
+    * RANGE semantics; ordering on `unix_micros` keeps full microsecond
+    * precision (a bare `cast(ts as long)` would truncate to seconds).
+    *
+    * Scale note: a partition-by-key OVER sorts each key's rows in one
+    * task — fine for high key cardinality, skewed for tiny (the
+    * reference's 8 classes). [[slidingCountChunked]] is the
+    * scale-out formulation; this form is reference-shaped and what the
+    * oracle checks.
+    */
+  def slidingOverCount(df: DataFrame, ts: Column, key: Column, frameSeconds: Long): DataFrame = {
+    val w = Window
+      .partitionBy(key)
+      .orderBy(unix_micros(ts))
+      .rangeBetween(-frameSeconds * 1000000L, 0L)
+    df.withColumn("trailing_cnt", count(lit(1)).over(w))
+  }
+
+  /** W3 at scale — time-chunked trailing count with boundary overlap.
+    *
+    * The OVER form above serializes each key into a single sorted task:
+    * with few keys and 100 TB of events that is the bottleneck. This
+    * variant partitions by (key, time-chunk) instead, so parallelism
+    * scales with the time span regardless of key cardinality:
+    *
+    *  1. assign each event to chunk `floor(ts / chunkSeconds)`;
+    *  2. replicate events within `frameSeconds` of a chunk's end into the
+    *     next chunk (tagged owner=false) — only these can fall inside a
+    *     next-chunk row's trailing frame;
+    *  3. per (key, chunk) sort by ts and two-pointer the trailing count;
+    *  4. keep only owner rows.
+    *
+    * Requires chunkSeconds >= frameSeconds. Replication factor is
+    * 1 + frame/chunk ≤ 2. Verified equal to [[slidingOverCount]] by
+    * WindowsSpec.
+    */
+  def slidingCountChunked(
+      df: DataFrame,
+      ts: Column,
+      key: Column,
+      frameSeconds: Long,
+      chunkSeconds: Long): DataFrame = {
+    require(chunkSeconds >= frameSeconds, "chunk must cover the frame")
+    val frameUs = frameSeconds * 1000000L
+    val chunkUs = chunkSeconds * 1000000L
+    val base = df
+      .withColumn("_us", unix_micros(ts))
+      .withColumn("_chunk", floor(col("_us") / chunkUs))
+    // owner copy + boundary replica into the following chunk
+    val owners = base.withColumn("_owner", lit(true))
+    val replicas = base
+      .filter(col("_us") >= (col("_chunk") + 1) * chunkUs - frameUs)
+      .withColumn("_chunk", col("_chunk") + 1)
+      .withColumn("_owner", lit(false))
+    val union = owners.unionByName(replicas)
+    val w = Window
+      .partitionBy(key, col("_chunk"))
+      .orderBy(col("_us"))
+      .rangeBetween(-frameUs, 0L)
+    union
+      .withColumn("trailing_cnt", count(lit(1)).over(w))
+      .filter(col("_owner"))
+      .drop("_us", "_chunk", "_owner")
+  }
+
+  /** Converged upsert state of the streaming jobs: last window per key.
+    *
+    * The reference's sinks upsert keyed on (class, window_start,
+    * window_end) so the externally visible steady state per key is the
+    * latest window's row (reference sink/SinkDataApiTumbling.java:236–238,
+    * README.MD:88). Batch formulation: rank windows per key, keep rank 1.
+    */
+  def lastWindowPerKey(tumbled: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("window_start").desc)
+    tumbled
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CountAggregate
+import graft.ingest.Ingest
+import graft.model.{Schemas, Tables}
+import graft.ops.Windows
+
+/** Reference-parity queries over the `events` table (the harness
+  * stand-in for the Kinesis GeoJSON stream — FIXTURES.md §3).
+  * `ts` plays `RECEIVED_ON`, `event_type` plays `N02_001`.
+  *
+  * Each entry has a DuckDB oracle in [[oracles]] with identical output
+  * column names (the driver's compare is name-sorted).
+  */
+object EventQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1/W4/A1/E1 — flagship tumbling count (StreamJobSqlTumbling.java:145–153)
+    "q_tumbling_count" -> ((s, dir) =>
+      Windows.tumblingCount(events(s, dir), col("ts"), col("event_type"), "1 minute")),
+
+    // W2 — hopping count, slide>0 (StreamJobSqlHopping.java:149–153; SURVEY §7.3)
+    "q_hopping_count" -> ((s, dir) =>
+      Windows.hoppingCount(events(s, dir), col("ts"), col("event_type"), "2 minutes", "1 minute")),
+
+    // W5 — tumbling with alignment offset (StreamJobTumblingOffset.java:157)
+    "q_tumbling_offset" -> ((s, dir) =>
+      Windows.tumblingOffsetCount(events(s, dir), col("ts"), col("event_type"), "60 seconds", "15 seconds")),
+
+    // W3 — per-row trailing 60 s count (StreamJobSqlSliding.java:153–160)
+    "q_sliding_over_1m" -> ((s, dir) =>
+      Windows.slidingOverCount(events(s, dir), col("ts"), col("event_type"), 60L)
+        .select(col("event_id"), col("event_type"), col("trailing_cnt"))),
+
+    // W3 variant — hard-coded 30-minute frame (StreamJobSingle.java:149–156)
+    "q_sliding_over_30m" -> ((s, dir) =>
+      Windows.slidingOverCount(events(s, dir), col("ts"), col("event_type"), 1800L)
+        .select(col("event_id"), col("event_type"), col("trailing_cnt"))),
+
+    // W3 at scale — time-chunked trailing count, same answer as the OVER
+    // form but parallelism independent of key cardinality (Windows.scala)
+    "q_sliding_over_chunked" -> ((s, dir) =>
+      Windows.slidingCountChunked(events(s, dir), col("ts"), col("event_type"), 60L, 300L)
+        .select(col("event_id"), col("event_type"), col("trailing_cnt"))),
+
+    // S2/P1 — JSON field extraction from the props envelope
+    // (StreamJobSqlTumbling.java:106–119 reads properties.* from JSON)
+    "q_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))),
+
+    // P2 — timestamp format round-trip through the reference's ISO-micros
+    // pattern (StreamJobSqlTumbling.java:64–77); fallback path unit-tested
+    "q_ts_roundtrip" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"), col("ts"),
+          date_format(col("ts"), Schemas.isoMicros).as("iso"))
+        .groupBy("event_type")
+        .agg(
+          count(when(to_timestamp(col("iso"), Schemas.isoMicros) === col("ts"), 1)).as("n_roundtrip"),
+          count(lit(1)).as("cnt"))),
+
+    // A2 — custom incremental count Aggregator
+    // (StreamJobTumblingOffset.java:176–200)
+    "q_count_aggregator" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(CountAggregate(col("event_id")).as("cnt"))),
+
+    // X1–X3 converged upsert state: latest window per key
+    // (sink/SinkDataApiTumbling.java:236–238, README.MD:88)
+    "q_last_window_upsert" -> ((s, dir) =>
+      Windows.lastWindowPerKey(
+        Windows.tumblingCount(events(s, dir), col("ts"), col("event_type"), "1 minute"))),
+
+    // plain grouped aggregate over the stream table (A1 surface)
+    "q_agg_value_stats" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tumbling_count" ->
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,
+        |       time_bucket(INTERVAL '1 minute', ts) AS window_start,
+        |       time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end
+        |FROM events GROUP BY 1, 3, 4""".stripMargin,
+
+    "q_hopping_count" ->
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,
+        |       time_bucket(INTERVAL '1 minute', ts) - g.i * INTERVAL '1 minute' AS window_start,
+        |       time_bucket(INTERVAL '1 minute', ts) - g.i * INTERVAL '1 minute' + INTERVAL '2 minutes' AS window_end
+        |FROM events CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) g
+        |GROUP BY 1, 3, 4""".stripMargin,
+
+    "q_tumbling_offset" ->
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,
+        |       time_bucket(INTERVAL '60 seconds', ts, INTERVAL '15 seconds') AS window_start,
+        |       time_bucket(INTERVAL '60 seconds', ts, INTERVAL '15 seconds') + INTERVAL '60 seconds' AS window_end
+        |FROM events GROUP BY 1, 3, 4""".stripMargin,
+
+    "q_sliding_over_1m" ->
+      """SELECT event_id, event_type,
+        |       CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts
+        |         RANGE BETWEEN INTERVAL '60 seconds' PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cnt
+        |FROM events""".stripMargin,
+
+    "q_sliding_over_30m" ->
+      """SELECT event_id, event_type,
+        |       CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts
+        |         RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cnt
+        |FROM events""".stripMargin,
+
+    "q_sliding_over_chunked" ->
+      """SELECT event_id, event_type,
+        |       CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts
+        |         RANGE BETWEEN INTERVAL '60 seconds' PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cnt
+        |FROM events""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_ts_roundtrip" ->
+      """SELECT event_type,
+        |       CAST(count(*) FILTER (WHERE strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f') = ts) AS BIGINT) AS n_roundtrip,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_count_aggregator" ->
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1",
+
+    "q_last_window_upsert" ->
+      """WITH t AS (
+        |  SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,
+        |         time_bucket(INTERVAL '1 minute', ts) AS window_start,
+        |         time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end
+        |  FROM events GROUP BY 1, 3, 4)
+        |SELECT key, cnt, window_start, window_end FROM t
+        |QUALIFY row_number() OVER (PARTITION BY key ORDER BY window_start DESC) = 1""".stripMargin,
+
+    "q_agg_value_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.Windows
+
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val tiny = Seq(
+    ("a", ts("2024-01-01 00:00:00")),   // window [00:00, 00:01)
+    ("a", ts("2024-01-01 00:00:59.999999")),
+    ("a", ts("2024-01-01 00:01:00")),   // boundary: belongs to NEXT window
+    ("b", ts("2024-01-01 00:00:30"))
+  ).toDF("k", "t")
+
+  test("tumbling: [start,end) boundary — record at end belongs to next window") {
+    val out = Windows.tumblingCount(tiny, $"t", $"k", "1 minute")
+      .orderBy("key", "window_start")
+      .collect()
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getLong(1)).toSeq == Seq(2L, 1L))
+    assert(a(0).getTimestamp(2) == ts("2024-01-01 00:00:00"))
+    assert(a(0).getTimestamp(3) == ts("2024-01-01 00:01:00"))
+    assert(a(1).getTimestamp(2) == ts("2024-01-01 00:01:00"))
+  }
+
+  test("tumbling offset shifts alignment like Flink's TumblingEventTimeWindows offset") {
+    val out = Windows.tumblingOffsetCount(tiny, $"t", $"k", "60 seconds", "15 seconds")
+      .filter($"key" === "a").orderBy("window_start").collect()
+    // windows: [23:59:15, 00:00:15) has 00:00:00; [00:00:15, 00:01:15) has the other two
+    assert(out.map(r => (r.getTimestamp(2).toString, r.getLong(1))).toSeq ==
+      Seq(("2023-12-31 23:59:15.0", 1L), ("2024-01-01 00:00:15.0", 2L)))
+  }
+
+  test("hopping: each event lands in size/slide overlapping windows") {
+    val one = Seq(("a", ts("2024-01-01 00:05:30"))).toDF("k", "t")
+    val out = Windows.hoppingCount(one, $"t", $"k", "2 minutes", "1 minute")
+      .orderBy("window_start").collect()
+    assert(out.map(_.getTimestamp(2).toString).toSeq ==
+      Seq("2024-01-01 00:04:00.0", "2024-01-01 00:05:00.0"))
+    assert(out.forall(_.getLong(1) == 1L))
+  }
+
+  test("sliding OVER frame is inclusive at both ends (RANGE ... PRECEDING AND CURRENT ROW)") {
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00")),
+      ("a", ts("2024-01-01 00:01:00")),  // exactly 60s later: IN frame
+      ("a", ts("2024-01-01 00:02:00.000001")) // frame starts 00:01:00.000001 → excludes both
+    ).toDF("k", "t")
+    val out = Windows.slidingOverCount(df, $"t", $"k", 60L)
+      .orderBy("t").select("trailing_cnt").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L, 1L))
+  }
+
+  test("chunked sliding count == OVER sliding count on real data") {
+    val events = Tables.load(spark, sf0001, "events")
+    val over = Windows.slidingOverCount(events, $"ts", $"event_type", 60L)
+      .select("event_id", "trailing_cnt")
+    val chunked = Windows.slidingCountChunked(events, $"ts", $"event_type", 60L, 300L)
+      .select("event_id", "trailing_cnt")
+    assert(over.exceptAll(chunked).isEmpty && chunked.exceptAll(over).isEmpty)
+  }
+
+  test("chunked sliding handles frame spanning chunk boundary") {
+    val df = Seq(
+      ("a", ts("2024-01-01 00:04:50")), // chunk 0 (300s chunks)
+      ("a", ts("2024-01-01 00:05:10")), // chunk 1; frame covers 00:04:50
+      ("a", ts("2024-01-01 00:06:20"))  // chunk 1; frame [00:05:20,00:06:20] covers neither
+    ).toDF("k", "t")
+    val out = Windows.slidingCountChunked(df, $"t", $"k", 60L, 300L)
+      .orderBy("t").select("trailing_cnt").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L, 1L))
+  }
+
+  test("lastWindowPerKey keeps exactly one latest row per key") {
+    val out = Windows.lastWindowPerKey(
+      Windows.tumblingCount(tiny, $"t", $"k", "1 minute")).collect()
+    assert(out.length == 2)
+    val a = out.find(_.getString(0) == "a").get
+    assert(a.getTimestamp(2) == ts("2024-01-01 00:01:00"))
+  }
+}
