@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Relational coverage beyond the reference's surface (which has no
+  * joins, distinct, rollup, sort/limit, or set operations —
+  * SURVEY.md §2 coverage notes). These exercise the TPC-H-ish star
+  * schema and are written scale-first:
+  *
+  *  - dimension sides of joins are `broadcast()` (region/nation/
+  *    part/supplier/customer stay small relative to the fact tables
+  *    even at 100 TB — they scale with catalog size, not event volume);
+  *  - aggregates are plain `groupBy` so Catalyst plans partial+final
+  *    hash aggregation (map-side combine before the shuffle);
+  *  - filters and projections sit directly on the scan so they reach
+  *    parquet (`PushedFilters`/`ReadSchema` — see PlanSpec);
+  *  - top-k is `ORDER BY ... LIMIT k`, which Spark executes as
+  *    TakeOrderedAndProject (per-partition heap + driver merge), never
+  *    a global sort.
+  *
+  * Doubles that cross the DuckDB-oracle hash are rounded to 2 decimals
+  * on both sides; ordering ties are broken by a unique key so row sets
+  * are deterministic.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan-heavy grouped aggregate with arithmetic
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3 shape: fact-fact join + broadcast dim, grouped revenue, top-10
+    "q3_top_revenue" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-table join, dims broadcast, revenue per nation
+    "q5_region_revenue" -> ((s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val supp = t(s, dir, "supplier")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .filter(cust("c_nationkey") === supp("s_nationkey"))
+        .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // broadcast-dim join + grouped agg
+    "q_brand_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    // anti join: customers that never ordered, per segment
+    "q_anti_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // semi join: customers with at least one open order, per segment
+    "q_semi_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      cust.join(open, cust("c_custkey") === open("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // distinct aggregation
+    "q_distinct_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("cnt"))),
+
+    // grouping sets via ROLLUP (subtotals + grand total)
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))),
+
+    // set operations: INTERSECT / EXCEPT / UNION ALL in one result
+    "q_set_ops" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val o = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")).distinct()
+      val f = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")).distinct()
+      o.intersect(f).withColumn("tag", lit("both"))
+        .unionByName(o.except(f).withColumn("tag", lit("only_open")))
+        .select("tag", "custkey")
+    }),
+
+    // analytic ranking window over a broadcast join
+    "q_rank_suppliers" -> ((s, dir) => {
+      val supp = t(s, dir, "supplier")
+      val nation = t(s, dir, "nation")
+      val w = Window.partitionBy(col("n_regionkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      supp.join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"), col("n_regionkey"), col("s_acctbal"))
+        .withColumn("rn", row_number().over(w))
+        .select("s_suppkey", "n_name", "rn")
+    }),
+
+    // top-k: TakeOrderedAndProject, not a global sort
+    "q_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // pushdown showcase: selective filter + narrow projection on the scan
+    "q_filter_pushdown" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") < 0.02)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_extendedprice")), 2).as("sum_price")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q3_top_revenue" ->
+      """SELECT o_orderkey, o_orderdate,
+        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY 1""".stripMargin,
+
+    "q_brand_stats" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer WHERE EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY 1""".stripMargin,
+
+    "q_distinct_counts" ->
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH o AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+        |     f AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM o INTERSECT SELECT custkey FROM f)
+        |UNION ALL
+        |SELECT 'only_open' AS tag, custkey FROM (SELECT custkey FROM o EXCEPT SELECT custkey FROM f)""".stripMargin,
+
+    "q_rank_suppliers" ->
+      """SELECT s_suppkey, n_name,
+        |       CAST(row_number() OVER (PARTITION BY n_regionkey
+        |         ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS rn
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_filter_pushdown" ->
+      """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02 GROUP BY 1""".stripMargin
+  )
+}

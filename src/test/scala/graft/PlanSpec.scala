@@ -1,0 +1,46 @@
+package graft
+
+/** Physical-plan assertions: the properties that make these queries
+  * survive a 100× scale-up are checked here, not just eyeballed.
+  * If a refactor silently turns a broadcast join into a shuffle join or
+  * breaks parquet pushdown, this suite fails.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+  }
+
+  test("scan reads only projected columns (ReadSchema pruning)") {
+    val p = plan("q_filter_pushdown")
+    // 11-column lineitem: the aggregate needs only 4
+    assert(p.contains("l_linestatus") && p.contains("l_extendedprice"), p)
+    assert(!p.contains("l_orderkey"), s"unpruned scan: $p")
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact table") {
+    assert(plan("q_brand_stats").contains("BroadcastHashJoin"))
+    assert(plan("q5_region_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("grouped aggregates plan partial (map-side) + final hash aggregation") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("windowed count is hash aggregation, not sort-based") {
+    val p = plan("q_tumbling_count")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+}
