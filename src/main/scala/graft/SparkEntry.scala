@@ -27,10 +27,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventQueries.queries ++ RelationalQueries.queries
+    EventQueries.queries ++ RelationalQueries.queries ++
+      DedupQueries.queries ++ TextQueries.queries ++ SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EventQueries.oracles ++ RelationalQueries.oracles
+    EventQueries.oracles ++ RelationalQueries.oracles ++
+      DedupQueries.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles
 }

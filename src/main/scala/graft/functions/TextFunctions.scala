@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, quality stats, language ID, fingerprints,
+  * MinHash and SimHash signatures.
+  *
+  * Everything here is built from codegen'd built-ins and higher-order
+  * functions (`transform`/`aggregate`/`filter`) — no Scala UDFs — so the
+  * whole pipeline stays inside WholeStageCodegen and is oracle-checkable
+  * where the arithmetic is engine-independent. The hashes used for
+  * oracle-checked operators are explicit polynomial hashes (identical
+  * IEEE/modular arithmetic in any engine); Spark's murmur3 `hash()` is
+  * used only where candidates are later verified exactly (MinHash LSH).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. Harness documents are single-space tokenized
+    * (FIXTURES.md §2). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-grams (shingles) as space-joined strings; empty array when
+    * the document has fewer than n tokens (`sequence` would otherwise
+    * produce a descending range). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(1), size(toks) - lit(n - 1))
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+    when(size(toks) < n, array().cast("array<string>")).otherwise(grams)
+  }
+
+  /** Distinct word n-gram set — the unit of Jaccard similarity. */
+  def shingleSet(text: Column, n: Int = 3): Column =
+    array_distinct(wordNgrams(text, n))
+
+  /** Exact Jaccard similarity of two string-array *sets* (arrays must be
+    * distinct). Division is a single IEEE op on exact integer counts, so
+    * the value is bit-identical across engines.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** 31-bit polynomial rolling hash over the characters of a string:
+    * `h = (h * 31 + code) mod (2^31 - 1)`. Engine-independent modular
+    * arithmetic — the document-fingerprint operator, and the token hash
+    * underlying the oracle-checked SimHash.
+    */
+  def polyHash31(s: Column): Column =
+    aggregate(split(s, ""), lit(0L),
+      (h, c) => (h * lit(31L) + ascii(c)) % lit(2147483647L))
+
+  /** 31-bit SimHash over whitespace tokens (frequency-weighted: repeated
+    * tokens vote repeatedly). Bit b is set iff the sum over tokens of
+    * ±1 (+1 when bit b of the token's polyHash31 is set) is > 0.
+    * Cost: 31 × n_tokens adds per document, all inside codegen.
+    */
+  def simhash31(text: Column): Column = {
+    val tokenHashes = transform(tokens(text), polyHash31(_))
+    val bits = transform(sequence(lit(0), lit(30)), b => {
+      val pow2b = pow(lit(2.0), b).cast("long")
+      val vote = aggregate(tokenHashes, lit(0L),
+        (s, h) => s + when((h.cast("long") / pow2b).cast("long") % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, pow2b).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** MinHash signature: for each of `perms` universal-hash permutations
+    * `h_i(x) = (a_i * x + b_i) mod p`, the minimum over the shingle
+    * hashes. Shingles are first mapped to [0, 2^31) with murmur3
+    * (`hash()`, codegen'd); coefficients come from a fixed-seed LCG so
+    * signatures are deterministic across runs and executors.
+    *
+    * Scale: O(perms × shingles) per document, map-side only — no
+    * shuffle until the band explode.
+    */
+  def minhashSignature(shingles: Column, perms: Int = 64): Column = {
+    val p = 2147483647L // 2^31 - 1, prime
+    val (as, bs) = minhashCoefficients(perms)
+    val h32 = transform(shingles, g => pmod(hash(g).cast("long"), lit(2147483648L)))
+    array((0 until perms).map { i =>
+      coalesce(
+        array_min(transform(h32, h => (h * lit(as(i)) + lit(bs(i))) % lit(p))),
+        lit(p)) // empty shingle set → sentinel
+    }: _*)
+  }
+
+  /** Deterministic LCG-derived (a, b) coefficient streams (seed fixed so
+    * every run and every executor agrees). a must be non-zero mod p. */
+  private[graft] def minhashCoefficients(perms: Int): (Array[Long], Array[Long]) = {
+    var state = 42L
+    def next(): Long = { // MMIX LCG constants (Knuth), public domain
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 33) % 2147483647L
+    }
+    val as = Array.fill(perms)(math.max(1L, next()))
+    val bs = Array.fill(perms)(next())
+    (as, bs)
+  }
+
+  /** LSH band hashes: split the signature into `bands` bands of
+    * `signature.length / bands` rows and hash each band. Two documents
+    * collide in a band iff that band's signature slice matches exactly;
+    * with 16 bands × 4 rows, P(collision) = 1-(1-j^4)^16 — ≈1 for
+    * j ≥ 0.8, ≈0.04 for j = 0.2.
+    */
+  def lshBands(signature: Column, perms: Int, bands: Int): Column = {
+    val rows = perms / bands
+    array((0 until bands).map { j =>
+      struct(
+        lit(j).as("band"),
+        hash(lit(j) +: (0 until rows).map(r => element_at(signature, j * rows + r + 1)): _*)
+          .as("bucket"))
+    }: _*)
+  }
+
+  // ---- quality / stats ----
+
+  /** Count of tokens matched by a BPE-ish pre-tokenization regex:
+    * letter runs, digit runs, and single non-alphanumeric symbols. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long")
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", "")).cast("long")
+
+  /** Ratio of tokens found in `words` (e.g. stopwords). */
+  def wordSetRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Language-specific stopword marker sets for [[langId]]. Kept tiny —
+    * this is the classic n-gram/stopword heuristic, not a model. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "que"),
+    "fr" -> Seq("le", "les", "et", "est", "un", "une"))
+
+  /** Heuristic language ID: count marker-stopword hits per language,
+    * pick the max (ties resolved in [[langMarkers]] order — first listed
+    * wins). Deterministic, engine-independent.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = langMarkers.map { case (lang, words) =>
+      (lang, size(filter(toks, t => t.isin(words.map(lit): _*))))
+    }
+    val branches = counts.zipWithIndex.init.map { case ((lang, c), i) =>
+      val later = counts.drop(i + 1).map(_._2)
+      (later.map(oc => c >= oc).reduce(_ && _), lang)
+    }
+    branches.foldRight(lit(counts.last._1): Column) {
+      case ((cond, lang), tail) => when(cond, lit(lang)).otherwise(tail)
+    }
+  }
+}

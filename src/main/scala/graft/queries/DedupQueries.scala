@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.model.Tables
+
+/** Deduplication operators over the `documents` table — the core of a
+  * training-data pipeline. Four families:
+  *
+  *  - exact (hash-groupBy): shuffle carries a 16-byte digest, not the
+  *    document body;
+  *  - MinHash + LSH (shingle → signature → band → bucket-join): the
+  *    100 TB path — candidate generation is a narrow equi-join on
+  *    (band, bucket), never an all-pairs comparison;
+  *  - exact n-gram Jaccard: all-pairs ground truth with a size-ratio
+  *    prefilter (j ≥ τ implies |A|/|B| ∈ [τ, 1/τ], so the filter is an
+  *    optimization, not a semantics change). Inherently quadratic — at
+  *    scale the LSH variant replaces it, and the DuckDB oracle checks
+  *    they agree;
+  *  - SimHash: 31-bit polynomial-hash variant so the whole signature is
+  *    oracle-expressible; pairs within Hamming distance 3.
+  *
+  * The planted near-duplicates in the harness data sit at j ≈ 0.99 with
+  * everything else below 0.5, so τ = 0.8 cleanly separates; at that gap
+  * the 16-band × 4-row LSH miss probability is ~4e-22 per pair, which is
+  * why the brute-force oracle can verify the probabilistic path.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** doc_id + distinct 3-gram shingle set. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), shingleSet(col("text"), 3).as("g"))
+
+  /** LSH candidate pairs (doc_a < doc_b), deduplicated across bands. */
+  private def lshCandidates(sh: DataFrame): DataFrame = {
+    val bands = sh
+      .withColumn("sig", minhashSignature(col("g"), perms = 64))
+      .select(col("doc_id"), explode(lshBands(col("sig"), perms = 64, bands = 16)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+    val left = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val right = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: survivors (min doc_id) per content digest
+    "dedup_exact" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("digest"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")),
+
+    // MinHash LSH near-dup: banded candidates, exact-Jaccard verified.
+    // Output == brute-force pairs at τ=0.8 (recall ~1, see scaladoc).
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      lshCandidates(sh)
+        .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+        .withColumn("jac", jaccard(col("ga"), col("gb")))
+        .filter(col("jac") >= 0.8)
+        .select("doc_a", "doc_b", "jac")
+    }),
+
+    // exact all-pairs n-gram Jaccard with size-ratio prefilter
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingled(s, dir).withColumn("n", size(col("g")))
+      val a = sh.select(col("doc_id").as("doc_a"), col("g").as("ga"), col("n").as("na"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("g").as("gb"), col("n").as("nb"))
+      a.join(b,
+          col("doc_a") < col("doc_b") &&
+          col("na").cast("double") >= col("nb") * 0.8 &&
+          col("nb").cast("double") >= col("na") * 0.8)
+        .withColumn("jac", jaccard(col("ga"), col("gb")))
+        .filter(col("jac") >= 0.8)
+        .select("doc_a", "doc_b", "jac")
+    }),
+
+    // SimHash near-dup: 31-bit signatures, pairs within Hamming ≤ 3
+    "dedup_simhash" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"), simhash31(col("text")).as("sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("ham", hamming(col("sha"), col("shb")))
+        .filter(col("ham") <= 3)
+        .select("doc_a", "doc_b", "ham")
+    }),
+
+    // embedding-cosine near-dup (exact; LSH scale path in SimilarityQueries)
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(
+          aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _)
+            / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.4)
+        .select("vec_a", "vec_b", "cos")
+    })
+  )
+
+  private val bruteForceJaccardSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
+      |         (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) AS jac
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, jac FROM p WHERE jac >= 0.8""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_minhash_lsh" -> bruteForceJaccardSql,
+    "dedup_ngram_jaccard" -> bruteForceJaccardSql,
+
+    "dedup_simhash" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(string_split(text,' '),
+        |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT))),
+        |         (a, b) -> (a * 31 + b) % 2147483647)) th
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, 31), b ->
+        |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(th, hh ->
+        |               CASE WHEN (hh // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+        |                    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+        |           (x, y) -> x + y) > 0
+        |      THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |    (x, y) -> x + y) sh
+        |  FROM h)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         round(list_reduce(list_prepend(0.0,
+        |                 list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+        |               / (a.nrm * b.nrm), 6) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4""".stripMargin
+  )
+}

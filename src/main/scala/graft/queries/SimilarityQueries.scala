@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`,
+  * dim 64).
+  *
+  * Two paths:
+  *  - brute-force top-k cosine: the correctness baseline. The query
+  *    side is tiny and broadcast, so the scan side streams once with no
+  *    shuffle — at 100 TB this is one pass over the corpus per query
+  *    batch (BroadcastNestedLoopJoin by construction);
+  *  - hyperplane-LSH bucketed ANN: the scale path. Vectors hash to a
+  *    signed-projection bucket (deterministic pseudo-random hyperplanes,
+  *    fixed seed); candidate generation is an equi-join on the bucket id
+  *    — shuffle proportional to bucket collisions, not |corpus|².
+  *    Recall vs brute force is asserted in SimilaritySpec.
+  *
+  * Dot products use fold-left `aggregate` over doubles so the oracle
+  * (same fold order in DuckDB) is bit-identical.
+  */
+object SimilarityQueries {
+
+  private[graft] def vectors(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
+
+  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(va, vb, _ * _), lit(0.0), _ + _) / (na * nb)
+
+  /** Deterministic hyperplanes: `planes(p)(d)` in [-1, 1), LCG seed 7.
+    * Derived once on the driver and baked into the plan as literals. */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    var state = 7L
+    Array.fill(nPlanes, dim) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 33).toDouble / (1L << 30).toDouble) - 1.0
+    }
+  }
+
+  /** Signed-projection LSH bucket id: bit p = sign(v · plane_p). */
+  private[graft] def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val proj = aggregate(
+        zip_with(v, typedLit(plane.toSeq), (x, w) => x * w), lit(0.0), _ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Top-k neighbors for each query vector among `corpus`, ranked by
+    * (cosine rounded to 6 dp desc, vec_id) for cross-engine determinism. */
+  private def topK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("v").as("vc"), col("nrm").as("nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("vq"), col("vc"), col("nq"), col("nc")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** IVF bucket assignment: scores against k centroid literals, bucket =
+    * argmax (first max wins — deterministic). Centroids are collected to
+    * the driver once (k rows, bounded by the index parameter, not data
+    * size — the analogue of IVF training) and baked into the plan.
+    */
+  private[graft] def ivfParts(
+      s: SparkSession, dir: String, k: Int, nprobe: Int): (DataFrame, Column => Column, Column => Column) = {
+    val vs = vectors(s, dir)
+    val cents: Array[Array[Double]] = vs.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    def scores(v: Column): Column = array(cents.map { c =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      aggregate(zip_with(v, typedLit(c.toSeq), (x, w) => x * w), lit(0.0), _ + _) / lit(nrm)
+    }: _*)
+    val assign = (v: Column) => array_position(scores(v), array_max(scores(v)))
+    // multi-probe: all buckets whose centroid score reaches the nprobe-th
+    // largest (ties can widen the probe set; scores are continuous)
+    val probes = (v: Column) => {
+      val sc = scores(v)
+      val thr = element_at(array_sort(sc), k - nprobe + 1)
+      filter(sequence(lit(1), lit(k)), i => element_at(sc, i) >= thr)
+    }
+    (vs, assign, probes)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force top-5 cosine for the first 10 vectors as queries
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val vs = vectors(s, dir)
+      topK(vs.filter(col("vec_id") < 10), vs, k = 5)
+    }),
+
+    // hyperplane-LSH ANN: same output shape, candidates from bucket join
+    // (8 planes → 256 buckets). No oracle: probabilistic recall, checked
+    // against brute force in SimilaritySpec.
+    "sim_ann_lsh" -> ((s, dir) => {
+      val planes = hyperplanes(nPlanes = 8, dim = 64)
+      val vs = vectors(s, dir).withColumn("bucket", lshBucket(col("v"), planes))
+      val q = vs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"), col("bucket"))
+      val c = vs.select(col("vec_id").as("neighbor_id"), col("v").as("vc"), col("nrm").as("nc"), col("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", round(cosine(col("vq"), col("vc"), col("nq"), col("nc")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    }),
+
+    // IVF ANN: k=16 driver-bootstrapped centroids, nprobe=4 multi-probe.
+    // Candidate set ≈ nprobe/k of the corpus via an equi-join on the
+    // bucket id — the inverted-file scale path. Recall asserted in
+    // SimilaritySpec.
+    "sim_ann_ivf" -> ((s, dir) => {
+      val (vs, assign, probes) = ivfParts(s, dir, k = 16, nprobe = 4)
+      val corpus = vs
+        .select(col("vec_id").as("neighbor_id"), col("v").as("vc"), col("nrm").as("nc"),
+          assign(col("v")).as("bucket"))
+      val q = vs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"),
+          explode(probes(col("v"))).as("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      corpus.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", round(cosine(col("vq"), col("vc"), col("nq"), col("nc")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_reduce(list_prepend(0.0,
+        |                 list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (x, y) -> x + y)
+        |               / (q.nrm * c.nrm), 6) AS cos
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cos,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |FROM p
+        |QUALIFY rank <= 5""".stripMargin
+  )
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.model.Tables
+
+/** Text-analysis queries over `documents`: token counting (whitespace +
+  * BPE-ish regex), quality stats, language ID, and fingerprinting —
+  * the per-document scoring stage of a training-data pipeline.
+  *
+  * All are narrow map-side transforms (no shuffle except the final
+  * aggregate where one exists) built from codegen'd expressions, so at
+  * 100 TB they stream through executors at scan speed.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-document quality stats
+    "text_stats" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        punctCount(col("text")).as("punct_cnt"),
+        wordSetRatio(col("text"), langMarkers.toMap.apply("en")).as("stop_ratio"),
+        (aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _).cast("double")
+          / size(toks).cast("double")).as("avg_token_len"))
+    }),
+
+    // corpus token counts per source (whitespace + BPE-ish)
+    "text_token_count" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          size(tokens(col("text"))).cast("long").as("ws"),
+          bpeishTokenCount(col("text")).as("bpe"))
+        .groupBy("source")
+        .agg(sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"),
+          count(lit(1)).as("n_docs"))),
+
+    // heuristic language ID (stopword markers, deterministic tie-break)
+    "text_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), langId(col("text")).as("pred_lang"))),
+
+    // document fingerprints: rolling polynomial hash + content digest
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        polyHash31(col("text")).as("fp_poly"),
+        md5(col("text").cast("binary")).as("fp_md5")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS punct_cnt,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE)
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT))),
+        |            (a, b) -> a + b) AS DOUBLE)
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT source,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','a','in','is','it'))) c_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist','nicht'))) c_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','las','y','es','que'))) c_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','un','une'))) c_fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+        |            WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+        |            WHEN c_es >= c_fr THEN 'es'
+        |            ELSE 'fr' END AS pred_lang
+        |FROM c""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |         (h, c) -> (h * 31 + c) % 2147483647) AS fp_poly,
+        |       md5(text) AS fp_md5
+        |FROM documents""".stripMargin
+  )
+}

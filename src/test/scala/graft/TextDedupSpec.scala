@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.model.Tables
+import graft.queries.DedupQueries
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordNgrams: correct shingles, empty below n tokens") {
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(wordNgrams($"text", 3).as("g")).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+  }
+
+  test("jaccard: identical=1, disjoint=0, empty-safe") {
+    val out = Seq(
+      (Seq("x", "y"), Seq("x", "y")),
+      (Seq("x"), Seq("y")),
+      (Seq.empty[String], Seq.empty[String]))
+      .toDF("a", "b").select(jaccard($"a", $"b")).as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("minhash similarity estimate tracks exact jaccard") {
+    // near-dup pair vs unrelated pair from sf0.001 planted duplicates
+    val sh = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", shingleSet($"text", 3).as("g"))
+      .withColumn("sig", minhashSignature($"g", 64))
+    val pairs = DedupQueries.queries("dedup_minhash_lsh")(spark, sf0001)
+    // every LSH-found pair above τ must also be found by brute force & vice versa
+    val brute = {
+      val a = sh.select($"doc_id".as("doc_a"), $"g".as("ga"))
+      val b = sh.select($"doc_id".as("doc_b"), $"g".as("gb"))
+      a.join(b, $"doc_a" < $"doc_b")
+        .withColumn("jac", jaccard($"ga", $"gb"))
+        .filter($"jac" >= 0.8)
+        .select("doc_a", "doc_b", "jac")
+    }
+    assert(pairs.exceptAll(brute).isEmpty && brute.exceptAll(pairs).isEmpty)
+    assert(pairs.count() > 0, "sf0.001 should contain planted near-duplicates")
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val d = Seq(
+      (1L, "spark window join filter table scan merge sort agg group"),
+      (2L, "spark window join filter table scan merge sort agg groups"), // 1 token差
+      (3L, "zebra yak xylophone walrus vulture tiger snake rabbit")
+    ).toDF("doc_id", "text").select($"doc_id", simhash31($"text").as("sh"))
+    val m = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+  }
+
+  test("polyHash31 is order-sensitive and deterministic") {
+    val out = Seq("ab", "ba", "ab").toDF("s")
+      .select(polyHash31($"s")).as[Long].collect()
+    assert(out(0) != out(1) && out(0) == out(2))
+    assert(out(0) == ('a'.toLong * 31 + 'b'.toLong) % 2147483647L)
+  }
+
+  test("langId picks marker-majority language with deterministic ties") {
+    val out = Seq(
+      "the cat and the dog is in it",
+      "der hund und die katze ist nicht",
+      "xyzzy plugh")  // no markers anywhere → all counts 0 → first lang wins
+      .toDF("text").select(langId($"text")).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "en"))
+  }
+
+  test("exact dedup groups by content digest") {
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = d.groupBy(md5($"text".cast("binary")))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .select("keep_id", "n").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+}
