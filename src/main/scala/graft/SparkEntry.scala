@@ -28,11 +28,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.queries ++ RelationalQueries.queries ++
-      DedupQueries.queries ++ TextQueries.queries ++ SimilarityQueries.queries
+      DedupQueries.queries ++ TextQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++
-      DedupQueries.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles
+      DedupQueries.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles ++
+      MultimodalQueries.oracles
 }

@@ -1,0 +1,96 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded/feature-extracted in batched
+  * per-partition passes.
+  *
+  * The Spark-side machinery here is real and tested — schema, typed
+  * Dataset encoders, partition-level batching (the Scala analogue of a
+  * Pandas-UDF `mapInPandas` batch shape), deterministic output. Only
+  * the innermost codec call is a stub ([[FakeCodec]]): the container
+  * has no image/audio libraries, so the "decode" computes deterministic
+  * features of the raw bytes. Swapping in a real codec changes one
+  * function, not the pipeline.
+  *
+  * Scale notes: `mapPartitions` keeps the codec call amortized (one
+  * codec context per batch of [[MediaPipeline.BatchSize]] records, like
+  * a Pandas UDF's Arrow batches); records never pass through the
+  * driver; binary payloads stay columnar until the decode boundary.
+  */
+object Multimodal {
+
+  /** One media record: opaque payload + typed metadata. */
+  case class MediaRecord(
+      media_id: Long,
+      modality: String,
+      data: Array[Byte],
+      mime: String,
+      declared_w: Int,
+      declared_h: Int)
+
+  /** Extracted features (deterministic under [[FakeCodec]]). */
+  case class MediaFeatures(
+      media_id: Long,
+      byte_len: Long,
+      header_sum: Long,
+      frame0: Long,
+      frame_mid: Long,
+      frame_last: Long,
+      fp: Long)
+
+  /** The stubbed codec boundary. A production build replaces this
+    * object with JNI/javacv bindings; everything else is unchanged.
+    */
+  object FakeCodec {
+    /** "Decode" a batch: deterministic features over raw bytes —
+      * header checksum (first 16 bytes), three "frame samples" (byte at
+      * 0, mid, last), and a 31-bit polynomial fingerprint of the whole
+      * payload. Batch-shaped on purpose: one call per batch, not per
+      * record.
+      */
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val bs = r.data
+        val n = bs.length
+        def at(i: Int): Long = if (n == 0) 0L else java.lang.Byte.toUnsignedLong(bs(i))
+        val header = bs.take(16).map(java.lang.Byte.toUnsignedLong).sum
+        var fp = 0L
+        var i = 0
+        while (i < n) { fp = (fp * 31 + java.lang.Byte.toUnsignedLong(bs(i))) % 2147483647L; i += 1 }
+        MediaFeatures(r.media_id, n.toLong, header, at(0), at(n / 2), at(math.max(0, n - 1)), fp)
+      }
+  }
+
+  object MediaPipeline {
+    val BatchSize = 64
+
+    /** documents → opaque media table (harness stand-in: UTF-8 payload
+      * plays the image bytes; metadata is arbitrary but typed). */
+    def mediaFromDocuments(docs: DataFrame): DataFrame =
+      docs.select(
+        col("doc_id").as("media_id"),
+        lit("image").as("modality"),
+        col("text").cast("binary").as("data"),
+        lit("image/x-fake").as("mime"),
+        (col("n_chars") % 64 + 1).cast("int").as("declared_w"),
+        (col("n_chars") % 48 + 1).cast("int").as("declared_h"))
+
+    /** The batched decode stage: partition-local, codec called once per
+      * [[BatchSize]] records. */
+    def decode(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(g => FakeCodec.decodeBatch(g))
+      }
+    }
+
+    /** End-to-end: documents → media records → batched decode. */
+    def features(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+      import spark.implicits._
+      decode(mediaFromDocuments(docs).as[MediaRecord])
+    }
+  }
+}

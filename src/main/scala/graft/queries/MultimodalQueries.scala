@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal decode pipeline registered as a query. The payloads are
+  * ASCII text bytes (harness stand-in), so every byte-level feature the
+  * FakeCodec computes is reproducible in the DuckDB oracle via
+  * character arithmetic — the whole mapPartitions pipeline, schema and
+  * batching included, is correctness-gated, not just smoke-tested.
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.MediaPipeline.features(s, Tables.load(s, dir, "documents")).toDF())
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(length(text) AS BIGINT) AS byte_len,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(substring(text, 1, 16), ''), c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, b) -> a + b) AS BIGINT) AS header_sum,
+        |       CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS frame0,
+        |       CAST(ascii(substring(text, length(text) // 2 + 1, 1)) AS BIGINT) AS frame_mid,
+        |       CAST(ascii(substring(text, length(text), 1)) AS BIGINT) AS frame_last,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |         (h, c) -> (h * 31 + c) % 2147483647) AS fp
+        |FROM documents""".stripMargin
+  )
+}

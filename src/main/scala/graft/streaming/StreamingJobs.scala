@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ingest.Ingest
+import graft.ops.Windows
+
+/** Structured-Streaming forms of the reference's jobs. The group-window
+  * jobs reuse the *same* pure plan functions as batch ([[Windows]]) —
+  * one logical-plan layer, two run modes (SURVEY.md §7.1). Only the
+  * per-row OVER aggregation needs dedicated streaming code, because
+  * Structured Streaming has no OVER: [[slidingCountStreaming]]
+  * implements it with `flatMapGroupsWithState`.
+  */
+object StreamingJobs {
+
+  /** Flagship streaming job (reference StreamJobSqlTumbling): watermark
+    * + tumbling count, append-safe once the watermark passes window end. */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String, size: String): DataFrame =
+    Windows.tumblingCount(Ingest.withEventTime(events, tsCol), col(tsCol), col(keyCol), size)
+
+  /** Hopping variant (reference StreamJobSqlHopping). */
+  def hoppingCounts(events: DataFrame, tsCol: String, keyCol: String, size: String, slide: String): DataFrame =
+    Windows.hoppingCount(Ingest.withEventTime(events, tsCol), col(tsCol), col(keyCol), size, slide)
+
+  /** One keyed event for the stateful OVER operator. */
+  case class KeyedEvent(key: String, ts: Timestamp)
+
+  /** One per-row OVER result (reference Tuple3: class, rowtime, count —
+    * StreamJobSqlSliding.java:172–178). */
+  case class SlidingCount(key: String, ts: Timestamp, trailing_cnt: Long)
+
+  /** Per-key state: event times (epoch micros) within the trailing
+    * frame of the newest event seen, ascending. */
+  case class SlidingState(maxSeenUs: Long, timesUs: List[Long])
+
+  /** W3 streaming — per-key trailing-interval COUNT(*) OVER, which
+    * Structured Streaming cannot express as a window function
+    * (SURVEY.md §7.3 hard part #1).
+    *
+    * Semantics mirror the reference's zero-lateness punctuated
+    * watermark (StreamJobSqlSliding.java:122–134): within a batch rows
+    * are processed in event-time order; a row older than the newest
+    * event already processed for its key is late and silently dropped
+    * (ties are kept — RANGE frames include peers). State holds only
+    * events inside the frame of the per-key max, so state size is
+    * bounded by frame width × per-key event rate, not history length.
+    *
+    * Scale: state is per-key and partitioned by the stream's groupBy —
+    * the same shuffle a keyed window agg pays. For very low key
+    * cardinality the batch-mode chunked formulation
+    * ([[Windows.slidingCountChunked]]) is the right offline tool; this
+    * operator is for live streams.
+    */
+  def slidingCountStreaming(
+      events: Dataset[KeyedEvent],
+      frameSeconds: Long): Dataset[SlidingCount] = {
+    import events.sparkSession.implicits._
+    val frameUs = frameSeconds * 1000000L
+
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedEvent], state: GroupState[SlidingState]) =>
+          val st = state.getOption.getOrElse(SlidingState(Long.MinValue, Nil))
+          var maxSeen = st.maxSeenUs
+          var buf = st.timesUs
+          val out = rows.toSeq.sortBy(e => micros(e.ts)).flatMap { e =>
+            val t = micros(e.ts)
+            if (t < maxSeen) None // late: reference drops (zero lateness)
+            else {
+              maxSeen = t
+              buf = (t :: buf.filter(_ >= t - frameUs)).sorted
+              Some(SlidingCount(key, e.ts, buf.count(x => x >= t - frameUs && x <= t).toLong))
+            }
+          }
+          state.update(SlidingState(maxSeen, buf))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.Windows
+import graft.streaming.StreamingJobs._
+import graft.streaming.UpsertSink
+
+/** Streaming parity (SURVEY.md §5 item 3): the same logical plans run
+  * against MemoryStream feeds; converged results must equal the batch
+  * results — the reference's upsert sink makes last-write-wins-per-key
+  * convergence the observable contract (SURVEY.md §1.4).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumbling count converges to the batch result (append mode)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val events = in.toDF().toDF("k", "t")
+    val q = tumblingCounts(events, "t", "k", "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tumbling_out")
+      .start()
+    try {
+      in.addData(("a", ts("2024-01-01 00:00:10")), ("a", ts("2024-01-01 00:00:20")), ("b", ts("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 00:01:10")))
+      q.processAllAvailable()
+      // watermark (0 s) has passed 00:01 → the 00:00 window is final and emitted
+      in.addData(("a", ts("2024-01-01 00:02:05")))
+      q.processAllAvailable()
+      val emitted = spark.table("tumbling_out")
+        .select("key", "cnt", "window_start").as[(String, Long, Timestamp)].collect().toSet
+      assert(emitted.contains(("a", 2L, ts("2024-01-01 00:00:00"))))
+      assert(emitted.contains(("b", 1L, ts("2024-01-01 00:00:00"))))
+      assert(emitted.contains(("a", 1L, ts("2024-01-01 00:01:00"))))
+    } finally q.stop()
+  }
+
+  test("late record (older than watermark) is dropped — zero-lateness parity") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val q = tumblingCounts(in.toDF().toDF("k", "t"), "t", "k", "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("late_out").start()
+    try {
+      in.addData(("a", ts("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 00:05:00"))) // advances watermark past 00:01
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 00:00:40"))) // late for the closed 00:00 window
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 00:10:00"))) // close remaining windows
+      q.processAllAvailable()
+      val w0 = spark.table("late_out")
+        .filter($"window_start" === ts("2024-01-01 00:00:00") && $"key" === "a")
+        .select("cnt").as[Long].collect()
+      assert(w0.toSeq == Seq(1L), "late record must not re-open the closed window")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sliding OVER matches batch OVER on in-order feed") {
+    implicit val sql = spark.sqlContext
+    val events = Tables.load(spark, sf0001, "events")
+      .select($"event_type".as("key"), $"ts")
+      .orderBy("ts").limit(200)
+      .as[KeyedEvent].collect()
+    val in = MemoryStream[KeyedEvent]
+    val q = slidingCountStreaming(in.toDS(), 60L)
+      .writeStream.outputMode("append").format("memory").queryName("sliding_out").start()
+    try {
+      val (b1, b2) = events.splitAt(100)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("sliding_out")
+        .select($"key", $"ts", $"trailing_cnt").as[(String, Timestamp, Long)].collect().toSet
+      val want = Windows.slidingOverCount(
+          events.toSeq.toDF("key", "ts"), $"ts", $"key", 60L)
+        .select($"key", $"ts", $"trailing_cnt").as[(String, Timestamp, Long)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert is idempotent under replay (X3 parity)") {
+    val tumbled = Windows.tumblingCount(
+      Tables.load(spark, sf0001, "events"), $"ts", $"event_type", "1 minute")
+    UpsertSink.InMemoryStore.clear("t_replay")
+    val sink = UpsertSink.foreachBatchUpsert("t_replay", Seq("key", "window_start", "window_end")) _
+    sink(tumbled, 0L)
+    val afterFirst = UpsertSink.InMemoryStore.snapshot("t_replay")
+    sink(tumbled, 0L) // replayed epoch: same data, same epoch id
+    val afterReplay = UpsertSink.InMemoryStore.snapshot("t_replay")
+    assert(afterFirst == afterReplay)
+    assert(afterFirst.size == tumbled.count())
+  }
+
+  test("upsert SQL text for the JDBC production path") {
+    val sql = UpsertSink.upsertSql("tumbling",
+      Seq("key", "cnt", "window_start", "window_end"), Seq("key", "window_start", "window_end"))
+    assert(sql == "INSERT INTO tumbling (key, cnt, window_start, window_end) VALUES (?, ?, ?, ?) " +
+      "ON CONFLICT (key, window_start, window_end) DO UPDATE SET cnt = EXCLUDED.cnt")
+  }
+}
