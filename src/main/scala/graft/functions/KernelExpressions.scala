@@ -1,0 +1,245 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Custom codegen'd Catalyst expressions for the numeric hot loops.
+  *
+  * Spark's higher-order functions (`aggregate`/`transform`/`zip_with`)
+  * are evaluated interpreted, one lambda call per element — fine for a
+  * few hundred elements per row, ruinous for all-pairs similarity
+  * kernels (millions of rows × 64 dims). These expressions generate the
+  * inner loop as Java inside WholeStageCodegen (preference order (b) of
+  * the build brief: a native `Expression` with `doGenCode` beats a UDF
+  * beats mapPartitions).
+  *
+  * Arithmetic is kept EXACTLY the same as the HOF formulations they
+  * replace (same fold order, same modular ops), so the DuckDB oracles
+  * remain bit-identical.
+  */
+object KernelExpressions {
+
+  /** Fold-left dot product of two array<double> columns. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) { $s += $x.getDouble($i) * $y.getDouble($i); }
+        ${ev.value} = $s;"""
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** MinHash signature from an array<long> of base shingle hashes:
+    * `sig[j] = min_x (as(j)*x + bs(j)) mod p`, sentinel p on empty.
+    * One generated double loop instead of perms × |shingles| lambda
+    * dispatches.
+    */
+  case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
+      extends UnaryExpression {
+    private val P = 2147483647L
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(h: Any): Any = {
+      val xs = h.asInstanceOf[ArrayData]
+      val n = xs.numElements()
+      val out = new Array[Long](as.length)
+      var j = 0
+      while (j < as.length) {
+        var m = P
+        var i = 0
+        while (i < n) {
+          val v = (as(j) * xs.getLong(i) + bs(j)) % P
+          if (v < m) m = v
+          i += 1
+        }
+        out(j) = m
+        j += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+      val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, h => {
+        val (i, j, n, m, v, out) = (ctx.freshName("i"), ctx.freshName("j"),
+          ctx.freshName("n"), ctx.freshName("m"), ctx.freshName("v"), ctx.freshName("out"))
+        s"""
+        int $n = $h.numElements();
+        long[] $out = new long[$asRef.length];
+        for (int $j = 0; $j < $asRef.length; $j++) {
+          long $m = ${P}L;
+          for (int $i = 0; $i < $n; $i++) {
+            long $v = ($asRef[$j] * $h.getLong($i) + $bsRef[$j]) % ${P}L;
+            if ($v < $m) $m = $v;
+          }
+          $out[$j] = $m;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);"""
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** SimHash over an array<long> of token hashes: bit b (0..bits-1) of
+    * the result is set iff Σ_tokens (bit b of hash ? +1 : -1) > 0.
+    * Matches `(h div 2^b) % 2` arithmetic of the oracle exactly
+    * (hashes are non-negative).
+    */
+  case class SimHashBits(child: Expression, bits: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(h: Any): Any = {
+      val xs = h.asInstanceOf[ArrayData]
+      val n = xs.numElements()
+      var res = 0L
+      var b = 0
+      while (b < bits) {
+        var vote = 0L
+        var i = 0
+        while (i < n) {
+          vote += (if (((xs.getLong(i) >>> b) & 1L) == 1L) 1L else -1L)
+          i += 1
+        }
+        if (vote > 0) res |= (1L << b)
+        b += 1
+      }
+      res
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, h => {
+        val (i, b, n, vote, res) = (ctx.freshName("i"), ctx.freshName("b"),
+          ctx.freshName("n"), ctx.freshName("vote"), ctx.freshName("res"))
+        s"""
+        int $n = $h.numElements();
+        long $res = 0L;
+        for (int $b = 0; $b < $bits; $b++) {
+          long $vote = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            $vote += ((($h.getLong($i) >>> $b) & 1L) == 1L) ? 1L : -1L;
+          }
+          if ($vote > 0) $res |= (1L << $b);
+        }
+        ${ev.value} = $res;"""
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Intersection cardinality of two SORTED string arrays (sets) via a
+    * linear merge — O(|a|+|b|) per pair with zero allocation, vs
+    * `array_intersect`'s per-evaluation hash-set build. The workhorse
+    * of all-pairs Jaccard verification: sort each document's shingle
+    * set once, then every candidate pair costs one merge.
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val (nx, ny) = (x.numElements(), y.numElements())
+      var i = 0
+      var j = 0
+      var c = 0L
+      while (i < nx && j < ny) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      c
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val (i, j, nx, ny, c, cmp) = (ctx.freshName("i"), ctx.freshName("j"),
+          ctx.freshName("nx"), ctx.freshName("ny"), ctx.freshName("c"), ctx.freshName("cmp"))
+        s"""
+        int $nx = $x.numElements(); int $ny = $y.numElements();
+        int $i = 0; int $j = 0; long $c = 0L;
+        while ($i < $nx && $j < $ny) {
+          int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+          if ($cmp == 0) { $c++; $i++; $j++; }
+          else if ($cmp < 0) { $i++; } else { $j++; }
+        }
+        ${ev.value} = $c;"""
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Sorted, distinct word n-gram set from a token array in ONE pass —
+    * replaces the `sort_array(array_distinct(transform(...)))` pipeline
+    * whose interpreted per-element lambdas dominate shingling cost.
+    * Output strings (space-joined), ordering (UTF8String binary), and
+    * set semantics are identical to the composed built-ins.
+    * Eval-based (CodegenFallback via UnaryExpression default): one JVM
+    * call per row doing primitive work, which is the cheap part —
+    * codegen would only inline the call.
+    */
+  case class SortedNgramSet(child: Expression, n: Int)
+      extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(a: Any): Any = {
+      val toks = a.asInstanceOf[ArrayData]
+      val m = toks.numElements()
+      if (m < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+      val grams = new Array[org.apache.spark.unsafe.types.UTF8String](m - n + 1)
+      var i = 0
+      while (i <= m - n) {
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+        var o = 0
+        while (o < n) { parts(o) = toks.getUTF8String(i + o); o += 1 }
+        grams(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
+        i += 1
+      }
+      java.util.Arrays.sort(grams.asInstanceOf[Array[Object]])
+      // dedup in place on the sorted array
+      val out = new java.util.ArrayList[Any](grams.length)
+      var k = 0
+      while (k < grams.length) {
+        if (k == 0 || grams(k).compareTo(grams(k - 1)) != 0) out.add(grams(k))
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ---- Column wrappers ----
+
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def minhashSig(baseHashes: Column, as: Array[Long], bs: Array[Long]): Column =
+    Bridge.column(MinHashSig(Bridge.expression(baseHashes), as, bs))
+
+  def simhashBits(tokenHashes: Column, bits: Int): Column =
+    Bridge.column(SimHashBits(Bridge.expression(tokenHashes), bits))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+
+  def sortedNgramSet(toks: Column, n: Int): Column =
+    Bridge.column(SortedNgramSet(Bridge.expression(toks), n))
+}

@@ -21,16 +21,26 @@ object TextFunctions {
     * (FIXTURES.md §2). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-grams (shingles) as space-joined strings; empty array when
-    * the document has fewer than n tokens (`sequence` would otherwise
-    * produce a descending range). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-grams (shingles) from a token-array column; empty array
+    * when the document has fewer than n tokens (`sequence` would
+    * otherwise produce a descending range).
+    *
+    * IMPORTANT for hot paths: pass a *materialized* token column (a
+    * `withColumn`/`select` attribute), not `split(...)` inline —
+    * expressions referenced inside a lambda are re-evaluated per
+    * element, so an inline split would re-tokenize the document for
+    * every `element_at`.
+    */
+  def ngramsOfTokens(toks: Column, n: Int): Column = {
     val idx = sequence(lit(1), size(toks) - lit(n - 1))
     val grams = transform(idx, i =>
       concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
     when(size(toks) < n, array().cast("array<string>")).otherwise(grams)
   }
+
+  /** Convenience form over raw text (fine for tests / small inputs —
+    * see the re-evaluation caveat on [[ngramsOfTokens]]). */
+  def wordNgrams(text: Column, n: Int): Column = ngramsOfTokens(tokens(text), n)
 
   /** Distinct word n-gram set — the unit of Jaccard similarity. */
   def shingleSet(text: Column, n: Int = 3): Column =
@@ -60,16 +70,8 @@ object TextFunctions {
     * ±1 (+1 when bit b of the token's polyHash31 is set) is > 0.
     * Cost: 31 × n_tokens adds per document, all inside codegen.
     */
-  def simhash31(text: Column): Column = {
-    val tokenHashes = transform(tokens(text), polyHash31(_))
-    val bits = transform(sequence(lit(0), lit(30)), b => {
-      val pow2b = pow(lit(2.0), b).cast("long")
-      val vote = aggregate(tokenHashes, lit(0L),
-        (s, h) => s + when((h.cast("long") / pow2b).cast("long") % 2 === 1, 1L).otherwise(-1L))
-      when(vote > 0, pow2b).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, v) => acc + v)
-  }
+  def simhash31(text: Column): Column =
+    KernelExpressions.simhashBits(transform(tokens(text), polyHash31(_)), bits = 31)
 
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column =
@@ -85,14 +87,9 @@ object TextFunctions {
     * shuffle until the band explode.
     */
   def minhashSignature(shingles: Column, perms: Int = 64): Column = {
-    val p = 2147483647L // 2^31 - 1, prime
     val (as, bs) = minhashCoefficients(perms)
     val h32 = transform(shingles, g => pmod(hash(g).cast("long"), lit(2147483648L)))
-    array((0 until perms).map { i =>
-      coalesce(
-        array_min(transform(h32, h => (h * lit(as(i)) + lit(bs(i))) % lit(p))),
-        lit(p)) // empty shingle set → sentinel
-    }: _*)
+    KernelExpressions.minhashSig(h32, as, bs) // empty shingle set → p sentinel
   }
 
   /** Deterministic LCG-derived (a, b) coefficient streams (seed fixed so

@@ -32,9 +32,27 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** doc_id + distinct 3-gram shingle set. */
+  /** doc_id + distinct 3-gram shingle set, SORTED so that candidate
+    * verification is a linear merge ([[KernelExpressions.SortedIntersectCount]])
+    * instead of a per-pair hash-set build. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), shingleSet(col("text"), 3).as("g"))
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks")) // materialize: see ngramsOfTokens
+      .select(col("doc_id"),
+        graft.functions.KernelExpressions.sortedNgramSet(col("toks"), 3).as("g"))
+      .persist() // shingle index: scanned by both sides of the self-joins
+                 // (Spark has no cross-branch CSE; the CacheManager dedupes
+                 // identical plans, so repeated calls share one cache entry)
+
+  /** jac = |∩| / (|a|+|b|-|∩|) with the intersection computed exactly
+    * once per pair (same value as TextFunctions.jaccard). */
+  private def jaccardFromCounts(df: DataFrame): DataFrame =
+    df.withColumn("inter",
+        graft.functions.KernelExpressions.sortedIntersectCount(col("ga"), col("gb")).cast("double"))
+      .withColumn("jac",
+        when((size(col("ga")) + size(col("gb"))).cast("double") - col("inter") === 0.0, lit(0.0))
+          .otherwise(col("inter") /
+            ((size(col("ga")) + size(col("gb"))).cast("double") - col("inter"))))
 
   /** LSH candidate pairs (doc_a < doc_b), deduplicated across bands. */
   private def lshCandidates(sh: DataFrame): DataFrame = {
@@ -62,31 +80,40 @@ object DedupQueries {
     // Output == brute-force pairs at τ=0.8 (recall ~1, see scaladoc).
     "dedup_minhash_lsh" -> ((s, dir) => {
       val sh = shingled(s, dir)
-      lshCandidates(sh)
-        .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
-        .withColumn("jac", jaccard(col("ga"), col("gb")))
+      jaccardFromCounts(
+        lshCandidates(sh)
+          .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
         .filter(col("jac") >= 0.8)
         .select("doc_a", "doc_b", "jac")
     }),
 
-    // exact all-pairs n-gram Jaccard with size-ratio prefilter
+    // exact n-gram Jaccard via inverted-index count join: explode
+    // shingles, equi-join on the shingle, count per pair = |∩|. Pairs
+    // sharing zero shingles (jac = 0 < τ) never materialize, and no
+    // array ever crosses the join — the shuffle carries (shingle,
+    // doc_id, size) triples. Join volume = Σ_shingle freq², kept sane
+    // here by the shingle distribution (max freq 25 at sf0.1); at
+    // corpus scale add a stop-shingle frequency cutoff or PPJoin-style
+    // prefix filtering on the same plan shape.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingled(s, dir).withColumn("n", size(col("g")))
-      val a = sh.select(col("doc_id").as("doc_a"), col("g").as("ga"), col("n").as("na"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("g").as("gb"), col("n").as("nb"))
-      a.join(b,
-          col("doc_a") < col("doc_b") &&
-          col("na").cast("double") >= col("nb") * 0.8 &&
-          col("nb").cast("double") >= col("na") * 0.8)
-        .withColumn("jac", jaccard(col("ga"), col("gb")))
+      val ex = shingled(s, dir)
+        .select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("sh"))
+      val a = ex.select(col("sh"), col("doc_id").as("doc_a"), col("n").as("na"))
+      val b = ex.select(col("sh"), col("doc_id").as("doc_b"), col("n").as("nb"))
+      a.join(b, Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(count(lit(1)).cast("double").as("inter"))
+        .withColumn("jac",
+          col("inter") / ((col("na") + col("nb")).cast("double") - col("inter")))
         .filter(col("jac") >= 0.8)
         .select("doc_a", "doc_b", "jac")
     }),
 
     // SimHash near-dup: 31-bit signatures, pairs within Hamming ≤ 3
     "dedup_simhash" -> ((s, dir) => {
-      val sh = docs(s, dir).select(col("doc_id"), simhash31(col("text")).as("sh"))
+      val sh = docs(s, dir).select(col("doc_id"), simhash31(col("text")).as("sh")).persist()
       val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
       val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
       a.join(b, col("doc_a") < col("doc_b"))
@@ -97,15 +124,12 @@ object DedupQueries {
 
     // embedding-cosine near-dup (exact; LSH scale path in SimilarityQueries)
     "dedup_embedding_cosine" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
+      import graft.functions.KernelExpressions.dot
+      val e = SimilarityQueries.vectors(s, dir)
       val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cos", round(
-          aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _)
-            / (col("na") * col("nb")), 6))
+        .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
         .filter(col("cos") >= 0.4)
         .select("vec_a", "vec_b", "cos")
     })

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.KernelExpressions.dot
 import graft.model.Tables
 
 /** Similarity search over the `embeddings` table (`Array[Float]`,
@@ -28,10 +29,11 @@ object SimilarityQueries {
   private[graft] def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .persist() // scanned as both query and corpus side of every ANN join
 
   private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(va, vb, _ * _), lit(0.0), _ + _) / (na * nb)
+    dot(va, vb) / (na * nb)
 
   /** Deterministic hyperplanes: `planes(p)(d)` in [-1, 1), LCG seed 7.
     * Derived once on the driver and baked into the plan as literals. */
@@ -46,8 +48,7 @@ object SimilarityQueries {
   /** Signed-projection LSH bucket id: bit p = sign(v · plane_p). */
   private[graft] def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val proj = aggregate(
-        zip_with(v, typedLit(plane.toSeq), (x, w) => x * w), lit(0.0), _ + _)
+      val proj = dot(v, typedLit(plane.toSeq))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -79,7 +80,7 @@ object SimilarityQueries {
       .map(_.getSeq[Double](1).toArray)
     def scores(v: Column): Column = array(cents.map { c =>
       val nrm = math.sqrt(c.map(x => x * x).sum)
-      aggregate(zip_with(v, typedLit(c.toSeq), (x, w) => x * w), lit(0.0), _ + _) / lit(nrm)
+      dot(v, typedLit(c.toSeq)) / lit(nrm)
     }: _*)
     val assign = (v: Column) => array_position(scores(v), array_max(scores(v)))
     // multi-probe: all buckets whose centroid score reaches the nprobe-th
