@@ -50,6 +50,21 @@ object EventQueries {
       Windows.slidingCountChunked(events(s, dir), col("ts"), col("event_type"), 60L, 300L)
         .select(col("event_id"), col("event_type"), col("trailing_cnt"))),
 
+    // Q1/P4/P5 — the SQL-string form of the flagship query: temp-view
+    // registration + spark.sql text, mirroring the reference's inline
+    // SQL path (tableEnv.sqlQuery — StreamJobSqlTumbling.java:142–153)
+    // with the window parameters bound into the text. Same result as
+    // q_tumbling_count by construction (W1/W4 SQL-vs-DSL duality).
+    "q_tumbling_count_sql" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("Inputs")
+      s.sql(
+        """SELECT CAST(event_type AS STRING) AS key, COUNT(*) AS cnt,
+          |       window(ts, '1 minute').start AS window_start,
+          |       window(ts, '1 minute').end AS window_end
+          |FROM Inputs
+          |GROUP BY window(ts, '1 minute'), event_type""".stripMargin)
+    }),
+
     // S2/P1 — JSON field extraction from the props envelope
     // (StreamJobSqlTumbling.java:106–119 reads properties.* from JSON)
     "q_json_extract" -> ((s, dir) =>
@@ -130,6 +145,12 @@ object EventQueries {
         |       CAST(count(*) OVER (PARTITION BY event_type ORDER BY ts
         |         RANGE BETWEEN INTERVAL '60 seconds' PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cnt
         |FROM events""".stripMargin,
+
+    "q_tumbling_count_sql" ->
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,
+        |       time_bucket(INTERVAL '1 minute', ts) AS window_start,
+        |       time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end
+        |FROM events GROUP BY 1, 3, 4""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type,

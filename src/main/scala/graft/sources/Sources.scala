@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source wiring — operator S1 of SURVEY.md §2.
+  *
+  * The reference consumes one Kinesis stream
+  * (`FlinkKinesisConsumer`, reference StreamJobSqlTumbling.java:41–53,
+  * config keys README.MD:113–116). In Spark that is a `readStream`
+  * format; everything downstream is source-agnostic, so each helper
+  * here returns a raw DataFrame the ingest stage
+  * ([[graft.ingest.Ingest.parseGeoJson]]) then shapes.
+  *
+  * This container has no Kinesis connector jar and zero egress, so
+  * [[kinesis]] builds the reader without starting it; the harness runs
+  * batch/file/rate/memory forms (TESTDATA.md). At 100 TB the batch
+  * entry point is the parquet scan — partition-pruned and
+  * filter-pushed by Catalyst.
+  */
+object Sources {
+
+  /** Streaming Kinesis source (spark-sql-kinesis connector wiring; per
+    * BASELINE.json `spark_approach`). `streamName`/`region`/
+    * `initialPosition` mirror the reference's consumer config keys.
+    */
+  def kinesis(
+      spark: SparkSession,
+      streamName: String,
+      region: String,
+      initialPosition: String = "LATEST"): DataFrame =
+    spark.readStream
+      .format("kinesis")
+      .option("streamName", streamName)
+      .option("region", region)
+      .option("initialPosition", initialPosition)
+      .load()
+
+  /** Streaming file source over a directory of JSON lines — the
+    * connector-free stand-in with identical downstream semantics. */
+  def jsonDir(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+
+  /** Synthetic rate source (smoke tests / backpressure experiments). */
+  def rate(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+
+  /** Batch parquet table (the harness path — TESTDATA.md). */
+  def parquetTable(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.model.Tables.load(spark, dir, name)
+}

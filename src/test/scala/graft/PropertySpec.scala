@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.TextFunctions._
+import graft.ops.Windows
+
+/** Property-based invariants (SURVEY.md §5 item 4) driven by
+  * scalacheck generators over small random event sets.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val eventGen: Gen[List[(String, Timestamp)]] = for {
+    n <- Gen.choose(1, 120)
+    evs <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("a", "b", "c")
+      sec <- Gen.choose(0L, 3600L)
+      micro <- Gen.choose(0L, 999999L)
+    } yield (k, new Timestamp(1704067200000L + sec * 1000 + micro / 1000)))
+  } yield evs
+
+  test("∀ events: per-key sum of tumbling window counts == per-key total") {
+    check(Prop.forAll(eventGen) { evs =>
+      val df = evs.toDF("k", "t")
+      val windowed = Windows.tumblingCount(df, $"t", $"k", "1 minute")
+        .groupBy("key").agg(sum("cnt").as("s"))
+        .as[(String, Long)].collect().toMap
+      val total = df.groupBy("k").count().as[(String, Long)].collect().toMap
+      windowed == total
+    })
+  }
+
+  test("∀ events: hopping with slide == size equals tumbling") {
+    check(Prop.forAll(eventGen) { evs =>
+      val df = evs.toDF("k", "t")
+      val hop = Windows.hoppingCount(df, $"t", $"k", "1 minute", "1 minute")
+      val tum = Windows.tumblingCount(df, $"t", $"k", "1 minute")
+      hop.exceptAll(tum).isEmpty && tum.exceptAll(hop).isEmpty
+    })
+  }
+
+  test("∀ events: every event's ts lies in [window_start, window_end) of its window") {
+    check(Prop.forAll(eventGen) { evs =>
+      val df = evs.toDF("k", "t")
+      df.select($"k", $"t", window($"t", "1 minute").as("w"))
+        .filter($"t" < $"w.start" || $"t" >= $"w.end")
+        .isEmpty
+    })
+  }
+
+  test("∀ events: trailing OVER count equals naive per-row recount") {
+    check(Prop.forAll(eventGen) { evs =>
+      val df = evs.toDF("k", "t")
+      val got = Windows.slidingOverCount(df, $"t", $"k", 60L)
+        .select($"k", $"t", $"trailing_cnt").as[(String, Timestamp, Long)]
+        .collect().toSeq.sortBy(r => (r._1, r._2.getTime))
+      // naive O(n²) recount with identical inclusive-frame semantics
+      val want = evs.map { case (k, t) =>
+        val cnt = evs.count { case (k2, t2) =>
+          k2 == k && t2.getTime <= t.getTime && t2.getTime >= t.getTime - 60000L
+        }
+        (k, t, cnt.toLong)
+      }.sortBy(r => (r._1, r._2.getTime))
+      got == want
+    })
+  }
+
+  test("∀ events: chunked sliding == OVER sliding for random chunk sizes") {
+    check(Prop.forAll(eventGen, Gen.oneOf(60L, 120L, 300L)) { (evs, chunk) =>
+      val df = evs.toDF("k", "t")
+      val a = Windows.slidingOverCount(df, $"t", $"k", 60L)
+        .select("k", "t", "trailing_cnt")
+      val b = Windows.slidingCountChunked(df, $"t", $"k", 60L, chunk)
+        .select("k", "t", "trailing_cnt")
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    })
+  }
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(1, 30)
+    ws <- Gen.listOfN(n, Gen.oneOf("spark", "join", "scan", "the", "agg", "row", "key"))
+  } yield ws.mkString(" ")
+
+  test("∀ texts: jaccard(shingles(x), shingles(x)) == 1 for docs with ≥3 tokens") {
+    check(Prop.forAll(Gen.listOfN(5, textGen)) { texts =>
+      val df = texts.toDF("text")
+        .select(shingleSet($"text", 3).as("g"))
+        .filter(size($"g") > 0)
+      df.select(jaccard($"g", $"g").as("j")).as[Double].collect().forall(_ == 1.0)
+    })
+  }
+
+  test("∀ texts: minhash similarity of identical shingle sets is exactly 1") {
+    check(Prop.forAll(textGen) { text =>
+      val df = Seq(text).toDF("text")
+        .select(shingleSet($"text", 3).as("g"))
+        .select(minhashSignature($"g").as("s1"), minhashSignature($"g").as("s2"))
+      df.select(zip_with($"s1", $"s2", (a, b) => (a === b).cast("int")).as("eq"))
+        .select(aggregate($"eq", lit(0), _ + _).as("n")).as[Int]
+        .collect().forall(_ == 64)
+    })
+  }
+}
