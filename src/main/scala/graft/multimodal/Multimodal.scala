@@ -45,13 +45,19 @@ object Multimodal {
     * object with JNI/javacv bindings; everything else is unchanged.
     */
   object FakeCodec {
+    /** Batch-call counter (test observability: proves the pipeline
+      * calls the codec per batch, not per record; local mode shares the
+      * JVM so executor-side increments are visible to the test). */
+    val batchCalls = new java.util.concurrent.atomic.AtomicLong()
+
     /** "Decode" a batch: deterministic features over raw bytes —
       * header checksum (first 16 bytes), three "frame samples" (byte at
       * 0, mid, last), and a 31-bit polynomial fingerprint of the whole
       * payload. Batch-shaped on purpose: one call per batch, not per
       * record.
       */
-    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = {
+      batchCalls.incrementAndGet()
       batch.map { r =>
         val bs = r.data
         val n = bs.length
@@ -62,6 +68,7 @@ object Multimodal {
         while (i < n) { fp = (fp * 31 + java.lang.Byte.toUnsignedLong(bs(i))) % 2147483647L; i += 1 }
         MediaFeatures(r.media_id, n.toLong, header, at(0), at(n / 2), at(math.max(0, n - 1)), fp)
       }
+    }
   }
 
   object MediaPipeline {

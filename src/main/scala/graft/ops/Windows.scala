@@ -140,6 +140,21 @@ object Windows {
       .drop("_us", "_chunk", "_owner")
   }
 
+  /** Session windows: events within `gap` of the previous event (per
+    * key) share a session; bounds are [min ts, max ts + gap). Not in
+    * the reference's surface (SURVEY.md §2 coverage notes list session
+    * windows as absent) — included to complete the window family.
+    * Spark's `session_window` merges partial sessions in the same
+    * shuffle as the count aggregate.
+    */
+  def sessionCount(df: DataFrame, ts: Column, key: Column, gap: String): DataFrame =
+    df.groupBy(session_window(ts, gap), key.cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("key"), col("cnt"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"))
+
   /** Converged upsert state of the streaming jobs: last window per key.
     *
     * The reference's sinks upsert keyed on (class, window_start,

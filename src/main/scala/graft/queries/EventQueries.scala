@@ -50,6 +50,10 @@ object EventQueries {
       Windows.slidingCountChunked(events(s, dir), col("ts"), col("event_type"), 60L, 300L)
         .select(col("event_id"), col("event_type"), col("trailing_cnt"))),
 
+    // session windows (gap 5 minutes) — completes the window family
+    "q_session_window" -> ((s, dir) =>
+      Windows.sessionCount(events(s, dir), col("ts"), col("event_type"), "5 minutes")),
+
     // Q1/P4/P5 — the SQL-string form of the flagship query: temp-view
     // registration + spark.sql text, mirroring the reference's inline
     // SQL path (tableEnv.sqlQuery — StreamJobSqlTumbling.java:142–153)
@@ -96,6 +100,23 @@ object EventQueries {
     "q_last_window_upsert" -> ((s, dir) =>
       Windows.lastWindowPerKey(
         Windows.tumblingCount(events(s, dir), col("ts"), col("event_type"), "1 minute"))),
+
+    // skew-resistant two-phase aggregation: salt the hot key space into
+    // 16 shards (phase 1 partial counts per (key, salt)), then merge
+    // per key (phase 2). Result is exactly the plain groupBy — the
+    // oracle proves salting is semantics-preserving. With 5 event
+    // types, an unsalted shuffle puts each key's entire volume on one
+    // reducer; salting spreads it 16-way. (Catalyst's partial
+    // aggregation already does this implicitly for COUNT; the explicit
+    // form is the pattern for when the aggregate state itself is big —
+    // distinct sets, sketches, collect_list.)
+    "q_salted_agg" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("_salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("_salt"))
+        .agg(count(lit(1)).as("partial"), sum(col("value")).as("psum"))
+        .groupBy("event_type")
+        .agg(sum(col("partial")).as("cnt"), round(sum(col("psum")), 2).as("sum_value"))),
 
     // plain grouped aggregate over the stream table (A1 surface)
     "q_agg_value_stats" -> ((s, dir) =>
@@ -146,6 +167,24 @@ object EventQueries {
         |         RANGE BETWEEN INTERVAL '60 seconds' PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cnt
         |FROM events""".stripMargin,
 
+    "q_session_window" ->
+      """WITH o AS (
+        |  SELECT event_type, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        |s AS (
+        |  SELECT event_type, ts,
+        |         sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,
+        |       min(ts) AS session_start,
+        |       max(ts) + INTERVAL '5 minutes' AS session_end
+        |FROM s GROUP BY event_type, sid""".stripMargin,
+
     "q_tumbling_count_sql" ->
       """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,
         |       time_bucket(INTERVAL '1 minute', ts) AS window_start,
@@ -175,6 +214,11 @@ object EventQueries {
         |  FROM events GROUP BY 1, 3, 4)
         |SELECT key, cnt, window_start, window_end FROM t
         |QUALIFY row_number() OVER (PARTITION BY key ORDER BY window_start DESC) = 1""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_agg_value_stats" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,

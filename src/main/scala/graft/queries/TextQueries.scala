@@ -46,6 +46,17 @@ object TextQueries {
     "text_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), langId(col("text")).as("pred_lang"))),
 
+    // corpus vocabulary: top-100 tokens by frequency (explode + hash
+    // agg + TakeOrderedAndProject; at 100 TB this is the classic
+    // word-count shuffle with map-side partials)
+    "text_vocab" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100)),
+
     // document fingerprints: rolling polynomial hash + content digest
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
@@ -89,6 +100,11 @@ object TextQueries {
         |            WHEN c_es >= c_fr THEN 'es'
         |            ELSE 'fr' END AS pred_lang
         |FROM c""".stripMargin,
+
+    "text_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

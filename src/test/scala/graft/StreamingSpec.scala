@@ -87,6 +87,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes without duplicating upserts (F1+X3)") {
+    implicit val sql = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    UpsertSink.InMemoryStore.clear("t_ckpt")
+    val in = MemoryStream[(String, Timestamp)]
+    def startQuery() = tumblingCounts(in.toDF().toDF("k", "t"), "t", "k", "1 minute")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(UpsertSink.foreachBatchUpsert("t_ckpt", Seq("key", "window_start", "window_end")) _)
+      .start()
+    val q1 = startQuery()
+    in.addData(("a", ts("2024-01-01 00:00:10")), ("a", ts("2024-01-01 00:00:20")))
+    q1.processAllAvailable()
+    in.addData(("a", ts("2024-01-01 00:02:00"))) // closes window 00:00
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = startQuery() // recovers offsets from the checkpoint
+    in.addData(("a", ts("2024-01-01 00:05:00"))) // closes window 00:02
+    q2.processAllAvailable()
+    q2.stop()
+    val store = UpsertSink.InMemoryStore.snapshot("t_ckpt")
+    val counts = store.map { case (k, v) => (k(1).toString, v(1)) } // (window_start, cnt)
+    assert(counts == Map(
+      "2024-01-01 00:00:00.0" -> 2L,
+      "2024-01-01 00:02:00.0" -> 1L))
+  }
+
   test("foreachBatch upsert is idempotent under replay (X3 parity)") {
     val tumbled = Windows.tumblingCount(
       Tables.load(spark, sf0001, "events"), $"ts", $"event_type", "1 minute")
