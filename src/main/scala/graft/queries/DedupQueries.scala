@@ -122,6 +122,16 @@ object DedupQueries {
         .select("doc_a", "doc_b", "ham")
     }),
 
+    // survivor selection: cluster near-dup pairs (exact n-gram Jaccard
+    // τ=0.8 edges) into connected components, keep min doc_id per
+    // component — the policy step that turns pair detection into an
+    // actual deduplicated corpus
+    "dedup_survivors" -> ((s, dir) => {
+      val pairs = queries("dedup_ngram_jaccard")(s, dir).select("doc_a", "doc_b")
+      graft.ops.Graph.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("rep"))
+    }),
+
     // embedding-cosine near-dup (exact; LSH scale path in SimilarityQueries)
     "dedup_embedding_cosine" -> ((s, dir) => {
       import graft.functions.KernelExpressions.dot
@@ -154,6 +164,24 @@ object DedupQueries {
 
     "dedup_minhash_lsh" -> bruteForceJaccardSql,
     "dedup_ngram_jaccard" -> bruteForceJaccardSql,
+
+    "dedup_survivors" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
+        |        (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) >= 0.8),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src""".stripMargin,
 
     "dedup_simhash" ->
       """WITH h AS (
