@@ -36,9 +36,15 @@ object Graph {
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min("rep").as("nrep"))
-      val next = labels
+      val viaNeighbors = labels
         .join(prop, Seq("node"), "left")
         .select(col("node"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      // pointer jumping: rep := rep's rep — doubles propagation reach per
+      // round, so convergence is O(log diameter) instead of O(diameter)
+      val reps = viaNeighbors.select(col("node").as("rep"), col("rep").as("rep2"))
+      val next = viaNeighbors
+        .join(reps, Seq("rep"), "left")
+        .select(col("node"), least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
         .persist()
       val shrunk = next.join(labels.withColumnRenamed("rep", "old"), "node")
         .filter(col("rep") < col("old")).count()
