@@ -19,9 +19,17 @@ import graft.ops.Windows
 object StreamingJobs {
 
   /** Flagship streaming job (reference StreamJobSqlTumbling): watermark
-    * + tumbling count, append-safe once the watermark passes window end. */
+    * + tumbling count, append-safe once the watermark passes window end.
+    *
+    * The `observe` metric is the Spark-native form of the reference's
+    * per-row result logging (P6 — `log.warn("resultSet output: …")`,
+    * reference StreamJobSqlTumbling.java:168): emitted row counts and
+    * count sums surface per micro-batch via QueryProgress /
+    * QueryExecutionListener instead of log lines in the hot path.
+    */
   def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String, size: String): DataFrame =
     Windows.tumblingCount(Ingest.withEventTime(events, tsCol), col(tsCol), col(keyCol), size)
+      .observe("graft_sink", count(lit(1)).as("rows_emitted"), sum(col("cnt")).as("events_covered"))
 
   /** Hopping variant (reference StreamJobSqlHopping). */
   def hoppingCounts(events: DataFrame, tsCol: String, keyCol: String, size: String, slide: String): DataFrame =

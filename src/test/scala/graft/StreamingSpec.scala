@@ -44,6 +44,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hopping count emits every overlapping window (append mode)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val q = hoppingCounts(in.toDF().toDF("k", "t"), "t", "k", "2 minutes", "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("hop_out").start()
+    try {
+      in.addData(("a", ts("2024-01-01 00:01:30")))
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 00:10:00"))) // advance watermark far past both windows
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      val w = spark.table("hop_out").filter($"cnt" === 1 && $"window_start" < ts("2024-01-01 00:05:00"))
+        .select("window_start").as[Timestamp].collect().toSet
+      assert(w == Set(ts("2024-01-01 00:00:00"), ts("2024-01-01 00:01:00")))
+    } finally q.stop()
+  }
+
+  test("observe metric reports emitted rows per batch (P6 logging parity)") {
+    implicit val sql = spark.sqlContext
+    @volatile var observed = -1L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics
+        if (m.containsKey("graft_sink")) observed = m.get("graft_sink").getAs[Long]("rows_emitted")
+      }
+    }
+    spark.streams.addListener(listener)
+    val in = MemoryStream[(String, Timestamp)]
+    val q = tumblingCounts(in.toDF().toDF("k", "t"), "t", "k", "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("obs_out").start()
+    try {
+      in.addData(("a", ts("2024-01-01 00:00:10")), ("b", ts("2024-01-01 00:00:20")))
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 00:05:00"))) // closes the 00:00 windows
+      q.processAllAvailable()
+      assert(observed == 2L, s"expected 2 emitted window rows, saw $observed")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("late record (older than watermark) is dropped — zero-lateness parity") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]
