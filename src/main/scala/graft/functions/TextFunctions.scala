@@ -95,13 +95,9 @@ object TextFunctions {
   /** Deterministic LCG-derived (a, b) coefficient streams (seed fixed so
     * every run and every executor agrees). a must be non-zero mod p. */
   private[graft] def minhashCoefficients(perms: Int): (Array[Long], Array[Long]) = {
-    var state = 42L
-    def next(): Long = { // MMIX LCG constants (Knuth), public domain
-      state = state * 6364136223846793005L + 1442695040888963407L
-      (state >>> 33) % 2147483647L
-    }
-    val as = Array.fill(perms)(math.max(1L, next()))
-    val bs = Array.fill(perms)(next())
+    val next = Lcg.stream(seed = 42L)
+    val as = Array.fill(perms)(math.max(1L, next() % 2147483647L))
+    val bs = Array.fill(perms)(next() % 2147483647L)
     (as, bs)
   }
 

@@ -54,9 +54,14 @@ object DedupQueries {
           .otherwise(col("inter") /
             ((size(col("ga")) + size(col("gb"))).cast("double") - col("inter"))))
 
-  /** LSH candidate pairs (doc_a < doc_b), deduplicated across bands. */
+  /** LSH candidate pairs (doc_a < doc_b), deduplicated across bands.
+    * Docs with empty shingle sets are excluded BEFORE banding: they all
+    * share the all-sentinel signature, so a corpus with m short docs
+    * would otherwise produce m²/2 candidate pairs per band that verify
+    * to jac = 0 — quadratic garbage at scale. */
   private def lshCandidates(sh: DataFrame): DataFrame = {
     val bands = sh
+      .filter(size(col("g")) > 0)
       .withColumn("sig", minhashSignature(col("g"), perms = 64))
       .select(col("doc_id"), explode(lshBands(col("sig"), perms = 64, bands = 16)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))

@@ -38,10 +38,9 @@ object SimilarityQueries {
   /** Deterministic hyperplanes: `planes(p)(d)` in [-1, 1), LCG seed 7.
     * Derived once on the driver and baked into the plan as literals. */
   private[graft] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    var state = 7L
+    val next = graft.functions.Lcg.stream(seed = 7L)
     Array.fill(nPlanes, dim) {
-      state = state * 6364136223846793005L + 1442695040888963407L
-      ((state >>> 33).toDouble / (1L << 30).toDouble) - 1.0
+      (next().toDouble / (1L << 30).toDouble) - 1.0
     }
   }
 
@@ -72,25 +71,28 @@ object SimilarityQueries {
     * size — the analogue of IVF training) and baked into the plan.
     */
   private[graft] def ivfParts(
-      s: SparkSession, dir: String, k: Int, nprobe: Int): (DataFrame, Column => Column, Column => Column) = {
+      s: SparkSession, dir: String, k: Int, nprobe: Int): (DataFrame, Column, Column) = {
     val vs = vectors(s, dir)
     val cents: Array[Array[Double]] = vs.filter(col("vec_id") < k)
       .select(col("vec_id"), col("v")).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
-    def scores(v: Column): Column = array(cents.map { c =>
+    val scores = array(cents.map { c =>
       val nrm = math.sqrt(c.map(x => x * x).sum)
-      dot(v, typedLit(c.toSeq)) / lit(nrm)
+      dot(col("v"), typedLit(c.toSeq)) / lit(nrm)
     }: _*)
-    val assign = (v: Column) => array_position(scores(v), array_max(scores(v)))
+    // materialize the k-wide score vector (and the nprobe threshold) as
+    // columns ONCE — expressions referenced inside lambdas are otherwise
+    // re-evaluated per element (see ngramsOfTokens)
+    val withScores = vs
+      .withColumn("cscores", scores)
+      .withColumn("cthr", element_at(array_sort(col("cscores")), k - nprobe + 1))
+    val assign = array_position(col("cscores"), array_max(col("cscores")))
     // multi-probe: all buckets whose centroid score reaches the nprobe-th
     // largest (ties can widen the probe set; scores are continuous)
-    val probes = (v: Column) => {
-      val sc = scores(v)
-      val thr = element_at(array_sort(sc), k - nprobe + 1)
-      filter(sequence(lit(1), lit(k)), i => element_at(sc, i) >= thr)
-    }
-    (vs, assign, probes)
+    val probes = filter(sequence(lit(1), lit(k)),
+      i => element_at(col("cscores"), i) >= col("cthr"))
+    (withScores, assign, probes)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -127,10 +129,10 @@ object SimilarityQueries {
       val (vs, assign, probes) = ivfParts(s, dir, k = 16, nprobe = 4)
       val corpus = vs
         .select(col("vec_id").as("neighbor_id"), col("v").as("vc"), col("nrm").as("nc"),
-          assign(col("v")).as("bucket"))
+          assign.as("bucket"))
       val q = vs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"),
-          explode(probes(col("v"))).as("bucket"))
+          explode(probes).as("bucket"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
       corpus.join(broadcast(q), Seq("bucket"))

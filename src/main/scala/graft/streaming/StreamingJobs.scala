@@ -79,15 +79,19 @@ object StreamingJobs {
           val st = state.getOption.getOrElse(SlidingState(Long.MinValue, Nil))
           var maxSeen = st.maxSeenUs
           var buf = st.timesUs
-          val out = rows.toSeq.sortBy(e => micros(e.ts)).flatMap { e =>
-            val t = micros(e.ts)
-            if (t < maxSeen) None // late: reference drops (zero lateness)
-            else {
-              maxSeen = t
-              buf = (t :: buf.filter(_ >= t - frameUs)).sorted
-              Some(SlidingCount(key, e.ts, buf.count(x => x >= t - frameUs && x <= t).toLong))
+          // process in event-time order, ties as one group: RANGE frames
+          // include peers, so equal-ts rows must all see each other
+          val out = rows.toSeq.sortBy(e => micros(e.ts))
+            .groupBy(e => micros(e.ts)).toSeq.sortBy(_._1)
+            .flatMap { case (t, peers) =>
+              if (t < maxSeen) Nil // late: reference drops (zero lateness)
+              else {
+                maxSeen = t
+                buf = (peers.map(_ => t).toList ::: buf.filter(_ >= t - frameUs)).sorted
+                val cnt = buf.count(x => x >= t - frameUs && x <= t).toLong
+                peers.map(e => SlidingCount(key, e.ts, cnt))
+              }
             }
-          }
           state.update(SlidingState(maxSeen, buf))
           out.iterator
       }

@@ -67,9 +67,11 @@ object UpsertSink {
     * text is unit-tested and the in-memory store stands in end-to-end.
     */
   def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
-    val updates = cols.filterNot(keyCols.contains)
-      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    val updates = cols.filterNot(keyCols.contains).map(c => s"$c = EXCLUDED.$c")
+    val conflictAction =
+      if (updates.isEmpty) "DO NOTHING" // all columns are key columns
+      else s"DO UPDATE SET ${updates.mkString(", ")}"
     s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
-      s"ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $updates"
+      s"ON CONFLICT (${keyCols.mkString(", ")}) $conflictAction"
   }
 }

@@ -159,6 +159,25 @@ class StreamingSpec extends SparkSpec {
       "2024-01-01 00:02:00.0" -> 1L))
   }
 
+  test("sliding OVER streaming: tied timestamps see each other (RANGE peers)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = slidingCountStreaming(in.toDS(), 60L)
+      .writeStream.outputMode("append").format("memory").queryName("tied_out").start()
+    try {
+      in.addData(
+        KeyedEvent("a", ts("2024-01-01 00:00:10")),
+        KeyedEvent("a", ts("2024-01-01 00:00:10")), // tied pair
+        KeyedEvent("a", ts("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+      val got = spark.table("tied_out")
+        .select($"ts", $"trailing_cnt").as[(Timestamp, Long)].collect().sortBy(_._1.getTime).toSeq
+      // batch RANGE semantics: both tied rows count each other (2), the
+      // later row counts all three
+      assert(got.map(_._2) == Seq(2L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert is idempotent under replay (X3 parity)") {
     val tumbled = Windows.tumblingCount(
       Tables.load(spark, sf0001, "events"), $"ts", $"event_type", "1 minute")
