@@ -145,6 +145,33 @@ object RelationalQueries {
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
 
+    // TPC-H Q17 shape: correlated scalar subquery (per-part average
+    // quantity) — Catalyst decorrelates into an aggregate + join, no
+    // per-row subquery execution
+    "q17_small_quantity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+      li.join(avgQty, li("l_partkey") === avgQty("p_key"))
+        .filter(col("l_quantity") < col("half_avg"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // lead/lag analytics: average inter-event gap per type (event-time
+    // sequence analysis over the stream table)
+    "q_lag_gap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"))
+      Tables.load(s, dir, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_s", (unix_micros(col("ts")) - unix_micros(col("prev"))).cast("double") / 1e6)
+        .groupBy("event_type")
+        .agg(round(avg(col("gap_s")), 3).as("avg_gap_s"),
+          round(max(col("gap_s")), 3).as("max_gap_s"),
+          count(lit(1)).as("n_gaps"))
+    }),
+
     // pushdown showcase: selective filter + narrow projection on the scan
     "q_filter_pushdown" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -227,6 +254,23 @@ object RelationalQueries {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q17_small_quantity" ->
+      """SELECT round(CAST(sum(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+
+    "q_lag_gap" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type ORDER BY ts)) AS DOUBLE) / 1e6 AS gap_s
+        |  FROM events)
+        |SELECT event_type, round(CAST(avg(gap_s) AS DOUBLE), 3) AS avg_gap_s,
+        |       round(CAST(max(gap_s) AS DOUBLE), 3) AS max_gap_s,
+        |       CAST(count(*) AS BIGINT) AS n_gaps
+        |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin,
 
     "q_filter_pushdown" ->
       """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS cnt,

@@ -1,0 +1,44 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch output writers for the training-data pipeline side of the
+  * engine. The reference's only sink is the DB upsert (X1–X3, covered
+  * by [[graft.streaming.UpsertSink]]); a 100 TB corpus pipeline also
+  * needs layout-aware bulk writers:
+  *
+  *  - date-partitioned parquet: directory pruning for downstream
+  *    time-range scans (`PartitionFilters` instead of reading
+  *    everything);
+  *  - sized output files: `repartition(n)` before write controls file
+  *    count, avoiding the small-files problem that kills object-store
+  *    listings at scale.
+  */
+object BatchSinks {
+
+  /** Write `df` as parquet partitioned by the date of `tsCol`.
+    * `filesPerPartition` bounds output file count per date directory.
+    */
+  def writeDatePartitioned(
+      df: DataFrame,
+      tsCol: String,
+      path: String,
+      filesPerPartition: Int = 1): Unit =
+    df.withColumn("dt", to_date(col(tsCol)))
+      .repartition(filesPerPartition, col("dt"))
+      .write
+      .mode("overwrite")
+      .partitionBy("dt")
+      .parquet(path)
+
+  /** Read back a date-partitioned dataset with a pruning filter — the
+    * scan must show PartitionFilters, not a full-directory read. */
+  def readDateRange(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      fromDate: String,
+      toDate: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("dt") >= lit(fromDate) && col("dt") <= lit(toDate))
+}
