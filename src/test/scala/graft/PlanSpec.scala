@@ -43,4 +43,26 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_tumbling_count")
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
   }
+
+  test("ngram jaccard is an equi-join on the shingle — never a cartesian plan") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("minhash LSH candidates come from an equi-join on (band, bucket)") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("bucket"), p)
+  }
+
+  test("IVF ANN candidates come from an equi-join on the bucket id") {
+    val p = plan("sim_ann_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sliding OVER chunked variant partitions by (key, chunk), not key alone") {
+    val p = plan("q_sliding_over_chunked")
+    assert(p.contains("_chunk"), p)
+  }
 }
