@@ -145,6 +145,20 @@ object RelationalQueries {
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
 
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    // fact-fact join + broadcast dim + grouped revenue + top-k
+    "q10_returned_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q17 shape: correlated scalar subquery (per-part average
     // quantity) — Catalyst decorrelates into an aggregate + join, no
     // per-row subquery execution
@@ -254,6 +268,14 @@ object RelationalQueries {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q17_small_quantity" ->
       """SELECT round(CAST(sum(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly,
