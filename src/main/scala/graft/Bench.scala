@@ -26,7 +26,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // any failure poisons the total: a broken run must never look fast
+    val total =
+      if (results.exists(_._2 < 0)) -1.0
+      else if (results.nonEmpty) results.map(_._2).sum
+      else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

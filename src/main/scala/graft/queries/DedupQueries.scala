@@ -159,7 +159,8 @@ object DedupQueries {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
       |         (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) AS jac
-      |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE len(a.g) > 0 AND len(b.g) > 0)
       |SELECT doc_a, doc_b, jac FROM p WHERE jac >= 0.8""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -178,7 +179,8 @@ object DedupQueries {
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
+        |  WHERE len(a.g) > 0 AND len(b.g) > 0
+        |    AND CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
         |        (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) >= 0.8),
         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
         |      UNION SELECT doc_b, doc_a FROM p),

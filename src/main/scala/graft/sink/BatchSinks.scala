@@ -25,8 +25,14 @@ object BatchSinks {
       tsCol: String,
       path: String,
       filesPerPartition: Int = 1): Unit =
+    // salt within the date so a hot date splits across up to
+    // filesPerPartition tasks (repartitioning by dt alone would funnel
+    // each date — and with 1 partition, the whole dataset — through a
+    // single task); files per dt directory stay ≤ filesPerPartition
     df.withColumn("dt", to_date(col(tsCol)))
-      .repartition(filesPerPartition, col("dt"))
+      .withColumn("_salt", pmod(hash(col(tsCol)), lit(filesPerPartition)))
+      .repartition(col("dt"), col("_salt"))
+      .drop("_salt")
       .write
       .mode("overwrite")
       .partitionBy("dt")

@@ -79,12 +79,15 @@ object StreamingJobs {
           val st = state.getOption.getOrElse(SlidingState(Long.MinValue, Nil))
           var maxSeen = st.maxSeenUs
           var buf = st.timesUs
-          // process in event-time order, ties as one group: RANGE frames
-          // include peers, so equal-ts rows must all see each other
-          val out = rows.toSeq.sortBy(e => micros(e.ts))
+          // Ties within a batch are one group: RANGE frames include
+          // peers, so equal-ts rows all see each other (Flink buffers
+          // same-rowtime rows and fires them together). A tie arriving
+          // in a LATER batch is late — Flink's rowtime OVER drops
+          // ts <= lastTriggeringTs — so maxSeen uses <=, not <.
+          val out = rows.toSeq
             .groupBy(e => micros(e.ts)).toSeq.sortBy(_._1)
             .flatMap { case (t, peers) =>
-              if (t < maxSeen) Nil // late: reference drops (zero lateness)
+              if (t <= maxSeen) Nil // late (incl. cross-batch tie): drop
               else {
                 maxSeen = t
                 buf = (peers.map(_ => t).toList ::: buf.filter(_ >= t - frameUs)).sorted
