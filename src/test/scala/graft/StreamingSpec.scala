@@ -159,6 +159,28 @@ class StreamingSpec extends SparkSpec {
       "2024-01-01 00:02:00.0" -> 1L))
   }
 
+  test("update-mode tumbling + upsert converges despite repeated window emissions") {
+    // the reference's sink receives RUNNING updates per window and
+    // upserts them (last-write-wins); update mode mirrors that: a
+    // window may be emitted several times as events accumulate, and
+    // the store must converge to the final count
+    implicit val sql = spark.sqlContext
+    UpsertSink.InMemoryStore.clear("t_update")
+    val in = MemoryStream[(String, Timestamp)]
+    val q = tumblingCounts(in.toDF().toDF("k", "t"), "t", "k", "1 minute")
+      .writeStream.outputMode("update")
+      .foreachBatch(UpsertSink.foreachBatchUpsert("t_update", Seq("key", "window_start", "window_end")) _)
+      .start()
+    try {
+      in.addData(("a", ts("2024-01-01 00:00:10"))); q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 00:00:20"))); q.processAllAvailable() // same window again
+      in.addData(("a", ts("2024-01-01 00:00:40"))); q.processAllAvailable() // and again
+      val store = UpsertSink.InMemoryStore.snapshot("t_update")
+      assert(store.size == 1)
+      assert(store.values.head(1) == 3L, s"converged count: ${store.values.head}")
+    } finally q.stop()
+  }
+
   test("sliding OVER streaming: tied timestamps see each other (RANGE peers)") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[KeyedEvent]
