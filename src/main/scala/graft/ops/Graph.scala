@@ -10,49 +10,101 @@ import org.apache.spark.sql.functions._
   * component (the minimum doc id). Label propagation to fixpoint:
   * every node starts labeled with itself; each round, nodes adopt the
   * minimum label among themselves and their neighbors; converged when
-  * no label shrinks. Iteration count is the graph diameter — near-dup
-  * components are tiny (pairs/chains), so 2–3 rounds in practice; for
-  * adversarial diameters at corpus scale, swap in path-doubling
-  * (large-star/small-star) on the same DataFrame shape.
+  * no label shrinks. Pointer jumping (rep := rep's rep) doubles
+  * propagation reach per round, so convergence is O(log diameter);
+  * near-dup components are tiny (pairs/chains), so 2–3 rounds in
+  * practice.
   *
-  * The driver-side loop only checks a scalar convergence count per
-  * round — data never leaves the executors.
+  * Cost discipline (the round-1 bench lesson — dedup_survivors was
+  * 2.3× its baseline, almost all of it fixed scheduling overhead):
+  *  - the input edge lineage (an expensive similarity join) is
+  *    persisted and materialized ONCE before the symmetrizing union
+  *    scans it from two branches;
+  *  - iteration shuffles are sized to the GRAPH, not to the session
+  *    default: the pair graph is orders of magnitude smaller than the
+  *    corpus (a 500-node graph sharded 32 ways pays ~10 stage/codegen
+  *    overheads per round for ~15 rows per task). The session's
+  *    shuffle-partition conf is scoped down to ~1M edges/partition for
+  *    the duration of the loop and restored after — the same sizing
+  *    AQE would converge to, but applied up front so every round
+  *    benefits. The loop is synchronous, so the scoped conf cannot
+  *    leak into concurrent queries from this call;
+  *  - each round runs exactly ONE action and TWO joins: neighbor
+  *    messages union a self-tagged copy of the labels, so one
+  *    min-aggregate yields both the new label and the old one (for
+  *    the convergence count) — no separate old-label join, and the
+  *    convergence check is a filter-count on the frame being cached;
+  *  - every intermediate cache is released; the result is detached
+  *    from the iteration lineage with an eager localCheckpoint so the
+  *    caller gets a self-contained frame and no cache entry outlives
+  *    the call.
+  *
+  * The driver-side loop only sees a scalar count per round — data
+  * never leaves the executors.
   */
 object Graph {
 
   /** edges(doc_a, doc_b) → (node, rep) for every node appearing in an
     * edge, rep = min node id of its connected component. */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("rep", col("node"))
-      .persist()
-    var converged = false
-    while (!converged) {
-      val prop = sym
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(min("rep").as("nrep"))
-      val viaNeighbors = labels
-        .join(prop, Seq("node"), "left")
-        .select(col("node"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-      // pointer jumping: rep := rep's rep — doubles propagation reach per
-      // round, so convergence is O(log diameter) instead of O(diameter)
-      val reps = viaNeighbors.select(col("node").as("rep"), col("rep").as("rep2"))
-      val next = viaNeighbors
-        .join(reps, Seq("rep"), "left")
-        .select(col("node"), least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+    val spark = edges.sparkSession
+    // materialize the (possibly expensive) edge lineage once: the union
+    // below scans it from two branches, and each round scans it again
+    val e = edges.select(col("doc_a").as("src"), col("doc_b").as("dst")).persist()
+    val nEdges = e.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 1000000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // every round plans NEW operators (the cache references change), so
+    // whole-stage codegen recompiles ~10 janino units per round — seconds
+    // of fixed cost that only pays for itself on a big graph. Below ~10M
+    // edges interpreted execution of a few thousand rows is far cheaper
+    // than the compiles; above it, codegen stays on and amortizes.
+    if (nEdges < 10000000L) spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      var labels = sym.select(col("src").as("node")).distinct()
+        .withColumn("rep", col("node"))
         .persist()
-      val shrunk = next.join(labels.withColumnRenamed("rep", "old"), "node")
-        .filter(col("rep") < col("old")).count()
+      var converged = false
+      while (!converged) {
+        // neighbor messages + a self-tagged copy of the labels: one
+        // min-aggregate computes the new label AND carries the old one
+        val msgs = sym
+          .join(labels.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), col("rep"), lit(false).as("self"))
+        val combined = labels
+          .select(col("node"), col("rep"), lit(true).as("self"))
+          .unionByName(msgs)
+          .groupBy("node")
+          .agg(min("rep").as("rep"), min(when(col("self"), col("rep"))).as("old"))
+        // pointer jumping: rep := rep's rep — doubles propagation reach
+        // per round, so convergence is O(log diameter) instead of
+        // O(diameter). The two scans of `combined` share their shuffle
+        // via ReuseExchange.
+        val reps = combined.select(col("node").as("rep"), col("rep").as("rep2"))
+        val next = combined
+          .join(reps, Seq("rep"), "left")
+          .select(col("node"), col("old"),
+            least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+          .persist()
+        // single action per round: caches `next` AND yields the
+        // convergence count
+        val shrunk = next.filter(col("rep") < col("old")).count()
+        labels.unpersist()
+        labels = next
+        converged = shrunk == 0
+      }
+      // detach the result from the iteration lineage, then release
+      // everything pinned above — no cache entry outlives the call
+      val out = labels.select(col("node"), col("rep")).localCheckpoint(true)
       labels.unpersist()
-      labels = next
-      converged = shrunk == 0
+      out
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+      e.unpersist()
     }
-    sym.unpersist()
-    labels
   }
 }

@@ -45,6 +45,12 @@ object Windows {
     * (StreamJobSqlHopping.java:149–153). The reference hard-codes
     * slide = 0 — degenerate (SURVEY.md §7.3); Spark requires slide > 0,
     * which we enforce and treat as the intended semantics.
+    *
+    * `window_rowtime` is the reference's `HOP_ROWTIME` output column
+    * (StreamJobSqlHopping.java:157–165): Flink defines a group window's
+    * rowtime attribute as window end − 1 ms — the largest timestamp
+    * that still belongs to the half-open window, which keeps downstream
+    * watermarks monotone. Emitted here with the same ruling.
     */
   def hoppingCount(df: DataFrame, ts: Column, key: Column, size: String, slide: String): DataFrame = {
     df.groupBy(window(ts, size, slide), key.cast("string").as("key"))
@@ -52,7 +58,8 @@ object Windows {
       .select(
         col("key"), col("cnt"),
         col("window.start").as("window_start"),
-        col("window.end").as("window_end"))
+        col("window.end").as("window_end"),
+        (col("window.end") - expr("INTERVAL 1 MILLISECOND")).as("window_rowtime"))
   }
 
   /** W5 — tumbling window with alignment offset.
@@ -138,6 +145,47 @@ object Windows {
       .withColumn("trailing_cnt", count(lit(1)).over(w))
       .filter(col("_owner"))
       .drop("_us", "_chunk", "_owner")
+  }
+
+  /** Chunked lag-1 — previous event time per key with parallelism
+    * independent of key cardinality (the same de-skew idea as
+    * [[slidingCountChunked]], specialized to lag's 1-row dependency).
+    *
+    * A plain `lag(ts) OVER (PARTITION BY key ORDER BY ts)` serializes
+    * each key into one sorted task — with 5 event types and 100 TB of
+    * events that is 5 tasks. Here:
+    *
+    *  1. events are assigned to time chunk `floor(us / chunkSeconds)`;
+    *  2. a tiny per-(key, chunk) aggregate (one row per non-empty
+    *     chunk) records each chunk's last event time; a chunk-level
+    *     window — rows = number of non-empty chunks, not events —
+    *     carries it to the NEXT non-empty chunk (empty chunks are
+    *     simply absent, so `lag` over chunk rows is exactly "latest
+    *     earlier event");
+    *  3. within each (key, chunk), `lag(us)` runs in parallel; the
+    *     first row of a chunk falls back to the carried value.
+    *
+    * Output: input columns + `_us` (event unix micros) + `prev_us`
+    * (previous event's unix micros for the key, null if none).
+    * Verified equal to the single-partition lag by the q_lag_gap
+    * oracle; PlanSpec asserts the (key, chunk) partitioning.
+    */
+  def lagUsChunked(df: DataFrame, ts: Column, key: Column, chunkSeconds: Long): DataFrame = {
+    val chunkUs = chunkSeconds * 1000000L
+    val base = df
+      .withColumn("_us", unix_micros(ts))
+      .withColumn("_chk", floor(col("_us") / chunkUs))
+    val heads = base.groupBy(key.as("_ck"), col("_chk").as("_cchk"))
+      .agg(max(col("_us")).as("_last"))
+    val wChunks = Window.partitionBy(col("_ck")).orderBy(col("_cchk"))
+    val carry = heads
+      .withColumn("_carry", lag(col("_last"), 1).over(wChunks))
+      .drop("_last")
+    val wIn = Window.partitionBy(key, col("_chk")).orderBy(col("_us"))
+    base
+      .join(broadcast(carry), key === col("_ck") && col("_chk") === col("_cchk"), "left")
+      .withColumn("prev_us", coalesce(lag(col("_us"), 1).over(wIn), col("_carry")))
+      .drop("_ck", "_cchk", "_carry", "_chk")
   }
 
   /** Session windows: events within `gap` of the previous event (per

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -54,6 +55,56 @@ object DedupQueries {
           .otherwise(col("inter") /
             ((size(col("ga")) + size(col("gb"))).cast("double") - col("inter"))))
 
+  /** PPJoin-style prefix-filtered candidate pairs for exact Jaccard at
+    * threshold tauNum/tauDen (doc_a < doc_b, distinct).
+    *
+    * Shingles are globally ordered by (document frequency asc, shingle)
+    * — one total order shared by every document. A document only
+    * indexes its prefix: the first `n - ceil(τ·n) + 1` shingles in that
+    * order. Prefix-filter lemma: jac(A,B) ≥ τ ⇒ |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉
+    * ≥ ⌈τ·|A|⌉, and two sets sharing ≥ α elements must share one within
+    * their (|·| - α + 1)-prefixes — so joining on prefix shingles only
+    * is recall-lossless. Hot shingles (boilerplate headers) have the
+    * highest document frequency, sort LAST, and thus almost never enter
+    * a prefix: join volume is Σ_s prefixFreq(s)², bounded regardless of
+    * one shingle's corpus frequency (the unbounded-blowup fix; see
+    * TextDedupSpec's planted hot-shingle case). A length filter
+    * (τ·max(n_a,n_b) ≤ min(n_a,n_b), integer arithmetic) prunes
+    * impossible pairs before the distinct.
+    */
+  private[graft] def ppjoinCandidates(sh: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    val ex = sh.select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("s"))
+    val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = ex.join(freq, "s")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("n") - floor((col("n") * tauNum + (tauDen - 1)) / tauDen) + 1)
+      .select(col("s"), col("doc_id"), col("n"))
+    val a = prefix.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
+    val b = prefix.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
+    a.join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(greatest(col("na"), col("nb")) * tauNum <= least(col("na"), col("nb")) * tauDen)
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs at τ = 0.8: PPJoin-filtered
+    * candidates, sorted-merge verified. PERSISTED (a few hundred tiny
+    * rows) because dedup_survivors consumes the same pairs as its edge
+    * list — the CacheManager dedupes the identical plan, so the
+    * similarity join runs once per (session, dataset). */
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    jaccardFromCounts(
+      ppjoinCandidates(sh, tauNum = 4, tauDen = 5) // τ = 0.8
+        .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
+      .filter(col("jac") >= 0.8)
+      .select("doc_a", "doc_b", "jac")
+      .persist()
+  }
+
   /** LSH candidate pairs (doc_a < doc_b), deduplicated across bands.
     * Docs with empty shingle sets are excluded BEFORE banding: they all
     * share the all-sentinel signature, so a corpus with m short docs
@@ -93,35 +144,40 @@ object DedupQueries {
         .select("doc_a", "doc_b", "jac")
     }),
 
-    // exact n-gram Jaccard via inverted-index count join: explode
-    // shingles, equi-join on the shingle, count per pair = |∩|. Pairs
-    // sharing zero shingles (jac = 0 < τ) never materialize, and no
-    // array ever crosses the join — the shuffle carries (shingle,
-    // doc_id, size) triples. Join volume = Σ_shingle freq², kept sane
-    // here by the shingle distribution (max freq 25 at sf0.1); at
-    // corpus scale add a stop-shingle frequency cutoff or PPJoin-style
-    // prefix filtering on the same plan shape.
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      val ex = shingled(s, dir)
-        .select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("sh"))
-      val a = ex.select(col("sh"), col("doc_id").as("doc_a"), col("n").as("na"))
-      val b = ex.select(col("sh"), col("doc_id").as("doc_b"), col("n").as("nb"))
-      a.join(b, Seq("sh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(count(lit(1)).cast("double").as("inter"))
-        .withColumn("jac",
-          col("inter") / ((col("na") + col("nb")).cast("double") - col("inter")))
-        .filter(col("jac") >= 0.8)
-        .select("doc_a", "doc_b", "jac")
-    }),
+    // exact n-gram Jaccard via PPJoin prefix filtering: candidates come
+    // from an inverted index over prefix shingles only (recall-lossless
+    // — see ppjoinCandidates), then each candidate pair is verified
+    // with one sorted-merge intersection. No array crosses the
+    // candidate join, and join volume is bounded even when one hot
+    // shingle (boilerplate) appears in most of the corpus.
+    "dedup_ngram_jaccard" -> ((s, dir) => ngramJaccardPairs(s, dir)),
 
-    // SimHash near-dup: 31-bit signatures, pairs within Hamming ≤ 3
+    // SimHash near-dup: 31-bit signatures, pairs within Hamming ≤ 3.
+    // Pigeonhole block banding: the signature splits into 4 blocks
+    // (8+8+8+7 bits); Hamming ≤ 3 means at most 3 blocks differ, so at
+    // least one block is IDENTICAL — candidates are the union of 4
+    // equi-joins on (block_id, block_bits), then verified with the
+    // exact Hamming distance. Same answer as the all-pairs form, but
+    // the shuffle carries (block, bits, id, sig) longs and the
+    // comparison count is Σ_block Σ_value freq², not n²/2 (the round-1
+    // BroadcastNestedLoopJoin scale-killer; PlanSpec asserts the shape).
     "dedup_simhash" -> ((s, dir) => {
       val sh = docs(s, dir).select(col("doc_id"), simhash31(col("text")).as("sh")).persist()
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-      a.join(b, col("doc_a") < col("doc_b"))
+      val blocks = array((0 until 4).map { i =>
+        val off = i * 8
+        val width = if (i == 3) 7 else 8
+        struct(lit(i).as("blk"),
+          shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << width) - 1)).as("bits"))
+      }: _*)
+      val banded = sh
+        .select(col("doc_id"), col("sh"), explode(blocks).as("b"))
+        .select(col("doc_id"), col("sh"), col("b.blk").as("blk"), col("b.bits").as("bits"))
+      val a = banded.select(col("blk"), col("bits"), col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val b = banded.select(col("blk"), col("bits"), col("doc_id").as("doc_b"), col("sh").as("shb"))
+      a.join(b, Seq("blk", "bits"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sha", "shb")
+        .distinct() // a pair can collide in several blocks
         .withColumn("ham", hamming(col("sha"), col("shb")))
         .filter(col("ham") <= 3)
         .select("doc_a", "doc_b", "ham")
@@ -130,23 +186,57 @@ object DedupQueries {
     // survivor selection: cluster near-dup pairs (exact n-gram Jaccard
     // τ=0.8 edges) into connected components, keep min doc_id per
     // component — the policy step that turns pair detection into an
-    // actual deduplicated corpus
+    // actual deduplicated corpus. The pair frame is shared with
+    // dedup_ngram_jaccard via the persisted-plan cache, so the
+    // similarity join runs once even when both queries execute.
     "dedup_survivors" -> ((s, dir) => {
-      val pairs = queries("dedup_ngram_jaccard")(s, dir).select("doc_a", "doc_b")
+      val pairs = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
       graft.ops.Graph.connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("rep"))
     }),
 
-    // embedding-cosine near-dup (exact; LSH scale path in SimilarityQueries)
+    // Embedding-cosine near-dup, EXACT at τ = 0.4, via triangle
+    // block-partitioning instead of the round-1 BroadcastNestedLoopJoin.
+    //
+    // Why not LSH candidates + verify: the harness embeddings have a
+    // CONTINUOUS pair-cosine distribution through the threshold (min
+    // retained cos = 0.40002 at sf0.01 — measured), so no hashing
+    // scheme has recall 1 and the exact-join semantics would silently
+    // change. An exact dense threshold join at τ = 0.4 is inherently
+    // Θ(n²) comparisons; the scalable formulation distributes those
+    // comparisons instead of broadcasting the corpus:
+    //
+    //   - each vector gets block b = vec_id mod B;
+    //   - the left side replicates to block-pair keys (b, j), j ≥ b,
+    //     the right side to (i, b), i ≤ b — every unordered pair of
+    //     vectors meets in exactly one of the B(B+1)/2 equi-join cells;
+    //   - per-task memory is 2n/B vectors, shuffle is n·(B+1) rows,
+    //     parallelism B(B+1)/2 — all tunable, nothing is broadcast or
+    //     nested-loop joined (PlanSpec asserts the shape).
+    //
+    // The probabilistic sub-quadratic path for genuinely high
+    // thresholds is sim_ann_lsh/sim_ann_ivf (SimilarityQueries).
     "dedup_embedding_cosine" -> ((s, dir) => {
       import graft.functions.KernelExpressions.dot
+      val blockCount = 8 // ≈ sqrt(2 × desired parallelism); 36 cells here
       val e = SimilarityQueries.vectors(s, dir)
-      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .withColumn("_b", pmod(col("vec_id"), lit(blockCount)).cast("int"))
+      val left = e
+        .select(col("vec_id").as("id_l"), col("v").as("vl"), col("nrm").as("nl"), col("_b").as("bl"))
+        .withColumn("bj", explode(filter(sequence(lit(0), lit(blockCount - 1)), j => j >= col("bl"))))
+      val right = e
+        .select(col("vec_id").as("id_r"), col("v").as("vr"), col("nrm").as("nr"), col("_b").as("br"))
+        .withColumn("bi", explode(filter(sequence(lit(0), lit(blockCount - 1)), i => i <= col("br"))))
+      left.join(right, col("bl") === col("bi") && col("bj") === col("br"))
+        // same-block cells see both orderings — keep one; cross-block
+        // cells see each pair once, in arbitrary id order
+        .filter(col("bl") =!= col("br") || col("id_l") < col("id_r"))
+        .withColumn("cos", round(dot(col("vl"), col("vr")) / (col("nl") * col("nr")), 6))
         .filter(col("cos") >= 0.4)
-        .select("vec_a", "vec_b", "cos")
+        .select(
+          least(col("id_l"), col("id_r")).as("vec_a"),
+          greatest(col("id_l"), col("id_r")).as("vec_b"),
+          col("cos"))
     })
   )
 

@@ -139,9 +139,10 @@ object EventQueries {
     "q_hopping_count" ->
       """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,
         |       time_bucket(INTERVAL '1 minute', ts) - g.i * INTERVAL '1 minute' AS window_start,
-        |       time_bucket(INTERVAL '1 minute', ts) - g.i * INTERVAL '1 minute' + INTERVAL '2 minutes' AS window_end
+        |       time_bucket(INTERVAL '1 minute', ts) - g.i * INTERVAL '1 minute' + INTERVAL '2 minutes' AS window_end,
+        |       time_bucket(INTERVAL '1 minute', ts) - g.i * INTERVAL '1 minute' + INTERVAL '2 minutes' - INTERVAL '1 millisecond' AS window_rowtime
         |FROM events CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) g
-        |GROUP BY 1, 3, 4""".stripMargin,
+        |GROUP BY 1, 3, 4, 5""".stripMargin,
 
     "q_tumbling_offset" ->
       """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,

@@ -43,7 +43,7 @@ object StreamingJobs {
   case class SlidingCount(key: String, ts: Timestamp, trailing_cnt: Long)
 
   /** Per-key state: event times (epoch micros) within the trailing
-    * frame of the newest event seen, ascending. */
+    * frame of the newest event seen, descending (newest first). */
   case class SlidingState(maxSeenUs: Long, timesUs: List[Long])
 
   /** W3 streaming — per-key trailing-interval COUNT(*) OVER, which
@@ -90,8 +90,12 @@ object StreamingJobs {
               if (t <= maxSeen) Nil // late (incl. cross-batch tie): drop
               else {
                 maxSeen = t
-                buf = (peers.map(_ => t).toList ::: buf.filter(_ >= t - frameUs)).sorted
-                val cnt = buf.count(x => x >= t - frameUs && x <= t).toLong
+                // buf is descending and t is the new maximum: prepend
+                // the peers, prune the expired tail — no re-sort. After
+                // the prune every element is in [t - frame, t], so the
+                // trailing count is simply the buffer length.
+                buf = List.fill(peers.size)(t) ::: buf.takeWhile(_ >= t - frameUs)
+                val cnt = buf.length.toLong
                 peers.map(e => SlidingCount(key, e.ts, cnt))
               }
             }

@@ -61,6 +61,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("simhash candidates come from block-banded equi-joins — no all-pairs plan") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("embedding-cosine join is triangle block-partitioned — no all-pairs plan") {
+    val p = plan("dedup_embedding_cosine")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("lag de-skew partitions by (key, chunk), not key alone") {
+    val p = plan("q_lag_gap")
+    assert(p.contains("_chk"), p)
+  }
+
   test("sliding OVER chunked variant partitions by (key, chunk), not key alone") {
     val p = plan("q_sliding_over_chunked")
     assert(p.contains("_chunk"), p)

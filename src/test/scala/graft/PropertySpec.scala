@@ -43,6 +43,7 @@ class PropertySpec extends SparkSpec {
     check(Prop.forAll(eventGen) { evs =>
       val df = evs.toDF("k", "t")
       val hop = Windows.hoppingCount(df, $"t", $"k", "1 minute", "1 minute")
+        .drop("window_rowtime") // HOP_ROWTIME parity column; tumbling has none
       val tum = Windows.tumblingCount(df, $"t", $"k", "1 minute")
       hop.exceptAll(tum).isEmpty && tum.exceptAll(hop).isEmpty
     })
