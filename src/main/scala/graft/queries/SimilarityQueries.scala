@@ -144,14 +144,100 @@ object SimilarityQueries {
     })
   )
 
+  private val vectorCtes =
+    """e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+      |  FROM e)""".stripMargin
+
+  /** Exact-precision SQL list literal for a hyperplane. Double.toString
+    * emits the shortest round-trip decimal, and DuckDB's parse is
+    * correctly rounded, so the oracle sees bit-identical plane values. */
+  private def planeSqlLiteral(plane: Array[Double]): String =
+    plane.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")
+
+  /** sim_ann_lsh is fully deterministic (fixed-seed hyperplanes baked
+    * into the plan as literals), so the whole query — bucket
+    * assignment, candidate join, exact cosine, ranking — is
+    * re-expressible in DuckDB with the SAME plane constants, giving a
+    * hash-checkable oracle rather than only a recall bound. Fold order
+    * of every dot product matches the codegen kernel (ascending index,
+    * 0-seeded), so signs and cosines are bit-identical.
+    */
+  private lazy val lshOracle: String = {
+    val planes = hyperplanes(nPlanes = 8, dim = 64)
+    val planesCte = planes.zipWithIndex
+      .map { case (pl, p) => s"SELECT $p AS p, ${planeSqlLiteral(pl)} AS plane" }
+      .mkString("planes AS (", " UNION ALL ", ")")
+    s"""WITH $vectorCtes,
+       |$planesCte,
+       |b AS (
+       |  SELECT n.vec_id,
+       |         CAST(sum(CASE WHEN list_reduce(list_prepend(0.0,
+       |                 list_transform(range(1, 65), i -> n.v[i] * planes.plane[i])), (x, y) -> x + y) >= 0
+       |              THEN CAST(1 AS BIGINT) << planes.p ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM n CROSS JOIN planes GROUP BY n.vec_id),
+       |pr AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         round(list_reduce(list_prepend(0.0,
+       |                 list_transform(range(1, 65), i -> qn.v[i] * cn.v[i])), (x, y) -> x + y)
+       |               / (qn.nrm * cn.nrm), 6) AS cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |  JOIN n qn ON qn.vec_id = q.vec_id
+       |  JOIN n cn ON cn.vec_id = c.vec_id)
+       |SELECT query_id, neighbor_id, cos,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |FROM pr
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
+  /** sim_ann_ivf is likewise deterministic end-to-end: centroids are
+    * the first k=16 vectors (the driver-side bootstrap collect), the
+    * argmax tie-break is first-max (row_number ORDER BY score DESC,
+    * cent_id ASC), and the nprobe threshold is the (k-nprobe+1)-th
+    * smallest centroid score — a multiset position, invariant to tie
+    * order. Every arithmetic step mirrors the Spark plan's fold order.
+    */
+  private val ivfOracle: String =
+    s"""WITH $vectorCtes,
+       |cents AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cent_id, v AS cv,
+       |         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS cnrm
+       |  FROM n WHERE vec_id < 16),
+       |sc AS (
+       |  SELECT n.vec_id, cents.cent_id,
+       |         list_reduce(list_prepend(0.0,
+       |           list_transform(range(1, 65), i -> n.v[i] * cents.cv[i])), (x, y) -> x + y) / cents.cnrm AS score
+       |  FROM n CROSS JOIN cents),
+       |assign AS (
+       |  SELECT vec_id, cent_id AS bucket FROM sc
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cent_id ASC) = 1),
+       |thr AS (
+       |  SELECT vec_id, score AS cthr FROM sc
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cent_id ASC) = 13),
+       |probes AS (
+       |  SELECT sc.vec_id, sc.cent_id AS bucket
+       |  FROM sc JOIN thr ON sc.vec_id = thr.vec_id
+       |  WHERE sc.score >= thr.cthr),
+       |pr AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         round(list_reduce(list_prepend(0.0,
+       |                 list_transform(range(1, 65), i -> qn.v[i] * cn.v[i])), (x, y) -> x + y)
+       |               / (qn.nrm * cn.nrm), 6) AS cos
+       |  FROM assign c
+       |  JOIN probes q ON c.bucket = q.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |  JOIN n qn ON qn.vec_id = q.vec_id
+       |  JOIN n cn ON cn.vec_id = c.vec_id)
+       |SELECT query_id, neighbor_id, cos,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |FROM pr
+       |QUALIFY rank <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, v,
-        |         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
-        |  FROM e),
+      s"""WITH $vectorCtes,
         |p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |         round(list_reduce(list_prepend(0.0,
@@ -161,6 +247,9 @@ object SimilarityQueries {
         |SELECT query_id, neighbor_id, cos,
         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
         |FROM p
-        |QUALIFY rank <= 5""".stripMargin
+        |QUALIFY rank <= 5""".stripMargin,
+
+    "sim_ann_lsh" -> lshOracle,
+    "sim_ann_ivf" -> ivfOracle
   )
 }

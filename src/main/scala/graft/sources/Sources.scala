@@ -41,6 +41,20 @@ object Sources {
   def jsonDir(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(path)
 
+  /** Streaming text source over a directory of GeoJSON-lines files —
+    * the closest connector-free stand-in for [[kinesis]]: like a
+    * Kinesis record, each line arrives as one opaque string (`value`)
+    * that the ingest stage parses
+    * ([[graft.ingest.Ingest.parseGeoJson]], mirroring the reference's
+    * consumer → map chain, StreamJobSqlTumbling.java:100–119). New
+    * files are discovered per micro-batch; exactly-once file tracking
+    * is engine-provided through the checkpoint. SourcesSpec runs this
+    * end-to-end (dir → parse → watermark → tumble → upsert) and checks
+    * convergence against the batch answer.
+    */
+  def geojsonLinesDir(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.text(path)
+
   /** Synthetic rate source (smoke tests / backpressure experiments). */
   def rate(spark: SparkSession, rowsPerSecond: Int): DataFrame =
     spark.readStream.format("rate")
