@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config(graft.model.Tables.nanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up the session (JVM/codegen/FS init) so the first timed query

@@ -23,14 +23,20 @@ import org.apache.spark.sql.types._
   */
 object KernelExpressions {
 
-  /** Fold-left dot product of two array<double> columns. */
+  /** Fold-left dot product of two array<double> columns. Mismatched
+    * vector lengths THROW rather than silently truncating — a dimension
+    * mismatch is a data bug, and a plausible-but-wrong dot product
+    * would sail through every downstream threshold. */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n)
+        throw new IllegalArgumentException(
+          s"DotProduct dimension mismatch: $n vs ${y.numElements()}")
       var s = 0.0
       var i = 0
       while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -42,7 +48,11 @@ object KernelExpressions {
         val n = ctx.freshName("n")
         val s = ctx.freshName("s")
         s"""
-        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        int $n = $x.numElements();
+        if ($y.numElements() != $n) {
+          throw new IllegalArgumentException(
+            "DotProduct dimension mismatch: " + $n + " vs " + $y.numElements());
+        }
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) { $s += $x.getDouble($i) * $y.getDouble($i); }
         ${ev.value} = $s;"""

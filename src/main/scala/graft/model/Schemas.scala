@@ -60,15 +60,29 @@ case class Event(
     props: String)
 
 object Tables {
+
+  /** Conf required to read the nanos-timestamped parquet. Graft's own
+    * entry points (Verify/Bench/test session builders) set it at
+    * session construction; [[load]] self-provisions it only when absent
+    * so externally built sessions (e.g. a host application handing us
+    * its own SparkSession) work too. The set is additive and
+    * idempotent: it only changes how TIMESTAMP(NANOS) parquet columns
+    * are surfaced (as long), which Spark would otherwise refuse to read
+    * at all — it cannot alter the result of any non-nanos read.
+    */
+  val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** Load one driver-generated parquet table from an sf directory.
     *
     * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL). We read nanos as
-    * a long (legacy conf) and truncate to microsecond TimestampType —
-    * lossless here: the generator emits microsecond-precision values.
+    * a long (legacy conf, see [[nanosConf]]) and truncate to microsecond
+    * TimestampType — lossless here: the generator emits
+    * microsecond-precision values.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption(nanosConf).contains("true"))
+      spark.conf.set(nanosConf, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
@@ -78,4 +92,12 @@ object Tables {
       case None => df
     }
   }
+
+  /** Release every cached frame this library pinned (shingle index,
+    * normalized vectors, shared pair frames). The per-query helpers
+    * persist small derived frames and rely on the CacheManager deduping
+    * identical plans across queries — cheap within one run, but a
+    * long-lived session moving between corpora should call this between
+    * datasets. */
+  def clearCaches(spark: SparkSession): Unit = spark.catalog.clearCache()
 }

@@ -60,13 +60,19 @@ object EventQueries {
     // with the window parameters bound into the text. Same result as
     // q_tumbling_count by construction (W1/W4 SQL-vs-DSL duality).
     "q_tumbling_count_sql" -> ((s, dir) => {
-      events(s, dir).createOrReplaceTempView("Inputs")
-      s.sql(
-        """SELECT CAST(event_type AS STRING) AS key, COUNT(*) AS cnt,
-          |       window(ts, '1 minute').start AS window_start,
-          |       window(ts, '1 minute').end AS window_end
-          |FROM Inputs
-          |GROUP BY window(ts, '1 minute'), event_type""".stripMargin)
+      // unique view name per invocation, dropped once the plan is
+      // analyzed (spark.sql resolves eagerly) — no global-name side
+      // effect on the shared session (concurrent callers can't clash)
+      val view = s"graft_inputs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      events(s, dir).createOrReplaceTempView(view)
+      try {
+        s.sql(
+          s"""SELECT CAST(event_type AS STRING) AS key, COUNT(*) AS cnt,
+             |       window(ts, '1 minute').start AS window_start,
+             |       window(ts, '1 minute').end AS window_end
+             |FROM $view
+             |GROUP BY window(ts, '1 minute'), event_type""".stripMargin)
+      } finally s.catalog.dropTempView(view)
     }),
 
     // S2/P1 — JSON field extraction from the props envelope

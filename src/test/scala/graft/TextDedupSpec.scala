@@ -79,4 +79,42 @@ class TextDedupSpec extends SparkSpec {
       .select("keep_id", "n").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
+
+  test("PPJoin prefix filter: one planted hot shingle produces zero candidates") {
+    // 50 docs sharing one boilerplate 3-gram, each with 9 unique grams:
+    // pairwise jac = 1/19 << 0.8, yet an unfiltered inverted index
+    // would emit 50*49/2 = 1225 candidate pairs through the hot
+    // shingle. The hot shingle has the highest document frequency, so
+    // the (df asc, shingle) global order puts it LAST in every doc —
+    // never inside a prefix — and candidates collapse to zero.
+    val docs = (1 to 50).map { i =>
+      (i.toLong, "common boiler plate " + (1 to 9).map(j => s"u${i}w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = docs.select($"doc_id",
+      graft.functions.KernelExpressions.sortedNgramSet(tokens($"text"), 3).as("g"))
+    val cands = DedupQueries.ppjoinCandidates(sh, tauNum = 4, tauDen = 5)
+    assert(cands.count() == 0L)
+    // sanity: the same corpus with a genuine near-dup pair still recalls it
+    val docs2 = docs.unionByName(
+      Seq((100L, "common boiler plate " + (1 to 9).map(j => s"u1w$j").mkString(" ")))
+        .toDF("doc_id", "text")) // exact copy of doc 1's text
+    val sh2 = docs2.select($"doc_id",
+      graft.functions.KernelExpressions.sortedNgramSet(tokens($"text"), 3).as("g"))
+    val cands2 = DedupQueries.ppjoinCandidates(sh2, tauNum = 4, tauDen = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(cands2.contains((1L, 100L)))
+  }
+
+  test("DotProduct throws on dimension mismatch instead of truncating") {
+    import graft.functions.KernelExpressions.dot
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] { df.select(dot($"a", $"b")).collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(c => Option(c.getMessage).exists(_.contains("dimension mismatch"))))
+    val ok = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(dot($"a", $"b")).as[Double].head()
+    assert(ok == 11.0)
+  }
 }

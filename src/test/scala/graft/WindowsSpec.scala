@@ -45,6 +45,8 @@ class WindowsSpec extends SparkSpec {
     assert(out.map(_.getTimestamp(2).toString).toSeq ==
       Seq("2024-01-01 00:04:00.0", "2024-01-01 00:05:00.0"))
     assert(out.forall(_.getLong(1) == 1L))
+    // HOP_ROWTIME parity: rowtime = window end - 1 ms (Flink's ruling)
+    assert(out.forall(r => r.getTimestamp(4).getTime == r.getTimestamp(3).getTime - 1L))
   }
 
   test("sliding OVER frame is inclusive at both ends (RANGE ... PRECEDING AND CURRENT ROW)") {
