@@ -176,11 +176,32 @@ object DedupQueries {
       val b = banded.select(col("blk"), col("bits"), col("doc_id").as("doc_b"), col("sh").as("shb"))
       a.join(b, Seq("blk", "bits"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sha", "shb")
-        .distinct() // a pair can collide in several blocks
+        // verify FIRST (one xor+popcount per candidate), dedupe the
+        // small surviving set — a distinct over the raw candidates
+        // would shuffle the full collision volume
         .withColumn("ham", hamming(col("sha"), col("shb")))
         .filter(col("ham") <= 3)
         .select("doc_a", "doc_b", "ham")
+        .distinct() // a pair can collide in several blocks
+    }),
+
+    // exact substring-span dedup (the fixed-k core of suffix-array
+    // substring dedup, Lee et al.'s "Deduplicating Training Data Makes
+    // Language Models Better" restricted to k = 8 token spans): every
+    // 8-token window shared verbatim by ≥ 2 documents, with how many
+    // documents carry it and the first carrier. Inverted index +
+    // hash aggregate — the classic word-count shuffle, no joins. At
+    // 100 TB the span strings in the shuffle can be replaced by their
+    // 128-bit hashes (collision-free in practice); kept as text here
+    // for oracle clarity.
+    "dedup_common_spans" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks")) // materialize: see ngramsOfTokens
+        .select(col("doc_id"),
+          explode(graft.functions.KernelExpressions.sortedNgramSet(col("toks"), 8)).as("span"))
+        .groupBy("span")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
     }),
 
     // survivor selection: cluster near-dup pairs (exact n-gram Jaccard
@@ -253,7 +274,21 @@ object DedupQueries {
       |  WHERE len(a.g) > 0 AND len(b.g) > 0)
       |SELECT doc_a, doc_b, jac FROM p WHERE jac >= 0.8""".stripMargin
 
+  /** DuckDB expression for the distinct 8-token spans of `text` —
+    * shared by the span-dedup and contamination oracles. */
+  private[queries] val spanListSql: String = {
+    val terms = (0 until 8).map(o => s"string_split(text,' ')[i+$o]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, len(string_split(text,' ')) - 6), i -> $terms))"
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_common_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $spanListSql spans FROM documents),
+         |u AS (SELECT doc_id, unnest(spans) AS span FROM t)
+         |SELECT span, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS first_doc
+         |FROM u GROUP BY span HAVING count(*) >= 2""".stripMargin,
+
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

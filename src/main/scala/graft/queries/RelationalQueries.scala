@@ -191,7 +191,60 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .filter(col("l_quantity") > 45 && col("l_discount") < 0.02)
         .groupBy("l_linestatus")
-        .agg(count(lit(1)).as("cnt"), round(sum(col("l_extendedprice")), 2).as("sum_price")))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_extendedprice")), 2).as("sum_price"))),
+
+    // AS-OF join — for each event, the user's most recent order as of
+    // the event time (ties on date broken by max order key). Spark has
+    // no ASOF operator; the scalable composition is the union-merge:
+    // tag both sides, sort per key by (ts, tag, key), and carry the
+    // last order key forward with last(ignoreNulls) — one shuffle on
+    // the join key, no range explosion, O(n log n) per key like a
+    // sort-merge join. (Key cardinality here is users — high — so the
+    // per-key window parallelizes; contrast q_lag_gap's chunking for
+    // low-cardinality keys.)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id").as("k"), col("ts"), lit(1).as("tag"),
+          col("event_id"), lit(null).cast("long").as("okey"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"), lit(0).as("tag"),
+          lit(null).cast("long").as("event_id"), col("o_orderkey").as("okey"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("ts"), col("tag"), col("okey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(ord)
+        .withColumn("asof_orderkey", last(col("okey"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
+    }),
+
+    // exact distributed median — histogram formulation: counts per
+    // (group, value) first (map-side partial + one shuffle of DISTINCT
+    // values, not rows), then a cumulative window over the per-group
+    // value histogram (orders of magnitude smaller than the data) to
+    // locate the middle positions. A naive per-group sort would
+    // serialize each of the 3 return flags into one task; this plan's
+    // heavy lifting is a plain hash aggregate.
+    "q_median_price" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy("v")
+      val wAll = Window.partitionBy("l_returnflag")
+      val lo = ((col("n") + 1) / 2).cast("long") // (n+1)/2 exact in double for n << 2^52
+      val hi = ((col("n") + 2) / 2).cast("long")
+      counts
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(wAll))
+        .withColumn("lo", lo).withColumn("hi", hi)
+        .filter((col("cum") >= col("lo") && col("cum") - col("c") < col("lo")) ||
+                (col("cum") >= col("hi") && col("cum") - col("c") < col("hi")))
+        .groupBy("l_returnflag")
+        .agg(round(
+          (max(when(col("cum") >= col("lo") && col("cum") - col("c") < col("lo"), col("v"))) +
+           max(when(col("cum") >= col("hi") && col("cum") - col("c") < col("hi"), col("v")))) / 2.0,
+          2).as("median_price"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,6 +350,44 @@ object RelationalQueries {
     "q_filter_pushdown" ->
       """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
         |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
-        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02 GROUP BY 1""".stripMargin
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02 GROUP BY 1""".stripMargin,
+
+    // the oracle mirrors the union-merge formulation (DuckDB's native
+    // ASOF JOIN breaks date ties arbitrarily; the window form pins the
+    // max-key tie-break on both engines)
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, ts, 1 AS tag, event_id, CAST(NULL AS BIGINT) AS okey FROM events
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderdate, 0, CAST(NULL AS BIGINT), o_orderkey FROM orders),
+        |w AS (
+        |  SELECT k, tag, event_id,
+        |         last_value(okey IGNORE NULLS) OVER (
+        |           PARTITION BY k ORDER BY ts, tag, okey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+        |  FROM u)
+        |SELECT event_id, k AS user_id, asof_orderkey FROM w WHERE tag = 1""".stripMargin,
+
+    // same histogram-median formulation as the Spark plan (quantile_cont
+    // would interpolate with a different expression tree; (lo+hi)/2 on
+    // exact values is engine-independent)
+    "q_median_price" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, v, c,
+        |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM counts),
+        |pos AS (
+        |  SELECT *, CAST((n + 1) // 2 AS BIGINT) AS lo, CAST((n + 2) // 2 AS BIGINT) AS hi FROM cum)
+        |SELECT l_returnflag,
+        |       round((max(CASE WHEN cum >= lo AND cum - c < lo THEN v END) +
+        |              max(CASE WHEN cum >= hi AND cum - c < hi THEN v END)) / 2.0, 2) AS median_price
+        |FROM pos
+        |WHERE (cum >= lo AND cum - c < lo) OR (cum >= hi AND cum - c < hi)
+        |GROUP BY 1""".stripMargin
   )
 }

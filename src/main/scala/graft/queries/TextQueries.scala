@@ -62,7 +62,48 @@ object TextQueries {
       docs(s, dir).select(
         col("doc_id"),
         polyHash31(col("text")).as("fp_poly"),
-        md5(col("text").cast("binary")).as("fp_md5")))
+        md5(col("text").cast("binary")).as("fp_md5"))),
+
+    // benchmark decontamination: training documents (source != src0)
+    // sharing any verbatim 8-token span with the held-out set
+    // (source == src0), with the shared-span count — the screening
+    // pass every training corpus runs against its eval suites. The
+    // eval span set is small by construction (benchmarks, not corpora),
+    // so it is BROADCAST and the corpus streams past it map-side —
+    // no corpus shuffle at all.
+    "text_contamination" -> ((s, dir) => {
+      val spans = docs(s, dir)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.KernelExpressions.sortedNgramSet(col("toks"), 8)).as("span"))
+      val evalSpans = spans.filter(col("source") === "src0").select("span").distinct()
+      spans.filter(col("source") =!= "src0")
+        .join(broadcast(evalSpans), Seq("span"))
+        .groupBy("doc_id") // spans are distinct per doc → count = shared spans
+        .agg(count(lit(1)).as("n_shared_spans"))
+    }),
+
+    // per-document top-3 salient terms by tf-idf (ratio idf: score =
+    // tf * N / df — rational arithmetic, so the score is bit-identical
+    // across engines; log-idf would hinge on transcendental rounding).
+    // Two shuffles (tf by (doc, token), df by token) + a broadcast of
+    // the corpus-size scalar; ranking is a per-doc window.
+    "text_tfidf" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val total = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(total))
+        .withColumn("score",
+          round((col("tf") * col("n_docs")).cast("double") / col("df").cast("double"), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "token", "score", "rank")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -112,6 +153,32 @@ object TextQueries {
         |         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |         (h, c) -> (h * 31 + c) % 2147483647) AS fp_poly,
         |       md5(text) AS fp_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "text_contamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, ${DedupQueries.spanListSql} spans FROM documents),
+         |u AS (SELECT doc_id, source, unnest(spans) AS span FROM t),
+         |ev AS (SELECT DISTINCT span FROM u WHERE source = 'src0')
+         |SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_shared_spans
+         |FROM u JOIN ev ON u.span = ev.span
+         |WHERE u.source <> 'src0'
+         |GROUP BY 1""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         round(CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE), 6) AS score
+        |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n)
+        |SELECT doc_id, token, score,
+        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rank
+        |FROM scored QUALIFY rank <= 3""".stripMargin
   )
 }

@@ -78,6 +78,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_chk"), p)
   }
 
+  test("contamination screen broadcasts the eval span set — corpus never shuffles for the join") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("as-of join is a union-merge window — no range-join explosion or cartesian plan") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("exact median aggregates a value histogram, not a per-group row sort") {
+    val p = plan("q_median_price")
+    // the only full-data operator is the hash aggregate building the
+    // (group, value) histogram; windows run over the aggregated frame
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("sliding OVER chunked variant partitions by (key, chunk), not key alone") {
     val p = plan("q_sliding_over_chunked")
     assert(p.contains("_chunk"), p)
