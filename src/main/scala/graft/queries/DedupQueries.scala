@@ -105,17 +105,30 @@ object DedupQueries {
       .persist()
   }
 
-  /** LSH candidate pairs (doc_a < doc_b), deduplicated across bands.
-    * Docs with empty shingle sets are excluded BEFORE banding: they all
+  /** Banded (doc_id, band, bucket) rows from a shingle-set frame. Docs
+    * with empty shingle sets are excluded BEFORE banding: they all
     * share the all-sentinel signature, so a corpus with m short docs
     * would otherwise produce m²/2 candidate pairs per band that verify
-    * to jac = 0 — quadratic garbage at scale. */
-  private def lshCandidates(sh: DataFrame): DataFrame = {
-    val bands = sh
-      .filter(size(col("g")) > 0)
+    * to jac = 0 — quadratic garbage at scale. Pure column expressions,
+    * so the same projection runs on a stream
+    * ([[graft.streaming.StreamingJobs.lshCandidatesStreaming]]). */
+  private[graft] def bandedFromShingles(sh: DataFrame): DataFrame =
+    sh.filter(size(col("g")) > 0)
       .withColumn("sig", minhashSignature(col("g"), perms = 64))
       .select(col("doc_id"), explode(lshBands(col("sig"), perms = 64, bands = 16)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+
+  /** Banded rows straight from (doc_id, text) — the streaming entry. */
+  private[graft] def bandedDocs(docsWithText: DataFrame): DataFrame =
+    bandedFromShingles(
+      docsWithText
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          graft.functions.KernelExpressions.sortedNgramSet(col("toks"), 3).as("g")))
+
+  /** LSH candidate pairs (doc_a < doc_b), deduplicated across bands. */
+  private[graft] def lshCandidates(sh: DataFrame): DataFrame = {
+    val bands = bandedFromShingles(sh)
     val left = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val right = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     left.join(right, Seq("band", "bucket"))

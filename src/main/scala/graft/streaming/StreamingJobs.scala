@@ -35,6 +35,65 @@ object StreamingJobs {
   def hoppingCounts(events: DataFrame, tsCol: String, keyCol: String, size: String, slide: String): DataFrame =
     Windows.hoppingCount(Ingest.withEventTime(events, tsCol), col(tsCol), col(keyCol), size, slide)
 
+  /** Streaming exact dedup for a document feed: keep the first
+    * occurrence of each content digest, drop later copies. State is
+    * BOUNDED by the watermark: `dropDuplicatesWithinWatermark` evicts
+    * digests once the event-time watermark passes their retention
+    * window, so the operator runs forever on an unbounded corpus feed —
+    * the streaming form of `dedup_exact` (duplicates separated by more
+    * than `retention` are treated as distinct, which is the standard
+    * windowed-dedup contract).
+    */
+  def exactDedupStreaming(docs: DataFrame, textCol: String, tsCol: String,
+      retention: String = "1 hour"): DataFrame =
+    docs.withColumn("digest", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, retention)
+      .dropDuplicatesWithinWatermark("digest")
+
+  /** One banded LSH row for the streaming near-dup operator. */
+  case class BucketDoc(doc_id: Long, band: Int, bucket: Int)
+
+  /** One near-duplicate candidate pair (doc_a < doc_b). */
+  case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Streaming MinHash-LSH near-duplicate candidate detection: as
+    * documents arrive, each is checked against every document already
+    * seen in any of its 16 signature-band buckets, and new candidate
+    * pairs are emitted immediately — the online form of the batch
+    * bucket self-join (DedupQueries.lshCandidates), for flagging
+    * near-dups during ingestion instead of in a nightly batch.
+    *
+    * Input is the banded projection (DedupQueries.bandedDocs — the
+    * same pure column expressions as batch, so signatures agree).
+    * State is per (band, bucket) — the stream's groupBy shuffle
+    * partitions it exactly like the batch join's (band, bucket)
+    * shuffle, so hot buckets spread across executors and per-group
+    * state stays proportional to bucket occupancy. A pair colliding in
+    * several bands is emitted once per band (groups are independent);
+    * downstream exact verification deduplicates, same as the batch
+    * path's `.distinct()`. Production deployments bound bucket state
+    * with a retention timeout; the operator itself is append-only.
+    */
+  def lshCandidatesStreaming(banded: Dataset[BucketDoc]): Dataset[CandPair] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Int), rows: Iterator[BucketDoc], state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[CandPair]
+          rows.foreach { r =>
+            if (!seen.contains(r.doc_id)) {
+              seen.foreach(d =>
+                out += CandPair(math.min(d, r.doc_id), math.max(d, r.doc_id)))
+              seen = r.doc_id :: seen
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   /** One keyed event for the stateful OVER operator. */
   case class KeyedEvent(key: String, ts: Timestamp)
 

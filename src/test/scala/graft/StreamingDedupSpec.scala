@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.queries.DedupQueries
+import graft.streaming.StreamingJobs._
+
+/** Streaming forms of the dedup operators: ingestion-time exact dedup
+  * (bounded state via watermark) and online MinHash-LSH near-dup
+  * candidate detection, both checked against their batch counterparts.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming exact dedup keeps first occurrence, drops in-window copies") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = exactDedupStreaming(
+        in.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      in.addData((1L, "alpha body", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      in.addData(
+        (2L, "alpha body", ts("2024-01-01 00:10:00")), // dup of 1 within window
+        (3L, "beta body", ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      in.addData((4L, "beta body", ts("2024-01-01 00:20:00"))) // dup of 3
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming LSH candidates across batches == batch bucket self-join") {
+    implicit val sql = spark.sqlContext
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    assert(docs.nonEmpty)
+
+    val in = MemoryStream[(Long, String)]
+    val banded = DedupQueries.bandedDocs(in.toDF().toDF("doc_id", "text")).as[BucketDoc]
+    val q = lshCandidatesStreaming(banded)
+      .writeStream.outputMode("append").format("memory").queryName("lsh_out").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("lsh_out")
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+      val sh = Tables.load(spark, sf0001, "documents")
+        .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("toks"))
+        .select($"doc_id",
+          graft.functions.KernelExpressions.sortedNgramSet($"toks", 3).as("g"))
+      val batch = DedupQueries.lshCandidates(sh)
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+}
