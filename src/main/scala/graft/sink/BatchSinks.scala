@@ -47,4 +47,25 @@ object BatchSinks {
       toDate: String): DataFrame =
     spark.read.parquet(path)
       .filter(col("dt") >= lit(fromDate) && col("dt") <= lit(toDate))
+
+  /** Write `df` as a BUCKETED table: rows hash-partitioned on
+    * `bucketCol` into `buckets` files per partition, with the bucketing
+    * recorded in the catalog. Two tables bucketed the same way join
+    * WITHOUT a shuffle — the co-located-join layout that makes repeated
+    * fact-to-fact joins affordable at 100 TB: the one-off shuffle is
+    * paid at write time, every subsequent join is exchange-free
+    * (asserted in BatchSinksSpec). `sortBy` the same column so the
+    * join is a zip-merge within each bucket pair.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      bucketCol: String,
+      buckets: Int,
+      table: String): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

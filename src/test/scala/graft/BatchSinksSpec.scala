@@ -30,6 +30,37 @@ class BatchSinksSpec extends SparkSpec {
     assert(ranged.count() == expected && expected > 0)
   }
 
+  test("bucketed tables join co-located — no shuffle exchange in the join") {
+    // warehouse dir is a static conf — tables land in the default
+    // ./spark-warehouse (gitignored) and are dropped below
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    BatchSinks.writeBucketed(
+      Tables.load(spark, sf0001, "orders"), "o_orderkey", 4, "b_orders")
+    BatchSinks.writeBucketed(
+      Tables.load(spark, sf0001, "lineitem")
+        .select("l_orderkey", "l_extendedprice"), "l_orderkey", 4, "b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+    // disable auto-broadcast so the test proves BUCKETING (not
+    // broadcasting) removed the exchanges
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join still shuffles: $plan")
+      // and the join is correct
+      val expect = Tables.load(spark, sf0001, "lineitem")
+        .join(Tables.load(spark, sf0001, "orders"), $"l_orderkey" === $"o_orderkey").count()
+      assert(joined.count() == expect && expect > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("approximate distinct (HLL) lands within 5% of exact at sf0.001") {
     val li = Tables.load(spark, sf0001, "lineitem")
     val (approx, exact) = li

@@ -200,6 +200,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows merge and emit like batch (append mode)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val q = Windows.sessionCount(
+        graft.ingest.Ingest.withEventTime(in.toDF().toDF("k", "t"), "t"),
+        $"t", $"k", "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      // two events 2 min apart → one session; then a 20-min gap
+      in.addData(("a", ts("2024-01-01 00:00:00")), ("a", ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 00:30:00"))) // watermark passes session 1 end
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 01:00:00"))) // flush session 2
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select("key", "cnt", "session_start", "session_end")
+        .as[(String, Long, Timestamp, Timestamp)].collect().toSet
+      assert(got.contains(("a", 2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:07:00"))))
+      assert(got.contains(("a", 1L, ts("2024-01-01 00:30:00"), ts("2024-01-01 00:35:00"))))
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment join: stream rows pick up broadcast dimension attributes") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq(("11", "local"), ("14", "express")).toDF("cls", "service")
+    val in = MemoryStream[(String, Timestamp)]
+    val q = in.toDF().toDF("cls", "t")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("cls"), "left")
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    try {
+      in.addData(("11", ts("2024-01-01 00:00:00")), ("99", ts("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("cls", "service").as[(String, Option[String])].collect().toSet
+      assert(got == Set(("11", Some("local")), ("99", None)))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert is idempotent under replay (X3 parity)") {
     val tumbled = Windows.tumblingCount(
       Tables.load(spark, sf0001, "events"), $"ts", $"event_type", "1 minute")
