@@ -166,36 +166,56 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ((s, dir) => ngramJaccardPairs(s, dir)),
 
     // SimHash near-dup: 31-bit signatures, pairs within Hamming ≤ 3.
-    // Pigeonhole block banding: the signature splits into 4 blocks
-    // (8+8+8+7 bits); Hamming ≤ 3 means at most 3 blocks differ, so at
-    // least one block is IDENTICAL — candidates are the union of 4
-    // equi-joins on (block_id, block_bits), then verified with the
-    // exact Hamming distance. Same answer as the all-pairs form, but
-    // the shuffle carries (block, bits, id, sig) longs and the
-    // comparison count is Σ_block Σ_value freq², not n²/2 (the round-1
-    // BroadcastNestedLoopJoin scale-killer; PlanSpec asserts the shape).
+    //
+    // Two-level plan, because the signature space saturates (sf0.1:
+    // 5000 docs collapse to 2675 distinct signatures, and 1.36M of the
+    // 12.5M doc pairs are within distance 3 — the OUTPUT is quadratic
+    // in the duplicate groups, but the comparisons need not be):
+    //
+    //  1. compare DISTINCT SIGNATURES, not documents, via pigeonhole
+    //     block banding: 4 blocks (8+8+8+7 bits); Hamming ≤ 3 means at
+    //     most 3 blocks differ, so ≥ 1 block is identical — candidates
+    //     from 4 equi-joins on (block, bits) over the distinct-sig
+    //     frame, verified with one xor+popcount each;
+    //  2. expand matched signature pairs (plus the ham=0 same-signature
+    //     groups) back to document pairs with plain equi-joins — pure
+    //     output materialization, no comparisons.
+    //
+    // Comparison count is Σ_block Σ_value distinctSigFreq², independent
+    // of how many documents share a signature (the round-1 plan was an
+    // O(n²) BroadcastNestedLoopJoin over documents; PlanSpec asserts
+    // that shape never returns).
     "dedup_simhash" -> ((s, dir) => {
-      val sh = docs(s, dir).select(col("doc_id"), simhash31(col("text")).as("sh")).persist()
+      val d = docs(s, dir).select(col("doc_id"), simhash31(col("text")).as("sh")).persist()
+      val sigs = d.select("sh").distinct()
       val blocks = array((0 until 4).map { i =>
         val off = i * 8
         val width = if (i == 3) 7 else 8
         struct(lit(i).as("blk"),
           shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << width) - 1)).as("bits"))
       }: _*)
-      val banded = sh
-        .select(col("doc_id"), col("sh"), explode(blocks).as("b"))
-        .select(col("doc_id"), col("sh"), col("b.blk").as("blk"), col("b.bits").as("bits"))
-      val a = banded.select(col("blk"), col("bits"), col("doc_id").as("doc_a"), col("sh").as("sha"))
-      val b = banded.select(col("blk"), col("bits"), col("doc_id").as("doc_b"), col("sh").as("shb"))
-      a.join(b, Seq("blk", "bits"))
-        .filter(col("doc_a") < col("doc_b"))
-        // verify FIRST (one xor+popcount per candidate), dedupe the
-        // small surviving set — a distinct over the raw candidates
-        // would shuffle the full collision volume
+      val banded = sigs
+        .select(col("sh"), explode(blocks).as("b"))
+        .select(col("sh"), col("b.blk").as("blk"), col("b.bits").as("bits"))
+      val a = banded.select(col("blk"), col("bits"), col("sh").as("sha"))
+      val b = banded.select(col("blk"), col("bits"), col("sh").as("shb"))
+      val sigPairs = a.join(b, Seq("blk", "bits"))
+        .filter(col("sha") < col("shb"))
         .withColumn("ham", hamming(col("sha"), col("shb")))
         .filter(col("ham") <= 3)
-        .select("doc_a", "doc_b", "ham")
-        .distinct() // a pair can collide in several blocks
+        .select("sha", "shb", "ham")
+        .distinct() // a signature pair can collide in several blocks
+      val da = d.select(col("doc_id").as("ida"), col("sh").as("sha"))
+      val db = d.select(col("doc_id").as("idb"), col("sh").as("shb"))
+      val cross = sigPairs
+        .join(da, "sha").join(db, "shb")
+        .select(least(col("ida"), col("idb")).as("doc_a"),
+          greatest(col("ida"), col("idb")).as("doc_b"), col("ham"))
+      val same = d.select(col("doc_id").as("ida"), col("sh"))
+        .join(d.select(col("doc_id").as("idb"), col("sh")), "sh")
+        .filter(col("ida") < col("idb"))
+        .select(col("ida").as("doc_a"), col("idb").as("doc_b"), lit(0L).as("ham"))
+      cross.unionByName(same)
     }),
 
     // exact substring-span dedup (the fixed-k core of suffix-array
