@@ -69,6 +69,29 @@ object Multimodal {
         MediaFeatures(r.media_id, n.toLong, header, at(0), at(n / 2), at(math.max(0, n - 1)), fp)
       }
     }
+
+    /** "Resize" a batch to a w×h grid: nearest-neighbor subsample of
+      * the payload bytes (sample i of w·h reads byte ⌊i·n/(w·h)⌋), then
+      * fingerprint the resampled bytes. Same batch-amortized shape as
+      * [[decodeBatch]]; a real build swaps in an image scaler, the
+      * pipeline (schema, batching, determinism) is unchanged.
+      */
+    def resizeBatch(batch: Seq[MediaRecord], w: Int, h: Int): Seq[ResizedMedia] = {
+      batchCalls.incrementAndGet()
+      val out = w * h
+      batch.map { r =>
+        val bs = r.data
+        val n = bs.length
+        var fp = 0L
+        var i = 0
+        while (i < out && n > 0) {
+          val b = java.lang.Byte.toUnsignedLong(bs((i.toLong * n / out).toInt))
+          fp = (fp * 31 + b) % 2147483647L
+          i += 1
+        }
+        ResizedMedia(r.media_id, w, h, if (n == 0) 0L else out.toLong, fp)
+      }
+    }
   }
 
   object MediaPipeline {
@@ -99,5 +122,22 @@ object Multimodal {
       import spark.implicits._
       decode(mediaFromDocuments(docs).as[MediaRecord])
     }
+
+    /** End-to-end: documents → media records → batched resize. */
+    def resized(spark: SparkSession, docs: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+      import spark.implicits._
+      val media = mediaFromDocuments(docs).as[MediaRecord]
+      media.mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(g => FakeCodec.resizeBatch(g, w, h))
+      }
+    }
   }
+
+  /** One resized record: target dims + resampled payload summary. */
+  case class ResizedMedia(
+      media_id: Long,
+      out_w: Int,
+      out_h: Int,
+      out_len: Long,
+      fp_resized: Long)
 }

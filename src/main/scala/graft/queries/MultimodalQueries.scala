@@ -16,7 +16,13 @@ object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode" -> ((s, dir) =>
-      Multimodal.MediaPipeline.features(s, Tables.load(s, dir, "documents")).toDF())
+      Multimodal.MediaPipeline.features(s, Tables.load(s, dir, "documents")).toDF()),
+
+    // nearest-neighbor resize to an 8×6 grid — the resample stage of an
+    // image pipeline, batch-amortized like decode; byte-arithmetic
+    // oracle over the sampled positions
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.MediaPipeline.resized(s, Tables.load(s, dir, "documents"), w = 8, h = 6).toDF())
   )
 
   val oracles: Map[String, String] = Map(
@@ -32,6 +38,18 @@ object MultimodalQueries {
         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
         |         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |         (h, c) -> (h * 31 + c) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
+
+    // sample i of 48 reads byte floor(i*n/48) (0-based) = character
+    // i*n//48 + 1 (1-based); ASCII payloads make byte == character
+    "multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(8 AS INTEGER) AS out_w, CAST(6 AS INTEGER) AS out_h,
+        |       CAST(CASE WHEN length(text) = 0 THEN 0 ELSE 48 END AS BIGINT) AS out_len,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(range(0, CASE WHEN length(text) = 0 THEN 0 ELSE 48 END),
+        |           i -> CAST(ascii(substring(text, CAST(i * length(text) // 48 AS INTEGER) + 1, 1)) AS BIGINT))),
+        |         (h, c) -> (h * 31 + c) % 2147483647) AS fp_resized
         |FROM documents""".stripMargin
   )
 }

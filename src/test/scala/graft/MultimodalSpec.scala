@@ -31,4 +31,15 @@ class MultimodalSpec extends SparkSpec {
     val b = MediaPipeline.features(spark, docs).collect().sortBy(_.media_id).toSeq
     assert(a == b)
   }
+
+  test("resize subsamples to the target grid deterministically") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val a = MediaPipeline.resized(spark, docs, 8, 6).collect().sortBy(_.media_id)
+    val b = MediaPipeline.resized(spark, docs, 8, 6).collect().sortBy(_.media_id)
+    assert(a.sameElements(b))
+    assert(a.forall(r => r.out_w == 8 && r.out_h == 6 && r.out_len == 48))
+    // a different grid yields different fingerprints for non-degenerate docs
+    val c = MediaPipeline.resized(spark, docs, 4, 4).collect().sortBy(_.media_id)
+    assert(a.zip(c).exists { case (x, y) => x.fp_resized != y.fp_resized })
+  }
 }

@@ -86,6 +86,53 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("∀ events: chunked lag == single-partition lag") {
+    check(Prop.forAll(eventGen, Gen.oneOf(60L, 300L, 900L)) { (evs, chunk) =>
+      val df = evs.toDF("k", "t")
+      def key(r: (String, Timestamp, Option[Long])) = (r._1, r._2.getTime, r._3.getOrElse(-1L))
+      val got = Windows.lagUsChunked(df, $"t", $"k", chunk)
+        .select($"k", $"t", $"prev_us").as[(String, Timestamp, Option[Long])]
+        .collect().toSeq.sortBy(key)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"k").orderBy($"t")
+      val want = df
+        .withColumn("prev_us", lag(unix_micros($"t"), 1).over(w))
+        .select($"k", $"t", $"prev_us").as[(String, Timestamp, Option[Long])]
+        .collect().toSeq.sortBy(key)
+      got == want
+    })
+  }
+
+  test("∀ events (as docs): two-level simhash banding == naive all-pairs Hamming ≤ 3") {
+    // small random corpora with repeated token pools → saturated
+    // signature space, exercising both the same-signature and
+    // cross-signature expansion paths
+    val corpusGen = for {
+      n <- Gen.choose(2, 25)
+      docs <- Gen.listOfN(n, for {
+        m <- Gen.choose(1, 6)
+        ws <- Gen.listOfN(m, Gen.oneOf("spark", "join", "scan", "the", "agg"))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    check(Prop.forAll(corpusGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val sigs = df.select($"doc_id", simhash31($"text").as("sh"))
+        .as[(Long, Long)].collect().toMap
+      val want = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+      } yield (a, b, h.toLong)).toSet
+      // run the registered query over a temp parquet dir (it loads
+      // `documents` by name)
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop").toString
+      df.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.queries.DedupQueries.queries("dedup_simhash")(spark, dir)
+        .as[(Long, Long, Long)].collect().toSet
+      got == want
+    })
+  }
+
   private val textGen: Gen[String] = for {
     n <- Gen.choose(1, 30)
     ws <- Gen.listOfN(n, Gen.oneOf("spark", "join", "scan", "the", "agg", "row", "key"))
