@@ -21,6 +21,20 @@ class IngestSpec extends SparkSpec {
     assert(out.getTimestamp(1) == Timestamp.valueOf("2020-09-14 09:20:22.385001"))
   }
 
+  test("malformed wire records degrade gracefully: null class, fallback event time") {
+    // a corrupt Kinesis payload must not kill the job (the reference
+    // swallows parse failures per record) — from_json yields nulls and
+    // the timestamp fallback supplies an event time, so the record
+    // stays countable (and filterable) downstream
+    val fallback = lit(Timestamp.valueOf("1970-01-01 00:00:00"))
+    val out = Ingest.parseGeoJson(
+        Seq("{not json at all", """{"type":"Feature","properties":{}}""").toDF("value"),
+        fallback = fallback)
+      .collect()
+    assert(out.forall(_.isNullAt(0)))
+    assert(out.forall(_.getTimestamp(1) == Timestamp.valueOf("1970-01-01 00:00:00")))
+  }
+
   test("timestamp parse falls back on malformed input (reference getTimestamp semantics)") {
     val fallback = lit(Timestamp.valueOf("1970-01-01 00:00:00"))
     val out = Seq("2020-09-14T09:20:22.385001", "not-a-timestamp", "2020-13-99T00:00:00.000000")
