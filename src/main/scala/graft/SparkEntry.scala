@@ -29,12 +29,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.queries ++ RelationalQueries.queries ++
       DedupQueries.queries ++ TextQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++
       DedupQueries.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++ PipelineQueries.oracles
 }

@@ -94,10 +94,24 @@ object Tables {
   }
 
   /** Release every cached frame this library pinned (shingle index,
-    * normalized vectors, shared pair frames). The per-query helpers
+    * normalized vectors, shared pair frames) plus any memoized derived
+    * results registered via [[Caches.register]]. The per-query helpers
     * persist small derived frames and rely on the CacheManager deduping
     * identical plans across queries — cheap within one run, but a
     * long-lived session moving between corpora should call this between
     * datasets. */
-  def clearCaches(spark: SparkSession): Unit = spark.catalog.clearCache()
+  def clearCaches(spark: SparkSession): Unit = Caches.clearAll(spark)
+}
+
+/** Registry of library-held caches that are NOT plan-cached (e.g. the
+  * memoized connected-components result, which is an eagerly
+  * checkpointed frame, invisible to the CacheManager). Query families
+  * register a clear hook at init; [[clearAll]] drops everything. */
+object Caches {
+  private val hooks = new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+  def register(hook: () => Unit): Unit = hooks.add(hook)
+  def clearAll(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    hooks.forEach(h => h())
+  }
 }

@@ -33,6 +33,21 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Memoized connected-components labels of the τ=0.8 n-gram-Jaccard
+    * pair graph, per (session, dataset). The CC result is an eagerly
+    * checkpointed frame produced by an iterative job — it cannot be
+    * shared through the CacheManager like the plan-cached frames, so
+    * dedup_survivors and the cleaning pipeline would otherwise each pay
+    * the full iteration. Cleared via [[graft.model.Caches]]. */
+  private val ccMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  graft.model.Caches.register(() => ccMemo.clear())
+
+  private[queries] def componentLabels(s: SparkSession, dir: String): DataFrame =
+    ccMemo.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+      graft.ops.Graph.connectedComponents(
+        ngramJaccardPairs(s, dir).select("doc_a", "doc_b")))
+
   /** doc_id + distinct 3-gram shingle set, SORTED so that candidate
     * verification is a linear merge ([[KernelExpressions.SortedIntersectCount]])
     * instead of a per-pair hash-set build. */
@@ -94,7 +109,7 @@ object DedupQueries {
     * rows) because dedup_survivors consumes the same pairs as its edge
     * list — the CacheManager dedupes the identical plan, so the
     * similarity join runs once per (session, dataset). */
-  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
     jaccardFromCounts(
       ppjoinCandidates(sh, tauNum = 4, tauDen = 5) // τ = 0.8
@@ -243,11 +258,8 @@ object DedupQueries {
     // actual deduplicated corpus. The pair frame is shared with
     // dedup_ngram_jaccard via the persisted-plan cache, so the
     // similarity join runs once even when both queries execute.
-    "dedup_survivors" -> ((s, dir) => {
-      val pairs = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
-      graft.ops.Graph.connectedComponents(pairs)
-        .select(col("node").as("doc_id"), col("rep"))
-    }),
+    "dedup_survivors" -> ((s, dir) =>
+      componentLabels(s, dir).select(col("node").as("doc_id"), col("rep"))),
 
     // Embedding-cosine near-dup, EXACT at τ = 0.4, via triangle
     // block-partitioning instead of the round-1 BroadcastNestedLoopJoin.

@@ -19,6 +19,22 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Training docs (source != src0) contaminated by the held-out set:
+    * (doc_id, n_shared_spans) for docs sharing ≥ 1 verbatim 8-token
+    * span with a src0 document. Shared by the text_contamination query
+    * and the end-to-end cleaning pipeline. */
+  private[queries] def contaminatedDocs(s: SparkSession, dir: String): DataFrame = {
+    val spans = docs(s, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.KernelExpressions.sortedNgramSet(col("toks"), 8)).as("span"))
+    val evalSpans = spans.filter(col("source") === "src0").select("span").distinct()
+    spans.filter(col("source") =!= "src0")
+      .join(broadcast(evalSpans), Seq("span"))
+      .groupBy("doc_id") // spans are distinct per doc → count = shared spans
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-document quality stats
     "text_stats" -> ((s, dir) => {
@@ -71,17 +87,7 @@ object TextQueries {
     // eval span set is small by construction (benchmarks, not corpora),
     // so it is BROADCAST and the corpus streams past it map-side —
     // no corpus shuffle at all.
-    "text_contamination" -> ((s, dir) => {
-      val spans = docs(s, dir)
-        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("source"),
-          explode(graft.functions.KernelExpressions.sortedNgramSet(col("toks"), 8)).as("span"))
-      val evalSpans = spans.filter(col("source") === "src0").select("span").distinct()
-      spans.filter(col("source") =!= "src0")
-        .join(broadcast(evalSpans), Seq("span"))
-        .groupBy("doc_id") // spans are distinct per doc → count = shared spans
-        .agg(count(lit(1)).as("n_shared_spans"))
-    }),
+    "text_contamination" -> ((s, dir) => contaminatedDocs(s, dir)),
 
     // per-document top-3 salient terms by tf-idf (ratio idf: score =
     // tf * N / df — rational arithmetic, so the score is bit-identical
