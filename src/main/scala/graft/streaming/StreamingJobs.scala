@@ -94,6 +94,32 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming AS-OF enrichment against a STATIC dimension: each
+    * stream row picks up the latest dimension row (by `dimTs`, ties by
+    * max `dimVal`) at or before its own event time. The dimension is
+    * pre-aggregated to one sorted (ts, val) array per key and
+    * BROADCAST, so the stream never shuffles; per-row resolution is a
+    * filter + last-element on the (small) per-key array — the
+    * streaming counterpart of the batch union-merge as-of join
+    * (RelationalQueries q_asof_join), verified equal in
+    * StreamingSpec. For a dimension too large to broadcast, the batch
+    * union-merge form over micro-batches (foreachBatch) is the
+    * fallback.
+    */
+  def asofEnrichStreaming(
+      events: DataFrame, eventKey: String, eventTs: String,
+      dim: DataFrame, dimKey: String, dimTs: String, dimVal: String): DataFrame = {
+    val byKey = dim.groupBy(col(dimKey).as(eventKey))
+      .agg(sort_array(collect_list(struct(col(dimTs).as("ts"), col(dimVal).as("v"))))
+        .as("_dim_rows"))
+    events.join(broadcast(byKey), Seq(eventKey), "left")
+      .withColumn("asof_" + dimVal,
+        try_element_at(
+          filter(col("_dim_rows"), o => o.getField("ts") <= col(eventTs)), lit(-1))
+          .getField("v"))
+      .drop("_dim_rows")
+  }
+
   /** One keyed event for the stateful OVER operator. */
   case class KeyedEvent(key: String, ts: Timestamp)
 

@@ -68,4 +68,22 @@ class BatchSinksSpec extends SparkSpec {
       .as[(Long, Long)].collect()(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
+
+  test("approximate percentile sketch brackets the exact histogram median") {
+    // the sketch path for quantiles at scale (one pass, mergeable
+    // state); the exact path is q_median_price's histogram plan.
+    // approx_percentile's accuracy parameter bounds the RANK error,
+    // so compare by position: the approximate median's rank must be
+    // within n/accuracy of the true middle.
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val accuracy = 1000
+    val approxMedian = li
+      .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(accuracy)))
+      .as[Double].collect()(0)
+    val n = li.count()
+    val below = li.filter($"l_extendedprice" <= approxMedian).count()
+    val rankErr = math.abs(below - n / 2.0)
+    assert(rankErr <= n.toDouble / accuracy + 1,
+      s"approx median $approxMedian at rank $below of $n (err $rankErr)")
+  }
 }

@@ -239,6 +239,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment == batch as-of join on the same data") {
+    implicit val sql = spark.sqlContext
+    val events = Tables.load(spark, sf0001, "events").select("event_id", "user_id", "ts")
+    val orders = Tables.load(spark, sf0001, "orders")
+    val in = MemoryStream[(Long, Long, Timestamp)]
+    val q = asofEnrichStreaming(
+        in.toDF().toDF("event_id", "user_id", "ts"), "user_id", "ts",
+        orders, "o_custkey", "o_orderdate", "o_orderkey")
+      .select("event_id", "user_id", "asof_o_orderkey")
+      .writeStream.outputMode("append").format("memory").queryName("asof_out").start()
+    try {
+      val rows = events.as[(Long, Long, Timestamp)].collect().toSeq
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val got = spark.table("asof_out")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      val want = graft.queries.RelationalQueries.queries("q_asof_join")(spark, sf0001)
+        .select("event_id", "user_id", "asof_orderkey")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(got == want && want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert is idempotent under replay (X3 parity)") {
     val tumbled = Windows.tumblingCount(
       Tables.load(spark, sf0001, "events"), $"ts", $"event_type", "1 minute")
