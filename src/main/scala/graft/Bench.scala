@@ -42,6 +42,7 @@ object Bench {
       else 0.0
     val spread = results.map(_._3).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","run_policy":"best_of_2","spread_sum_sec":$spread}""")
+    graft.model.Tables.clearCaches(spark) // release library-pinned frames/memos
     spark.stop()
   }
 }

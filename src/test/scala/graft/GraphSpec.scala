@@ -25,4 +25,36 @@ class GraphSpec extends SparkSpec {
     val got = Graph.connectedComponents(edges).as[(Long, Long)].collect().toMap
     assert(got.values.toSet == Set(1L) && got.size == 12)
   }
+
+  test("∀ random graphs: labels == driver-side union-find") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val graphGen = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges.distinct
+    val prop = Prop.forAll(graphGen) { edges =>
+      edges.isEmpty || {
+        val got = Graph.connectedComponents(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        // reference union-find on the driver
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        got == want
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
