@@ -303,6 +303,32 @@ object DedupQueries {
           least(col("id_l"), col("id_r")).as("vec_a"),
           greatest(col("id_l"), col("id_r")).as("vec_b"),
           col("cos"))
+    }),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
+    // corpus by k-means cluster (the IVF bootstrap assignment), then
+    // find cosine near-dup pairs WITHIN each cluster only. This is the
+    // formulation production pipelines actually run at scale — the
+    // cluster id turns the quadratic threshold join into an equi-join
+    // whose comparison count is Σ_cluster |cluster|², tunable via k,
+    // and clustering + pairing are both deterministic, so the whole
+    // operator is oracle-checkable (unlike a random-restart k-means).
+    // Contrast dedup_embedding_cosine: that is the EXACT all-pairs
+    // answer (triangle-blocked); this trades cross-cluster recall for
+    // comparisons bounded per cluster.
+    "dedup_semantic" -> ((s, dir) => {
+      import graft.functions.KernelExpressions.dot
+      val (vs, assign, _) = SimilarityQueries.ivfParts(s, dir, k = 16, nprobe = 4)
+      val assigned = vs.select(col("vec_id"), col("v"), col("nrm"), assign.as("bucket"))
+      val a = assigned.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = assigned.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
     })
   )
 
@@ -396,6 +422,20 @@ object DedupQueries {
         |                 list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
         |               / (a.nrm * b.nrm), 6) AS cos
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4""".stripMargin
+        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4""".stripMargin,
+
+    // same deterministic cluster assignment as the IVF oracle, then
+    // within-cluster pairs only
+    "dedup_semantic" ->
+      s"""WITH ${SimilarityQueries.ivfAssignCtes},
+         |pr AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |         round(list_reduce(list_prepend(0.0,
+         |                 list_transform(range(1, 65), i -> xn.v[i] * yn.v[i])), (p, q) -> p + q)
+         |               / (xn.nrm * yn.nrm), 6) AS cos
+         |  FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  JOIN n xn ON xn.vec_id = x.vec_id
+         |  JOIN n yn ON yn.vec_id = y.vec_id)
+         |SELECT vec_a, vec_b, cos FROM pr WHERE cos >= 0.4""".stripMargin
   )
 }

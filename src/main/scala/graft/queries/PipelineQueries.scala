@@ -47,6 +47,25 @@ object PipelineQueries {
         .filter(col("source") =!= "src0")
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select("doc_id", "n_tokens")
+    }),
+
+    // deterministic train/val/test split — the step between cleaning
+    // and training. Assignment hashes the STABLE document id (the
+    // rolling polynomial hash shared with text_fingerprint), never a
+    // random() call: the split is reproducible across runs, engines,
+    // and repartitions, and any engine can recompute membership from
+    // the id alone. 80/10/10 by hash residue; output is the per-split
+    // audit summary (pure map + one tiny map-side-combined aggregate —
+    // at 100 TB the same expression feeds a partitionBy("split") write).
+    "pipeline_hash_split" -> ((s, dir) => {
+      val h = pmod(polyHash31(col("doc_id").cast("string")), lit(10L))
+      Tables.load(s, dir, "documents")
+        .select(
+          when(h < 8, lit("train")).when(h === 8, lit("val"))
+            .otherwise(lit("test")).as("split"),
+          col("n_chars"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
     })
   )
 
@@ -96,6 +115,21 @@ object PipelineQueries {
          |  AND len(string_split(d.text,' ')) >= 10
          |  AND l.c_en >= l.c_de AND l.c_en >= l.c_es AND l.c_en >= l.c_fr
          |  AND d.source <> 'src0'
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+
+    // same rolling polynomial hash as the text_fingerprint oracle,
+    // applied to the decimal doc_id string
+    "pipeline_hash_split" ->
+      """WITH h AS (
+        |  SELECT n_chars,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h * 31 + c) % 2147483647) % 10 AS b
+        |  FROM documents)
+        |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM h GROUP BY 1""".stripMargin
   )
 }

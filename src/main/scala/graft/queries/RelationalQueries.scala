@@ -240,10 +240,79 @@ object RelationalQueries {
         .filter((col("cum") >= col("lo") && col("cum") - col("c") < col("lo")) ||
                 (col("cum") >= col("hi") && col("cum") - col("c") < col("hi")))
         .groupBy("l_returnflag")
+        // prices are exact 2-decimal values, so the lo/hi midpoint has
+        // at most 3 decimals: round(…, 3) is tie-free on both engines,
+        // where round(…, 2) would hit a genuine .xx5 half-tie whenever
+        // lo+hi lands on an odd cent (seen at sf0.001)
         .agg(round(
           (max(when(col("cum") >= col("lo") && col("cum") - col("c") < col("lo"), col("v"))) +
            max(when(col("cum") >= col("hi") && col("cum") - col("c") < col("hi"), col("v")))) / 2.0,
-          2).as("median_price"))
+          3).as("median_price"))
+    }),
+
+    // changelog → snapshot compaction: latest order per customer. The
+    // scalable form is max(struct(ts, key, payload)) — a plain hash
+    // aggregate with map-side partial combine, ONE shuffle of one row
+    // per (partition × customer). The window-function formulation
+    // (row_number ... = 1) would sort every customer's full history;
+    // argmax-by-struct never materializes an ordering. Tie-break on
+    // (o_orderdate, o_orderkey) is total because keys are unique.
+    "q_latest_snapshot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))).as("m"))
+        .select(col("o_custkey"),
+          col("m.o_orderkey").as("last_orderkey"),
+          col("m.o_orderdate").as("last_orderdate"),
+          col("m.o_orderstatus").as("last_status"),
+          round(col("m.o_totalprice"), 2).as("last_totalprice"))),
+
+    // interval (time-range) join: clicks attributed to each purchase of
+    // the same user within the trailing 30 minutes. A naive range join
+    // is a BroadcastNestedLoopJoin (all pairs per user); the scalable
+    // formulation BUCKETIZES time by the frame width so the range
+    // condition becomes an equi-join: a click lives in one bucket, a
+    // purchase probes its own bucket and the previous one (a trailing
+    // frame equal to the bucket width can only span two), and the exact
+    // range predicate filters the candidates. Shuffle is ∝ rows × 2,
+    // never users², and PlanSpec asserts the BNLJ shape never returns.
+    "q_interval_join" -> ((s, dir) => {
+      val frameUs = 30L * 60 * 1000000 // 30 min, also the bucket width
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+        .withColumn("bkt", floor(col("c_us") / frameUs))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .withColumn("bkt", explode(array(
+          floor(col("p_us") / frameUs), floor(col("p_us") / frameUs) - 1)))
+      purchases.join(clicks, Seq("user_id", "bkt"), "left")
+        .groupBy("event_id", "user_id")
+        .agg(sum(when(col("c_us").isNotNull &&
+            col("c_us") >= col("p_us") - frameUs && col("c_us") < col("p_us"), 1L)
+          .otherwise(0L)).as("n_clicks_30m"))
+    }),
+
+    // bloom-pruned big-big join: revenue of lineitems belonging to
+    // URGENT orders. The orders side is too large to broadcast at
+    // scale, so the join is shuffle-hash/sort-merge — and a Bloom
+    // filter of the filtered order keys, built in one bounded
+    // aggregate, prunes lineitem AT THE SCAN, before its shuffle.
+    // False positives are removed by the exact join, so the result is
+    // identical to the unpruned plan (the oracle is the plain join).
+    "q_bloom_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bloom = graft.ops.BloomPrune.bloomOf(
+        ord, col("o_orderkey"), expectedItems = 200000L, numBits = 1600000L)
+      t(s, dir, "lineitem")
+        .filter(graft.ops.BloomPrune.mightContain(bloom, col("l_orderkey")))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     })
   )
 
@@ -385,9 +454,35 @@ object RelationalQueries {
         |  SELECT *, CAST((n + 1) // 2 AS BIGINT) AS lo, CAST((n + 2) // 2 AS BIGINT) AS hi FROM cum)
         |SELECT l_returnflag,
         |       round((max(CASE WHEN cum >= lo AND cum - c < lo THEN v END) +
-        |              max(CASE WHEN cum >= hi AND cum - c < hi THEN v END)) / 2.0, 2) AS median_price
+        |              max(CASE WHEN cum >= hi AND cum - c < hi THEN v END)) / 2.0, 3) AS median_price
         |FROM pos
         |WHERE (cum >= lo AND cum - c < lo) OR (cum >= hi AND cum - c < hi)
+        |GROUP BY 1""".stripMargin,
+
+    "q_latest_snapshot" ->
+      """SELECT o_custkey, o_orderkey AS last_orderkey, o_orderdate AS last_orderdate,
+        |       o_orderstatus AS last_status, round(o_totalprice, 2) AS last_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""".stripMargin,
+
+    // the oracle is the naive non-equi formulation the bucketed
+    // equi-join replaces — same answer, different plan
+    "q_interval_join" ->
+      """SELECT p.event_id, p.user_id, CAST(count(c.ts) AS BIGINT) AS n_clicks_30m
+        |FROM events p LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+        | AND epoch_us(c.ts) < epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // plain join: the bloom prune must not change the result
+    "q_bloom_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin
   )
 }

@@ -121,6 +121,29 @@ object SimilarityQueries {
         .select("query_id", "neighbor_id", "cos", "rank")
     }),
 
+    // one Lloyd iteration refining the IVF bootstrap centroids — the
+    // k-means training step every IVF/SemDeDup index needs, shaped for
+    // scale: centroids are broadcast literals (bounded by k, not data),
+    // assignment is a map-side argmax, and the new centroids come from
+    // ONE partial-aggregated shuffle of (bucket, dim) partial sums —
+    // the corpus is never re-partitioned, collected, or joined.
+    // Output: per-cluster size + refined-centroid norm (the scalar
+    // summary of the 64-dim mean, so the oracle hash stays compact).
+    "sim_kmeans_refine" -> ((s, dir) => {
+      val (vs, assign, _) = ivfParts(s, dir, k = 16, nprobe = 4)
+      val byDim = vs.select(col("vec_id"), col("v"), assign.as("bucket"))
+        .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+      byDim
+        .groupBy(col("bucket"))
+        .agg(max(col("c")).as("n_members"),
+          sort_array(collect_list(struct(col("pos"), (col("sx") / col("c")).as("m")))).as("pm"))
+        .withColumn("mv", transform(col("pm"), p => p.getField("m")))
+        .select(col("bucket"), col("n_members"),
+          round(sqrt(dot(col("mv"), col("mv"))), 6).as("centroid_norm"))
+    }),
+
     // IVF ANN: k=16 driver-bootstrapped centroids, nprobe=4 multi-probe.
     // Candidate set ≈ nprobe/k of the corpus via an equi-join on the
     // bucket id — the inverted-file scale path. Recall asserted in
@@ -193,15 +216,11 @@ object SimilarityQueries {
        |QUALIFY rank <= 5""".stripMargin
   }
 
-  /** sim_ann_ivf is likewise deterministic end-to-end: centroids are
-    * the first k=16 vectors (the driver-side bootstrap collect), the
-    * argmax tie-break is first-max (row_number ORDER BY score DESC,
-    * cent_id ASC), and the nprobe threshold is the (k-nprobe+1)-th
-    * smallest centroid score — a multiset position, invariant to tie
-    * order. Every arithmetic step mirrors the Spark plan's fold order.
-    */
-  private val ivfOracle: String =
-    s"""WITH $vectorCtes,
+  /** Shared IVF-assignment CTE chain (bootstrap centroids → scores →
+    * first-max bucket per vector) — the deterministic core reused by
+    * the ivf, k-means-refine, and semantic-dedup oracles. */
+  private[queries] val ivfAssignCtes: String =
+    s"""$vectorCtes,
        |cents AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cent_id, v AS cv,
        |         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS cnrm
@@ -213,7 +232,17 @@ object SimilarityQueries {
        |  FROM n CROSS JOIN cents),
        |assign AS (
        |  SELECT vec_id, cent_id AS bucket FROM sc
-       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cent_id ASC) = 1),
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cent_id ASC) = 1)""".stripMargin
+
+  /** sim_ann_ivf is likewise deterministic end-to-end: centroids are
+    * the first k=16 vectors (the driver-side bootstrap collect), the
+    * argmax tie-break is first-max (row_number ORDER BY score DESC,
+    * cent_id ASC), and the nprobe threshold is the (k-nprobe+1)-th
+    * smallest centroid score — a multiset position, invariant to tie
+    * order. Every arithmetic step mirrors the Spark plan's fold order.
+    */
+  private val ivfOracle: String =
+    s"""WITH $ivfAssignCtes,
        |thr AS (
        |  SELECT vec_id, score AS cthr FROM sc
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cent_id ASC) = 13),
@@ -250,6 +279,26 @@ object SimilarityQueries {
         |QUALIFY rank <= 5""".stripMargin,
 
     "sim_ann_lsh" -> lshOracle,
-    "sim_ann_ivf" -> ivfOracle
+    "sim_ann_ivf" -> ivfOracle,
+
+    // per-dimension mean = sum/count exactly as the Spark plan computes
+    // it (sum first, one division), then the same ascending-index
+    // 0-seeded fold for the norm; round(…, 6) absorbs summation-order
+    // jitter (≤ 1e-13 relative at these magnitudes)
+    "sim_kmeans_refine" ->
+      s"""WITH $ivfAssignCtes,
+         |mdim AS (
+         |  SELECT a.bucket, r.pos, sum(n.v[r.pos]) AS sx, count(*) AS c
+         |  FROM assign a JOIN n ON n.vec_id = a.vec_id
+         |  CROSS JOIN range(1, 65) r(pos)
+         |  GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT bucket, CAST(max(c) AS BIGINT) AS n_members,
+         |         list(sx / c ORDER BY pos) AS mv
+         |  FROM mdim GROUP BY 1)
+         |SELECT bucket, n_members,
+         |       round(sqrt(list_reduce(list_prepend(0.0,
+         |               list_transform(mv, x -> x * x)), (a, b) -> a + b)), 6) AS centroid_norm
+         |FROM cent""".stripMargin
   )
 }

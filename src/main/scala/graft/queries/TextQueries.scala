@@ -109,7 +109,21 @@ object TextQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("doc_id", "token", "score", "rank")
-    })
+    }),
+
+    // corpus length distribution: documents histogrammed by token count
+    // in width-10 buckets — the first diagnostic run on any training
+    // corpus (truncation/padding budgets, outlier screens). Bucketing
+    // is pure integer arithmetic (n - n mod 10), so the histogram is
+    // engine-exact; one map-side-combined shuffle of ≤ #buckets rows.
+    "text_length_histogram" -> ((s, dir) =>
+      docs(s, dir)
+        .select(size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("bucket_lo", col("n_tok") - pmod(col("n_tok"), lit(10L)))
+        .groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("min_tokens"),
+          max(col("n_tok")).as("max_tokens")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -185,6 +199,15 @@ object TextQueries {
         |  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n)
         |SELECT doc_id, token, score,
         |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rank
-        |FROM scored QUALIFY rank <= 3""".stripMargin
+        |FROM scored QUALIFY rank <= 3""".stripMargin,
+
+    "text_length_histogram" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)
+        |SELECT n_tok - n_tok % 10 AS bucket_lo,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(n_tok) AS BIGINT) AS min_tokens,
+        |       CAST(max(n_tok) AS BIGINT) AS max_tokens
+        |FROM t GROUP BY 1""".stripMargin
   )
 }

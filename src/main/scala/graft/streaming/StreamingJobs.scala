@@ -120,6 +120,33 @@ object StreamingJobs {
       .drop("_dim_rows")
   }
 
+  /** Stream-stream interval join: purchases matched to same-user
+    * clicks in the trailing `frameSeconds` — the live form of the
+    * batch bucketized interval join (RelationalQueries
+    * q_interval_join), verified equal to it in StreamingSpec.
+    *
+    * Both sides carry watermarks and the join condition bounds c_ts
+    * within [p_ts − frame, p_ts), so Structured Streaming derives
+    * state-eviction bounds for BOTH sides: a buffered click is dropped
+    * once the purchase watermark passes c_ts + frame, a buffered
+    * purchase once the click watermark passes p_ts — state is bounded
+    * by frame width × arrival rate, the same guarantee the batch
+    * bucketing gives for shuffle volume. The join itself shuffles on
+    * the equi-key (user), exactly like a keyed window aggregation.
+    */
+  def intervalJoinStreaming(
+      purchases: DataFrame, clicks: DataFrame, frameSeconds: Long = 1800L): DataFrame = {
+    val p = purchases.select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "0 seconds")
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", s"$frameSeconds seconds")
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $frameSeconds SECONDS") &&
+          col("c_ts") < col("p_ts"))
+      .select(col("event_id"), col("p_user").as("user_id"), col("p_ts"), col("c_ts"))
+  }
+
   /** One keyed event for the stateful OVER operator. */
   case class KeyedEvent(key: String, ts: Timestamp)
 

@@ -101,4 +101,40 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_sliding_over_chunked")
     assert(p.contains("_chunk"), p)
   }
+
+  test("interval join is a bucketized equi-join — no nested-loop range join") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bkt"), p)
+  }
+
+  test("bloom-pruned join filters the fact scan before the join") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"), p)
+    // the probe predicate must sit below the join, in the scan stage's
+    // Filter, so pruned rows never reach the exchange
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = math.max(p.indexOf("HashJoin"), p.indexOf("SortMergeJoin"))
+    assert(filterIdx > joinIdx, s"filter above join: $p") // tree prints top-down
+  }
+
+  test("latest-snapshot compaction is an argmax aggregate, not a per-key sort window") {
+    val p = plan("q_latest_snapshot")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("semantic dedup pairs come from an equi-join on the cluster id") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("k-means refine never joins or collects the corpus — one aggregate chain") {
+    val p = plan("sim_kmeans_refine")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -263,6 +263,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch bucketized interval join pairs") {
+    implicit val sql = spark.sqlContext
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+      .as[(Long, Long, Timestamp, String)].collect()
+    // event-time order: a stream-stream join drops rows behind the
+    // watermark, so the feed must not go backwards across batches
+    val purchases = ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3)).sortBy(_._3.getTime)
+    val clicks = ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3)).sortBy(_._3.getTime)
+
+    val pIn = MemoryStream[(Long, Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    val q = intervalJoinStreaming(
+        pIn.toDF().toDF("event_id", "user_id", "ts"),
+        cIn.toDF().toDF("event_id", "user_id", "ts").drop("event_id"),
+        frameSeconds = 1800L)
+      .writeStream.outputMode("append").format("memory").queryName("ivj_out").start()
+    try {
+      // two time-ordered batches — boundary matches must form across
+      // the batch line from buffered state
+      val (p1, p2) = purchases.splitAt(purchases.length / 2)
+      val (c1, c2) = clicks.splitAt(clicks.length / 2)
+      pIn.addData(p1.toSeq); cIn.addData(c1.toSeq); q.processAllAvailable()
+      pIn.addData(p2.toSeq); cIn.addData(c2.toSeq); q.processAllAvailable()
+      val got = spark.table("ivj_out")
+        .select("event_id", "c_ts").as[(Long, Timestamp)].collect()
+        .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val want = graft.queries.RelationalQueries.queries("q_interval_join")(spark, sf0001)
+        .filter($"n_clicks_30m" > 0)
+        .select("event_id", "n_clicks_30m").as[(Long, Long)].collect().toMap
+      assert(got == want && want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert is idempotent under replay (X3 parity)") {
     val tumbled = Windows.tumblingCount(
       Tables.load(spark, sf0001, "events"), $"ts", $"event_type", "1 minute")
