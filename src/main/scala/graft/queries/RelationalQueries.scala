@@ -250,18 +250,22 @@ object RelationalQueries {
           3).as("median_price"))
     }),
 
-    // changelog → snapshot compaction: latest order per customer. The
-    // scalable form is max(struct(ts, key, payload)) — a plain hash
-    // aggregate with map-side partial combine, ONE shuffle of one row
-    // per (partition × customer). The window-function formulation
-    // (row_number ... = 1) would sort every customer's full history;
-    // argmax-by-struct never materializes an ordering. Tie-break on
-    // (o_orderdate, o_orderkey) is total because keys are unique.
+    // changelog → snapshot compaction: latest order per customer, via
+    // the native argmax aggregate (graft.functions.ArgMax). The window
+    // formulation (row_number ... = 1) would sort every customer's
+    // full history, and max(struct)/max_by are DeclarativeAggregates
+    // whose struct buffer forces a SortAggregate fallback — ArgMax is
+    // a TypedImperativeAggregate, so the plan is ObjectHashAggregate:
+    // map-side partial combine, ONE shuffle of one (ordering, payload)
+    // pair per (partition × customer), no sort (PlanSpec pins this).
+    // Tie-break on (o_orderdate, o_orderkey) is total: keys are unique.
     "q_latest_snapshot" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_custkey"))
-        .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
-          col("o_orderstatus"), col("o_totalprice"))).as("m"))
+        .agg(graft.functions.ArgMax.argMax(
+          struct(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderstatus"), col("o_totalprice")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
         .select(col("o_custkey"),
           col("m.o_orderkey").as("last_orderkey"),
           col("m.o_orderdate").as("last_orderdate"),

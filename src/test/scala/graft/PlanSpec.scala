@@ -121,7 +121,10 @@ class PlanSpec extends SparkSpec {
 
   test("latest-snapshot compaction is an argmax aggregate, not a per-key sort window") {
     val p = plan("q_latest_snapshot")
-    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    // ArgMax is a TypedImperativeAggregate: partial + final
+    // ObjectHashAggregate, no sort-based fallback, no window
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortAggregate"), p)
     assert(!p.contains("Window"), p)
   }
 

@@ -133,6 +133,29 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("∀ rows: ArgMax == naive max-by; null orderings ignored; null on empty group") {
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "c")
+        ord <- Gen.option(Gen.choose(-50L, 50L))
+        v <- Gen.choose(0L, 9L)
+      } yield (k, ord, v))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("k", "ord", "v").repartition(4) // partial buffers + serialize + merge
+      val got = df.groupBy($"k")
+        .agg(graft.functions.ArgMax.argMax(
+          $"v", when($"ord".isNotNull, struct($"ord", $"v"))).as("m"))
+        .as[(String, Option[Long])].collect().toMap
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        val defined = rs.collect { case (_, Some(o), v) => (o, v) }
+        k -> (if (defined.isEmpty) None else Some(defined.max._2))
+      }
+      got == want
+    })
+  }
+
   private val textGen: Gen[String] = for {
     n <- Gen.choose(1, 30)
     ws <- Gen.listOfN(n, Gen.oneOf("spark", "join", "scan", "the", "agg", "row", "key"))
