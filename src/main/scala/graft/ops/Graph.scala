@@ -29,15 +29,18 @@ import org.apache.spark.sql.functions._
   *    AQE would converge to, but applied up front so every round
   *    benefits. The loop is synchronous, so the scoped conf cannot
   *    leak into concurrent queries from this call;
-  *  - each round runs exactly ONE action and TWO joins: neighbor
-  *    messages union a self-tagged copy of the labels, so one
-  *    min-aggregate yields both the new label and the old one (for
-  *    the convergence count) — no separate old-label join, and the
-  *    convergence check is a filter-count on the frame being cached;
-  *  - every intermediate cache is released; the result is detached
-  *    from the iteration lineage with an eager localCheckpoint so the
-  *    caller gets a self-contained frame and no cache entry outlives
-  *    the call.
+  *  - each round runs TWO joins: neighbor messages union a self-tagged
+  *    copy of the labels, so one min-aggregate yields both the new
+  *    label and the old one (for the convergence count) — no separate
+  *    old-label join;
+  *  - each round ends in an eager localCheckpoint, so per-round
+  *    PLANNING cost is constant: a persisted frame keeps execution
+  *    warm but its logical plan still chains every earlier round, and
+  *    Catalyst re-analysis of that growing tree dominated the round-2
+  *    wall clock. The result frame is likewise checkpoint-detached, so
+  *    the caller gets a self-contained frame; intermediate checkpoint
+  *    blocks (|V|-row frames) are dropped by the ContextCleaner as
+  *    each round's reference goes out of scope.
   *
   * The driver-side loop only sees a scalar count per round — data
   * never leaves the executors.
@@ -64,9 +67,20 @@ object Graph {
     if (nEdges < 10000000L) spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
       val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      // each round's frame is eagerly localCheckpoint'ed, NOT persisted:
+      // persist keeps execution warm but the LOGICAL plan still chains
+      // every previous round, so Catalyst re-analyzes/re-optimizes a
+      // tree that grows per iteration and planning time dominates (the
+      // round-2 bench measured ~2.5 s/round on a 256-edge graph, almost
+      // all of it driver-side planning). Checkpointing truncates the
+      // lineage to a LogicalRDD, making per-round planning cost CONSTANT
+      // — the standard discipline for iterative Spark jobs. The
+      // checkpoint blocks are |V|-row frames; each round's goes out of
+      // scope immediately and the ContextCleaner drops it.
       var labels = sym.select(col("src").as("node")).distinct()
         .withColumn("rep", col("node"))
-        .persist()
+        .localCheckpoint(true)
       var converged = false
       while (!converged) {
         // neighbor messages + a self-tagged copy of the labels: one
@@ -88,19 +102,13 @@ object Graph {
           .join(reps, Seq("rep"), "left")
           .select(col("node"), col("old"),
             least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
-          .persist()
-        // single action per round: caches `next` AND yields the
-        // convergence count
+          .localCheckpoint(true) // one materializing action per round
+        // convergence count scans the just-checkpointed rows only
         val shrunk = next.filter(col("rep") < col("old")).count()
-        labels.unpersist()
         labels = next
         converged = shrunk == 0
       }
-      // detach the result from the iteration lineage, then release
-      // everything pinned above — no cache entry outlives the call
-      val out = labels.select(col("node"), col("rep")).localCheckpoint(true)
-      labels.unpersist()
-      out
+      labels.select(col("node"), col("rep"))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)

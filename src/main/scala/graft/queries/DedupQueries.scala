@@ -126,20 +126,29 @@ object DedupQueries {
     * would otherwise produce m²/2 candidate pairs per band that verify
     * to jac = 0 — quadratic garbage at scale. Pure column expressions,
     * so the same projection runs on a stream
-    * ([[graft.streaming.StreamingJobs.lshCandidatesStreaming]]). */
-  private[graft] def bandedFromShingles(sh: DataFrame): DataFrame =
+    * ([[graft.streaming.StreamingJobs.lshCandidatesStreaming]]).
+    * `passthrough` columns (e.g. the stream's event-time column) ride
+    * along unchanged. */
+  private[graft] def bandedFromShingles(sh: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    val extra = passthrough.map(col)
     sh.filter(size(col("g")) > 0)
       .withColumn("sig", minhashSignature(col("g"), perms = 64))
-      .select(col("doc_id"), explode(lshBands(col("sig"), perms = 64, bands = 16)).as("bh"))
-      .select(col("doc_id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+      .select(col("doc_id") +: extra :+
+        explode(lshBands(col("sig"), perms = 64, bands = 16)).as("bh"): _*)
+      .select(col("doc_id") +: col("bh.band").as("band") +: col("bh.bucket").as("bucket") +:
+        extra: _*)
+  }
 
-  /** Banded rows straight from (doc_id, text) — the streaming entry. */
-  private[graft] def bandedDocs(docsWithText: DataFrame): DataFrame =
+  /** Banded rows straight from (doc_id, text [, passthrough…]) — the
+    * streaming entry (the event-time column passes through for the
+    * watermark). */
+  private[graft] def bandedDocs(docsWithText: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
     bandedFromShingles(
       docsWithText
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          graft.functions.KernelExpressions.sortedNgramSet(col("toks"), 3).as("g")))
+        .select(col("doc_id") +: passthrough.map(col) :+ tokens(col("text")).as("toks"): _*)
+        .select(col("doc_id") +: passthrough.map(col) :+
+          graft.functions.KernelExpressions.sortedNgramSet(col("toks"), 3).as("g"): _*),
+      passthrough)
 
   /** LSH candidate pairs (doc_a < doc_b), deduplicated across bands. */
   private[graft] def lshCandidates(sh: DataFrame): DataFrame = {
@@ -201,25 +210,35 @@ object DedupQueries {
     // O(n²) BroadcastNestedLoopJoin over documents; PlanSpec asserts
     // that shape never returns).
     "dedup_simhash" -> ((s, dir) => {
+      def blockBits(c: org.apache.spark.sql.Column, i: Int) = {
+        val off = i * 8
+        val width = if (i == 3) 7 else 8
+        shiftrightunsigned(c, off).bitwiseAND(lit((1L << width) - 1))
+      }
       val d = docs(s, dir).select(col("doc_id"), simhash31(col("text")).as("sh")).persist()
       val sigs = d.select("sh").distinct()
       val blocks = array((0 until 4).map { i =>
-        val off = i * 8
-        val width = if (i == 3) 7 else 8
-        struct(lit(i).as("blk"),
-          shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << width) - 1)).as("bits"))
+        struct(lit(i).as("blk"), blockBits(col("sh"), i).as("bits"))
       }: _*)
       val banded = sigs
         .select(col("sh"), explode(blocks).as("b"))
         .select(col("sh"), col("b.blk").as("blk"), col("b.bits").as("bits"))
       val a = banded.select(col("blk"), col("bits"), col("sh").as("sha"))
       val b = banded.select(col("blk"), col("bits"), col("sh").as("shb"))
+      // a signature pair collides once per equal block; instead of a
+      // distinct() shuffle over all candidate pairs, keep only the row
+      // whose join block is the pair's FIRST equal block — a per-row
+      // bitwise when-chain recomputed from the signatures themselves,
+      // so each surviving pair is emitted exactly once, shuffle-free
+      val firstEqualBlock = (0 until 4).foldRight(lit(-1)) { (i, acc) =>
+        when(blockBits(col("sha"), i) === blockBits(col("shb"), i), lit(i)).otherwise(acc)
+      }
       val sigPairs = a.join(b, Seq("blk", "bits"))
         .filter(col("sha") < col("shb"))
+        .filter(col("blk") === firstEqualBlock)
         .withColumn("ham", hamming(col("sha"), col("shb")))
         .filter(col("ham") <= 3)
         .select("sha", "shb", "ham")
-        .distinct() // a signature pair can collide in several blocks
       val da = d.select(col("doc_id").as("ida"), col("sh").as("sha"))
       val db = d.select(col("doc_id").as("idb"), col("sh").as("shb"))
       val cross = sigPairs

@@ -50,8 +50,9 @@ object StreamingJobs {
       .withWatermark(tsCol, retention)
       .dropDuplicatesWithinWatermark("digest")
 
-  /** One banded LSH row for the streaming near-dup operator. */
-  case class BucketDoc(doc_id: Long, band: Int, bucket: Int)
+  /** One banded LSH row for the streaming near-dup operator; `ts` is
+    * the document's event time (drives the retention watermark). */
+  case class BucketDoc(doc_id: Long, band: Int, bucket: Int, ts: Timestamp)
 
   /** One near-duplicate candidate pair (doc_a < doc_b). */
   case class CandPair(doc_a: Long, doc_b: Long)
@@ -71,26 +72,53 @@ object StreamingJobs {
     * state stays proportional to bucket occupancy. A pair colliding in
     * several bands is emitted once per band (groups are independent);
     * downstream exact verification deduplicates, same as the batch
-    * path's `.distinct()`. Production deployments bound bucket state
-    * with a retention timeout; the operator itself is append-only.
+    * path's `.distinct()`.
+    *
+    * State is BOUNDED, mirroring [[exactDedupStreaming]]'s contract: a
+    * bucket's membership set evicts once the event-time watermark
+    * passes its newest member by `retention` — on an unbounded feed,
+    * state is proportional to retention-window occupancy, not corpus
+    * history. Documents separated by more than `retention` are treated
+    * as non-candidates (the standard windowed-dedup contract).
+    * Membership is a `Set`, so the per-document check is O(1), not a
+    * linear scan of a hot bucket.
     */
-  def lshCandidatesStreaming(banded: Dataset[BucketDoc]): Dataset[CandPair] = {
+  def lshCandidatesStreaming(
+      banded: Dataset[BucketDoc], retention: String = "1 hour"): Dataset[CandPair] = {
     import banded.sparkSession.implicits._
+    val retentionMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(retention))
+      require(iv.months == 0, s"retention must be day-time, got: $retention")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
     banded
+      .withWatermark("ts", retention)
       .groupByKey(b => (b.band, b.bucket))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Int, Int), rows: Iterator[BucketDoc], state: GroupState[List[Long]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = List.newBuilder[CandPair]
-          rows.foreach { r =>
-            if (!seen.contains(r.doc_id)) {
-              seen.foreach(d =>
-                out += CandPair(math.min(d, r.doc_id), math.max(d, r.doc_id)))
-              seen = r.doc_id :: seen
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Int), rows: Iterator[BucketDoc], state: GroupState[Set[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed newest member + retention
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Set.empty[Long])
+            var maxTsMs = Long.MinValue
+            val out = List.newBuilder[CandPair]
+            rows.foreach { r =>
+              val t = r.ts.getTime
+              if (t > maxTsMs) maxTsMs = t
+              if (!seen.contains(r.doc_id)) {
+                seen.foreach(d =>
+                  out += CandPair(math.min(d, r.doc_id), math.max(d, r.doc_id)))
+                seen += r.doc_id
+              }
             }
+            state.update(seen)
+            // rows older than the watermark never reach the operator,
+            // so maxTs ≥ watermark and this timeout is always valid
+            state.setTimeoutTimestamp(maxTsMs + retentionMs)
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
       }
   }
 

@@ -38,15 +38,19 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming LSH candidates across batches == batch bucket self-join") {
+  test("streaming LSH candidates across batches == batch bucket self-join (within retention)") {
     implicit val sql = spark.sqlContext
+    val t0 = ts("2024-01-01 00:00:00")
     val docs = Tables.load(spark, sf0001, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .map { case (id, text) => (id, text, t0) } // one instant: nothing evicts
     assert(docs.nonEmpty)
 
-    val in = MemoryStream[(Long, String)]
-    val banded = DedupQueries.bandedDocs(in.toDF().toDF("doc_id", "text")).as[BucketDoc]
-    val q = lshCandidatesStreaming(banded)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val banded = DedupQueries
+      .bandedDocs(in.toDF().toDF("doc_id", "text", "ts"), passthrough = Seq("ts"))
+      .as[BucketDoc]
+    val q = lshCandidatesStreaming(banded, retention = "1 hour")
       .writeStream.outputMode("append").format("memory").queryName("lsh_out").start()
     try {
       val (b1, b2) = docs.splitAt(docs.size / 2)
@@ -63,6 +67,37 @@ class StreamingDedupSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
       assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming LSH bucket state evicts after retention; operator keeps working") {
+    implicit val sql = spark.sqlContext
+    // two distinct near-dup texts: A/A' pair, B/B' pair, A≁B
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textB = "completely different content about spark shuffle partitions and joins here"
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val banded = DedupQueries
+      .bandedDocs(in.toDF().toDF("doc_id", "text", "ts"), passthrough = Seq("ts"))
+      .as[BucketDoc]
+    val q = lshCandidatesStreaming(banded, retention = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("lsh_evict").start()
+    try {
+      // t=00:00 doc 1 (A) fills its buckets
+      in.addData((1L, textA, ts("2024-01-01 00:00:00"))); q.processAllAvailable()
+      // t=01:00 doc 90 (B) pushes the watermark to 00:50 — far past
+      // doc 1's buckets' timeout (00:10)
+      in.addData((90L, textB, ts("2024-01-01 01:00:00"))); q.processAllAvailable()
+      // next batch triggers timeout processing for doc 1's (data-less)
+      // buckets → evicted
+      in.addData((91L, textB, ts("2024-01-01 01:01:00"))); q.processAllAvailable()
+      // doc 2 (A again) arrives after eviction: no pair with doc 1
+      in.addData((2L, textA, ts("2024-01-01 01:02:00"))); q.processAllAvailable()
+      val pairs = spark.table("lsh_evict")
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L),
+        s"doc 1 should have been evicted before doc 2 arrived: $pairs")
+      // the operator still detects pairs inside the retention window
+      assert(pairs.contains((90L, 91L)), s"in-window pair missing: $pairs")
     } finally q.stop()
   }
 }
