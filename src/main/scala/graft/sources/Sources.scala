@@ -22,19 +22,49 @@ object Sources {
 
   /** Streaming Kinesis source (spark-sql-kinesis connector wiring; per
     * BASELINE.json `spark_approach`). `streamName`/`region`/
-    * `initialPosition` mirror the reference's consumer config keys.
+    * `initialPosition` mirror the reference's consumer config keys
+    * (reference README.MD:113–116: `inputStreamName`, `region`,
+    * `flink.stream.initpos`).
+    *
+    * Target artifact: **awslabs/spark-sql-kinesis-connector**
+    * (`com.amazonaws:spark-streaming-sql-kinesis-connector_2.13`), the
+    * actively maintained DSv2 connector for Spark 3.2+ — the connector
+    * jar is not present in this container (zero egress), so this
+    * builder is exercised up to `load()` wiring only. Key mapping from
+    * this helper's parameters to the connector's option schema:
+    *
+    * | parameter         | awslabs `aws-kinesis` option   | qubole `kinesis` option |
+    * |-------------------|--------------------------------|-------------------------|
+    * | `streamName`      | `kinesis.streamName`           | `streamName`            |
+    * | `region`          | `kinesis.region`               | `endpointUrl` (derived) |
+    * | `initialPosition` | `kinesis.startingPosition`     | `startingPosition`      |
+    *
+    * `connector = "aws-kinesis"` (default) emits the awslabs keys;
+    * `connector = "kinesis"` emits the legacy qubole-fork flat keys
+    * (`com.qubole.spark:spark-sql-kinesis_2.12`, Spark 2.x/3.0 era).
+    * Position values accepted by both: `LATEST`, `TRIM_HORIZON`
+    * (the reference's `flink.stream.initpos` values map 1:1).
     */
   def kinesis(
       spark: SparkSession,
       streamName: String,
       region: String,
-      initialPosition: String = "LATEST"): DataFrame =
-    spark.readStream
-      .format("kinesis")
-      .option("streamName", streamName)
-      .option("region", region)
-      .option("initialPosition", initialPosition)
-      .load()
+      initialPosition: String = "LATEST",
+      connector: String = "aws-kinesis"): DataFrame = {
+    val reader = spark.readStream.format(connector)
+    (connector match {
+      case "aws-kinesis" => // awslabs DSv2 connector: namespaced keys
+        reader
+          .option("kinesis.streamName", streamName)
+          .option("kinesis.region", region)
+          .option("kinesis.startingPosition", initialPosition)
+      case _ => // qubole-fork flat keys; region rides the endpoint URL
+        reader
+          .option("streamName", streamName)
+          .option("endpointUrl", s"https://kinesis.$region.amazonaws.com")
+          .option("startingPosition", initialPosition)
+    }).load()
+  }
 
   /** Streaming file source over a directory of JSON lines — the
     * connector-free stand-in with identical downstream semantics. */
