@@ -236,6 +236,49 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Longest run of equal adjacent elements in a SORTED string array —
+    * i.e. the max frequency of any value, in O(n) after the sort. The
+    * repetition-quality signals (Gopher-style "top n-gram fraction",
+    * Rae et al. 2021) need the modal n-gram count per document; the
+    * composed-builtins form is O(d²) (`transform(distinct, g ->
+    * size(filter(all, = g)))`), ruinous for long documents. 0 on empty.
+    */
+  case class MaxRunLength(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val n = xs.numElements()
+      if (n == 0) return 0L
+      var best = 1L
+      var run = 1L
+      var i = 1
+      while (i < n) {
+        if (xs.getUTF8String(i).compareTo(xs.getUTF8String(i - 1)) == 0) {
+          run += 1; if (run > best) best = run
+        } else run = 1
+        i += 1
+      }
+      best
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val (i, n, run, best) = (ctx.freshName("i"), ctx.freshName("n"),
+          ctx.freshName("run"), ctx.freshName("best"))
+        s"""
+        int $n = $x.numElements();
+        long $best = $n == 0 ? 0L : 1L;
+        long $run = 1L;
+        for (int $i = 1; $i < $n; $i++) {
+          if ($x.getUTF8String($i).compareTo($x.getUTF8String($i - 1)) == 0) {
+            $run++; if ($run > $best) $best = $run;
+          } else { $run = 1L; }
+        }
+        ${ev.value} = $best;"""
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column wrappers ----
 
   def dot(a: Column, b: Column): Column =
@@ -252,4 +295,7 @@ object KernelExpressions {
 
   def sortedNgramSet(toks: Column, n: Int): Column =
     Bridge.column(SortedNgramSet(Bridge.expression(toks), n))
+
+  def maxRunLength(sorted: Column): Column =
+    Bridge.column(MaxRunLength(Bridge.expression(sorted)))
 }

@@ -66,6 +66,75 @@ object PipelineQueries {
           col("n_chars"))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // sequence packing — the step between cleaning and tokenization:
+    // documents are laid end-to-end into fixed 2048-token bins, each doc
+    // assigned to the bin its FIRST token lands in (start-offset
+    // packing, deterministic). Packing is scoped to (lang, shard) where
+    // shard = doc_id div 100: a global pack order would serialize the
+    // corpus through one sort, while per-shard packing is exactly what a
+    // 1000-executor job does (pack within partition, one window sort per
+    // shard — parallelism = #langs × #shards, shuffle keyed by both).
+    // All arithmetic is integer (div, cumulative sum), so bin ids are
+    // engine-exact. Output: per-bin audit (docs, tokens).
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("shard", expr("doc_id div 100"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      d.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr("(cum - n_tok) div 2048"))
+        .groupBy("lang", "shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+    }),
+
+    // deterministic stratified sampling — rebalance the language mix by
+    // keeping a per-stratum fraction, membership decided by the SAME
+    // stable polynomial id-hash as pipeline_hash_split (mod 100), never
+    // random(): reproducible across runs/engines/repartitions, and the
+    // sampled set is recomputable from ids alone. Rates: en 20 % (the
+    // majority class is downsampled), zh 50 %, others kept whole. Pure
+    // map + one tiny aggregate; at 100 TB the same predicate feeds the
+    // sampled write directly. Output: per-lang audit with realized rate.
+    "pipeline_stratified_sample" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", lit(20L))
+        .when(col("lang") === "zh", lit(50L)).otherwise(lit(100L))
+      val h = pmod(polyHash31(col("doc_id").cast("string")), lit(100L))
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), (h < rate).cast("long").as("kept"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+        .withColumn("kept_frac",
+          col("n_kept").cast("double") / col("n_docs").cast("double"))
+    }),
+
+    // domain-mixture audit — per-source token share and the up/down-
+    // sampling weight that would equalize the mixture (target = uniform
+    // 1/n_sources; weight = total/(n_sources × src_tokens)). One
+    // map-side-combined aggregate to #sources rows, then unpartitioned
+    // window totals over that tiny frame — the single-partition window
+    // touches only post-aggregate cardinality (#sources), never the
+    // corpus, so it is scale-free. Shares/weights are mul-then-div IEEE
+    // ops on exact integer sums — engine-exact.
+    "pipeline_domain_mix" -> ((s, dir) => {
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      Tables.load(s, dir, "documents")
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("src_tokens"))
+        .withColumn("token_share",
+          col("src_tokens").cast("double")
+            / sum(col("src_tokens")).over(all).cast("double"))
+        .withColumn("mix_weight",
+          sum(col("src_tokens")).over(all).cast("double")
+            / (count(lit(1)).over(all).cast("double")
+              * col("src_tokens").cast("double")))
+        .select("source", "n_docs", "src_tokens", "token_share", "mix_weight")
     })
   )
 
@@ -130,6 +199,52 @@ object PipelineQueries {
         |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM h GROUP BY 1""".stripMargin
+        |FROM h GROUP BY 1""".stripMargin,
+
+    "pipeline_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         CAST(doc_id // 100 AS BIGINT) AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, shard, doc_id, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, shard, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
+    // same id-hash as the pipeline_hash_split oracle, residue mod 100
+    "pipeline_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h * 31 + c) % 2147483647) % 100 AS b,
+        |         CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 50
+        |              ELSE 100 END AS rate
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN b < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN b < rate THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS kept_frac
+        |FROM h GROUP BY 1""".stripMargin,
+
+    "pipeline_domain_mix" ->
+      """WITH a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs, src_tokens,
+        |       CAST(src_tokens AS DOUBLE)
+        |         / CAST(sum(src_tokens) OVER () AS DOUBLE) AS token_share,
+        |       CAST(sum(src_tokens) OVER () AS DOUBLE)
+        |         / (CAST(count(*) OVER () AS DOUBLE)
+        |            * CAST(src_tokens AS DOUBLE)) AS mix_weight
+        |FROM a""".stripMargin
   )
 }

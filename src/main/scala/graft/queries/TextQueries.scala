@@ -111,6 +111,36 @@ object TextQueries {
         .select("doc_id", "token", "score", "rank")
     }),
 
+    // Gopher-style repetition-quality signals (Rae et al. 2021 §A1.1):
+    // distinct-token ratio, top-token fraction, top-bigram fraction, and
+    // the keep/drop verdict at fixed thresholds. Entirely map-side: the
+    // modal-frequency counts use sort_array + the codegen'd MaxRunLength
+    // kernel (O(d log d) per doc), NOT a per-doc explode/groupBy shuffle
+    // and NOT the O(d²) distinct×filter formulation the oracle uses —
+    // at 100 TB this streams at scan speed like the other text scorers.
+    // All fractions are single IEEE divisions of exact integer counts,
+    // so the doubles (and the threshold verdict) are engine-exact.
+    "text_quality_repetition" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("bg", ngramsOfTokens(col("toks"), 2))
+      import graft.functions.KernelExpressions.maxRunLength
+      d.select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks")).cast("double")).as("distinct_ratio"),
+        (maxRunLength(sort_array(col("toks"))).cast("double")
+          / size(col("toks")).cast("double")).as("top_token_frac"),
+        when(size(col("bg")) === 0, lit(0.0))
+          .otherwise(maxRunLength(sort_array(col("bg"))).cast("double")
+            / size(col("bg")).cast("double")).as("top_bigram_frac"))
+        .withColumn("keep",
+          (col("distinct_ratio") >= 0.5 &&
+            col("top_token_frac") <= 0.1 &&
+            col("top_bigram_frac") <= 0.1).cast("long"))
+    }),
+
     // corpus length distribution: documents histogrammed by token count
     // in width-10 buckets — the first diagnostic run on any training
     // corpus (truncation/padding budgets, outlier screens). Bucketing
@@ -200,6 +230,36 @@ object TextQueries {
         |SELECT doc_id, token, score,
         |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rank
         |FROM scored QUALIFY rank <= 3""".stripMargin,
+
+    // the oracle computes modal frequencies the O(d²) way (distinct ×
+    // filter) — fine for an oracle, and arithmetically identical to the
+    // engine's sorted run-length kernel
+    "text_quality_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |         list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1]) AS bg
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+        |    CAST(list_max(list_transform(list_distinct(toks),
+        |        g -> len(list_filter(toks, x -> x = g)))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS top_token_frac,
+        |    CASE WHEN len(bg) = 0 THEN 0.0
+        |         ELSE CAST(list_max(list_transform(list_distinct(bg),
+        |                g -> len(list_filter(bg, x -> x = g)))) AS DOUBLE)
+        |              / CAST(len(bg) AS DOUBLE) END AS top_bigram_frac
+        |  FROM b)
+        |SELECT doc_id, n_tokens, distinct_ratio, top_token_frac, top_bigram_frac,
+        |       CAST(CASE WHEN distinct_ratio >= 0.5 AND top_token_frac <= 0.1
+        |                       AND top_bigram_frac <= 0.1
+        |                  THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m""".stripMargin,
 
     "text_length_histogram" ->
       """WITH t AS (

@@ -128,6 +128,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("repetition-quality scoring is map-side — no exchange, no join, in codegen") {
+    val p = plan("text_quality_repetition")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("*("), p) // codegen'd stages print as *(n)
+  }
+
+  test("sequence packing windows by (lang, shard), never a global sort") {
+    val p = plan("pipeline_pack_sequences")
+    assert(p.contains("shard"), p)
+    // the only sorts are the per-(lang, shard) window sorts — a global
+    // (non-partitioned) window would print 'Window [... ORDER BY ...]'
+    // with an empty partition spec and plan a SinglePartition exchange
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("domain-mix single-partition window runs over the aggregated frame, not the corpus") {
+    val p = plan("pipeline_domain_mix")
+    // tree prints top-down: the SinglePartition exchange must sit ABOVE
+    // the corpus-reducing hash aggregate
+    val spIdx = p.indexOf("SinglePartition")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(spIdx >= 0 && aggIdx > spIdx, p)
+  }
+
   test("semantic dedup pairs come from an equi-join on the cluster id") {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct"), p)

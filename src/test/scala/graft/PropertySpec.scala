@@ -156,6 +156,23 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("∀ arrays: MaxRunLength(sorted) == naive modal frequency; 0 on empty") {
+    val arrGen = for {
+      n <- Gen.choose(0, 60)
+      xs <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "d", "e f", ""))
+    } yield xs
+    check(Prop.forAll(Gen.listOfN(6, arrGen)) { arrays =>
+      val df = arrays.toDF("xs")
+      val got = df.select(
+        graft.functions.KernelExpressions.maxRunLength(sort_array($"xs")).as("m"))
+        .as[Long].collect().toSeq
+      val want = arrays.map { xs =>
+        if (xs.isEmpty) 0L else xs.groupBy(identity).values.map(_.size).max.toLong
+      }
+      got == want
+    })
+  }
+
   private val textGen: Gen[String] = for {
     n <- Gen.choose(1, 30)
     ws <- Gen.listOfN(n, Gen.oneOf("spark", "join", "scan", "the", "agg", "row", "key"))
