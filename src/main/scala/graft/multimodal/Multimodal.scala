@@ -70,6 +70,60 @@ object Multimodal {
       }
     }
 
+    /** Temporal frame sampling of a "video" payload: the byte stream is
+      * cut into fixed-`frameLen` frames and every `stride`-th frame is
+      * emitted with its offset, actual length (the tail frame may be
+      * short) and polynomial fingerprint — the classic "sample 1 fps
+      * for a vision encoder" stage. One→many (explode-shaped), still
+      * one codec call per batch.
+      */
+    def frameSampleBatch(batch: Seq[MediaRecord], frameLen: Int, stride: Int): Seq[SampledFrame] = {
+      batchCalls.incrementAndGet()
+      batch.flatMap { r =>
+        val bs = r.data
+        val n = bs.length
+        val nFrames = (n + frameLen - 1) / frameLen
+        (0 until nFrames).by(stride).map { f =>
+          val off = f * frameLen
+          val len = math.min(frameLen, n - off)
+          var fp = 0L
+          var i = off
+          while (i < off + len) { fp = (fp * 31 + java.lang.Byte.toUnsignedLong(bs(i))) % 2147483647L; i += 1 }
+          SampledFrame(r.media_id, f, off.toLong, len.toLong, fp)
+        }
+      }
+    }
+
+    /** "Audio" feature extraction: the payload is read as unsigned
+      * 8-bit PCM biased at `bias` (64 for the ASCII harness payloads —
+      * spaces/digits swing negative, letters positive, so crossings
+      * land on word boundaries). Emits per-record sample count, total
+      * absolute amplitude, peak amplitude, and zero-crossing count —
+      * all integer arithmetic, reproducible in the oracle.
+      */
+    def audioFeatureBatch(batch: Seq[MediaRecord], bias: Int): Seq[AudioFeatures] = {
+      batchCalls.incrementAndGet()
+      batch.map { r =>
+        val bs = r.data
+        val n = bs.length
+        var sumAmp = 0L
+        var peak = 0L
+        var crossings = 0L
+        var prev = 0L
+        var i = 0
+        while (i < n) {
+          val v = java.lang.Byte.toUnsignedLong(bs(i)) - bias
+          val a = math.abs(v)
+          sumAmp += a
+          if (a > peak) peak = a
+          if (i > 0 && prev * v < 0) crossings += 1
+          prev = v
+          i += 1
+        }
+        AudioFeatures(r.media_id, n.toLong, sumAmp, peak, crossings)
+      }
+    }
+
     /** "Resize" a batch to a w×h grid: nearest-neighbor subsample of
       * the payload bytes (sample i of w·h reads byte ⌊i·n/(w·h)⌋), then
       * fingerprint the resampled bytes. Same batch-amortized shape as
@@ -131,6 +185,25 @@ object Multimodal {
         it.grouped(BatchSize).flatMap(g => FakeCodec.resizeBatch(g, w, h))
       }
     }
+
+    /** End-to-end: documents → media records → batched frame sampling
+      * (one→many: output cardinality is Σ⌈frames/stride⌉, not |docs|). */
+    def frameSamples(spark: SparkSession, docs: DataFrame, frameLen: Int, stride: Int): Dataset[SampledFrame] = {
+      import spark.implicits._
+      val media = mediaFromDocuments(docs).as[MediaRecord]
+      media.mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(g => FakeCodec.frameSampleBatch(g, frameLen, stride))
+      }
+    }
+
+    /** End-to-end: documents → media records → batched audio features. */
+    def audioFeatures(spark: SparkSession, docs: DataFrame, bias: Int): Dataset[AudioFeatures] = {
+      import spark.implicits._
+      val media = mediaFromDocuments(docs).as[MediaRecord]
+      media.mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(g => FakeCodec.audioFeatureBatch(g, bias))
+      }
+    }
   }
 
   /** One resized record: target dims + resampled payload summary. */
@@ -140,4 +213,20 @@ object Multimodal {
       out_h: Int,
       out_len: Long,
       fp_resized: Long)
+
+  /** One sampled frame of a "video" payload. */
+  case class SampledFrame(
+      media_id: Long,
+      frame_idx: Int,
+      frame_off: Long,
+      frame_len: Long,
+      frame_fp: Long)
+
+  /** Per-record "audio" features (integer PCM arithmetic). */
+  case class AudioFeatures(
+      media_id: Long,
+      n_samples: Long,
+      sum_amp: Long,
+      peak_amp: Long,
+      zero_crossings: Long)
 }

@@ -42,4 +42,42 @@ class MultimodalSpec extends SparkSpec {
     val c = MediaPipeline.resized(spark, docs, 4, 4).collect().sortBy(_.media_id)
     assert(a.zip(c).exists { case (x, y) => x.fp_resized != y.fp_resized })
   }
+
+  test("frame sampling explodes to the stride-decimated frame grid") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val frames = MediaPipeline.frameSamples(spark, docs, frameLen = 32, stride = 2).collect()
+    val lens = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    // per-doc cardinality: ceil(ceil(n/32) / 2) frames sampled
+    val byDoc = frames.groupBy(_.media_id)
+    assert(byDoc.keySet == lens.keySet)
+    byDoc.foreach { case (id, fs) =>
+      val nFrames = (lens(id) + 31) / 32
+      assert(fs.length == (nFrames + 1) / 2, s"doc $id")
+      // only even frame indices survive stride 2; offsets line up
+      assert(fs.forall(f => f.frame_idx % 2 == 0 && f.frame_off == f.frame_idx * 32L))
+      // every frame except possibly the tail is full-length
+      assert(fs.filter(_.frame_off + 32 <= lens(id)).forall(_.frame_len == 32))
+    }
+    // codec is still batch-amortized on the explode path
+    FakeCodec.batchCalls.set(0L)
+    MediaPipeline.frameSamples(spark, docs, 32, 2).count()
+    assert(FakeCodec.batchCalls.get() <= 32)
+  }
+
+  test("audio features match a per-record reference computation") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val got = MediaPipeline.audioFeatures(spark, docs, bias = 64)
+      .collect().map(a => a.media_id -> a).toMap
+    val raw = docs.select("doc_id", "text").collect()
+    raw.foreach { r =>
+      val id = r.getLong(0)
+      val vs = r.getString(1).getBytes("UTF-8").map(b => java.lang.Byte.toUnsignedInt(b) - 64)
+      val a = got(id)
+      assert(a.n_samples == vs.length.toLong)
+      assert(a.sum_amp == vs.map(v => math.abs(v).toLong).sum)
+      assert(a.peak_amp == (if (vs.isEmpty) 0L else vs.map(math.abs).max.toLong))
+      assert(a.zero_crossings == vs.sliding(2).count(p => p.length == 2 && p(0) * p(1) < 0).toLong)
+    }
+  }
 }
