@@ -110,6 +110,33 @@ object RelationalQueries {
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("cnt"))),
 
+    // KMV distinct-count sketch: unlike countDistinct (whose partial
+    // state is the full distinct set, shuffled in its entirety), the
+    // sketch shuffles at most k=64 longs per (partition × group) — the
+    // 100 TB approximate-distinct path. The key hash is plain column
+    // arithmetic so the oracle replicates it; the estimator's integer
+    // arithmetic is in the query for the same reason.
+    "q_distinct_kmv" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"),
+          ((col("l_orderkey") * lit(2654435761L) + lit(104729L)) % lit(2147483647L)).as("h"))
+        .groupBy("l_returnflag")
+        .agg(graft.functions.Sketches.kmvMinima(col("h"), 64).as("minima"))
+        .select(
+          col("l_returnflag"),
+          size(col("minima")).cast("long").as("n_minima"),
+          element_at(col("minima"), size(col("minima"))).as("kth_min"))
+        .select(
+          col("l_returnflag"),
+          col("n_minima"),
+          col("kth_min"),
+          when(col("n_minima") < 64, col("n_minima"))
+            // (k-1)·M as one pre-folded BIGINT literal: 63·(2^31−1) —
+            // the int×int form overflows under ANSI mode
+            .otherwise(expr("135291469761 div kth_min"))
+            .as("est_distinct"))),
+
     // grouping sets via ROLLUP (subtotals + grand total)
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -371,6 +398,25 @@ object RelationalQueries {
         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // same hash, k smallest DISTINCT values per group via row_number,
+    // same integer estimator arithmetic
+    "q_distinct_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |         (l_orderkey*2654435761+104729)%2147483647 AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, h,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |  FROM h)
+        |SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n_minima,
+        |       CAST(max(h) AS BIGINT) AS kth_min,
+        |       CAST(CASE WHEN count(*) < 64 THEN count(*)
+        |                 ELSE 135291469761//max(h) END AS BIGINT) AS est_distinct
+        |FROM r WHERE rn <= 64
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -92,6 +92,29 @@ object TextQueries {
     // per-document top-3 salient terms by tf-idf (ratio idf: score =
     // tf * N / df — rational arithmetic, so the score is bit-identical
     // across engines; log-idf would hinge on transcendental rounding).
+    // Count-min-sketch heavy hitters: the CMS aggregate reduces the
+    // exploded token stream map-side into one 4×256 counter array per
+    // partition (the shuffle carries sketches, not tokens), then the
+    // top-20 exact tokens are point-queried against the broadcast
+    // sketch — demonstrating estimate ≥ exact with CMS's ε·N bound.
+    // At 100 TB the exact groupBy is the expensive half; the sketch
+    // side costs one array per partition regardless of corpus size.
+    "text_heavy_hitters_cms" -> ((s, dir) => {
+      import graft.functions.Sketches
+      val toks = docs(s, dir).select(explode(tokens(col("text"))).as("token"))
+      val sketch = toks.agg(Sketches.cmsSketch(col("token"), depth = 4, width = 256).as("sk"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(20)
+      val h = polyHash31(col("token"))
+      val ests = (0 until 4).map { j =>
+        val cell = ((h * lit(Sketches.CmsSketch.RowA(j)) + lit(Sketches.CmsSketch.RowB(j)))
+          % lit(Sketches.CmsSketch.P)) % lit(256L)
+        element_at(col("sk"), (cell + lit(j * 256L) + lit(1L)).cast("int"))
+      }
+      top.crossJoin(broadcast(sketch))
+        .select(col("token"), col("exact_cnt"), least(ests: _*).as("est_cnt"))
+    }),
+
     // Two shuffles (tf by (doc, token), df by token) + a broadcast of
     // the corpus-size scalar; ranking is a per-doc window.
     "text_tfidf" -> ((s, dir) => {
@@ -214,6 +237,32 @@ object TextQueries {
          |FROM u JOIN ev ON u.span = ev.span
          |WHERE u.source <> 'src0'
          |GROUP BY 1""".stripMargin,
+
+    // cell sums replicate the CMS counters row-by-row (same poly31
+    // token hash and affine row maps); estimate = min over rows
+    "text_heavy_hitters_cms" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+        |ph AS (
+        |  SELECT token, c,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(token,''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |           (h, ch) -> (h*31+ch)%2147483647) AS h
+        |  FROM cnt),
+        |rows_ AS (SELECT * FROM (VALUES (0,1583,101),(1,2729,211),(2,4177,307),(3,6073,401)) AS v(j,a,b)),
+        |cells AS (
+        |  SELECT rows_.j, ((ph.h*rows_.a+rows_.b)%2147483647)%256 AS cell, SUM(ph.c) AS cellsum
+        |  FROM ph CROSS JOIN rows_
+        |  GROUP BY 1, 2),
+        |top AS (SELECT token, c, h FROM ph ORDER BY c DESC, token LIMIT 20)
+        |SELECT t.token, t.c AS exact_cnt,
+        |       CAST(min(cl.cellsum) AS BIGINT) AS est_cnt
+        |FROM top t
+        |CROSS JOIN rows_ p
+        |JOIN cells cl ON cl.j = p.j AND cl.cell = ((t.h*p.a+p.b)%2147483647)%256
+        |GROUP BY 1, 2""".stripMargin,
 
     "text_tfidf" ->
       """WITH tok AS (

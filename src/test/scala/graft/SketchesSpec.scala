@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+import graft.functions.Sketches.{CmsSketch, KmvSketch}
+
+/** Unit + property coverage for the distributed sketch aggregates:
+  * partition-count invariance (the merge path), agreement with a
+  * brute-force single-pass reference, the CMS overestimate bound, and
+  * the ObjectHashAggregate plan shape that carries the 100 TB claim. */
+class SketchesSpec extends SparkSpec {
+  import org.scalatest.prop.TableDrivenPropertyChecks._
+
+  private val M = 2147483647L
+
+  test("KMV minima equal the brute-force k smallest distinct hashes, any partitioning") {
+    import spark.implicits._
+    val keys = (1L to 5000L).map(i => (i * 7919L) % 1000L) // ~1000 distinct, heavy repeats
+    val expected = keys.map(x => (x * 2654435761L + 104729L) % M)
+      .distinct.sorted.take(64)
+    forAll(Table("parts", 1, 3, 17)) { parts =>
+      val got = keys.toDF("k").repartition(parts)
+        .select((((col("k") * lit(2654435761L)) + lit(104729L)) % lit(M)).as("h"))
+        .agg(Sketches.kmvMinima(col("h"), 64))
+        .collect()(0).getSeq[Long](0)
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("KMV with fewer distinct values than k returns them all (exact regime)") {
+    import spark.implicits._
+    val got = Seq(5L, 5L, 9L, 1L, 9L).toDF("h")
+      .agg(Sketches.kmvMinima(col("h"), 64)).collect()(0).getSeq[Long](0)
+    assert(got == Seq(1L, 5L, 9L))
+  }
+
+  test("KMV estimator is within 20% of the true distinct count on uniform keys") {
+    import spark.implicits._
+    val n = 20000L
+    val row = spark.range(1, n + 1)
+      .select((((col("id") * lit(2654435761L)) + lit(104729L)) % lit(M)).as("h"))
+      .agg(Sketches.kmvMinima(col("h"), 64).as("m"))
+      .select(element_at(col("m"), 64).as("kth"))
+      .collect()(0)
+    val est = 63L * M / row.getLong(0)
+    assert(math.abs(est - n).toDouble / n < 0.2, s"est=$est true=$n")
+  }
+
+  test("CMS point estimates never underestimate and match across partitionings") {
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "beta", "beta", "alpha")
+    val corpus = (words ++ words ++ Seq("epsilon")).toDF("token")
+    val exact = (words ++ words ++ Seq("epsilon"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def sketchOf(parts: Int): Seq[Long] =
+      corpus.repartition(parts)
+        .agg(Sketches.cmsSketch(col("token"), 4, 256)).collect()(0).getSeq[Long](0)
+    val sk = sketchOf(1)
+    forAll(Table("parts", 2, 5)) { parts => assert(sketchOf(parts) == sk) }
+    // N tokens total lands in each row exactly once
+    (0 until 4).foreach { j =>
+      assert(sk.slice(j * 256, (j + 1) * 256).sum == corpus.count())
+    }
+    exact.foreach { case (tok, cnt) =>
+      val h = CmsSketch.poly31(org.apache.spark.unsafe.types.UTF8String.fromString(tok))
+      val est = (0 until 4).map(j => sk(j * 256 + CmsSketch.cell(h, j, 256))).min
+      assert(est >= cnt, s"$tok: est $est < exact $cnt")
+    }
+  }
+
+  test("sketch aggregates plan as ObjectHashAggregate (map-side partial combine)") {
+    val p = SparkEntry.queries("q_distinct_kmv")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortAggregate"), p)
+    val p2 = SparkEntry.queries("text_heavy_hitters_cms")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("ObjectHashAggregate"), p2)
+    // the sketch side broadcasts its single row to the top-k side
+    assert(p2.contains("BroadcastNestedLoopJoin") || p2.contains("BroadcastExchange"), p2)
+  }
+
+  test("serialize/deserialize round-trips both sketch buffers") {
+    val kmv = KmvSketch(org.apache.spark.sql.graftbridge.Bridge.expression(lit(0L)), 8)
+    val kb = kmv.createAggregationBuffer()
+    Seq(42L, 7L, 42L, 99L).foreach { h =>
+      kb.minima.add(h); ()
+    }
+    val kb2 = kmv.deserialize(kmv.serialize(kb))
+    assert(kb2.minima == kb.minima)
+
+    val cms = CmsSketch(org.apache.spark.sql.graftbridge.Bridge.expression(lit("x")), 2, 8)
+    val cb = cms.createAggregationBuffer()
+    cb(3) = 5L; cb(9) = 11L
+    assert(cms.deserialize(cms.serialize(cb)).toSeq == cb.toSeq)
+  }
+}
