@@ -76,6 +76,46 @@ object Windows {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"))
 
+  /** W6 — cumulative (expanding) windows: per `maxSize` bucket, counts
+    * over [start, start+step), [start, start+2·step), …,
+    * [start, start+maxSize) — Flink's `CUMULATE` window TVF (the one
+    * member of the Flink group-window family — tumble/hop/session/
+    * cumulate — Spark has no built-in for).
+    *
+    * Scale shape (Flink's "slicing" optimization, not the naive
+    * per-event explode): events are first tumbled into `step`-sized
+    * slices — ONE shuffle of the raw data with map-side combine — and
+    * only the pre-aggregated slices are exploded to the expanding
+    * windows they feed (factor ≤ maxSize/step on rows that number
+    * |keys|·|slices|, not |events|), then re-summed. At 100 TB the
+    * heavy shuffle is the same one a plain tumble pays; the expansion
+    * cost is proportional to the output, not the input.
+    */
+  def cumulateCount(df: DataFrame, ts: Column, key: Column, stepSec: Int, maxSizeSec: Int): DataFrame = {
+    require(maxSizeSec % stepSec == 0, "maxSize must be a whole multiple of step")
+    val stepMs = stepSec * 1000L
+    val maxMs = maxSizeSec * 1000L
+    val slices = df
+      .groupBy(window(ts, s"$stepSec seconds").as("slice"), key.cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    slices
+      .select(
+        col("key"), col("cnt"),
+        // epoch-aligned bucket floor, matching window()'s alignment;
+        // epochs are positive so `div` is a floor division
+        timestamp_millis(expr(s"(unix_millis(slice.start) div $maxMs) * $maxMs")).as("window_start"),
+        // first expanding window this slice is visible in ends at the
+        // slice's own end offset within the bucket
+        expr(s"unix_millis(slice.end) - (unix_millis(slice.start) div $maxMs) * $maxMs").as("first_off"))
+      .select(col("key"), col("cnt"), col("window_start"),
+        explode(sequence(col("first_off"), lit(maxMs), lit(stepMs))).as("off"))
+      .groupBy(
+        col("key"), col("window_start"),
+        timestamp_millis(unix_millis(col("window_start")) + col("off")).as("window_end"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(col("key"), col("cnt"), col("window_start"), col("window_end"))
+  }
+
   /** W3 — per-row sliding OVER count (trailing range frame).
     *
     * Reference: `COUNT(*) OVER (PARTITION BY key ORDER BY rowtime RANGE

@@ -34,6 +34,12 @@ object EventQueries {
     "q_tumbling_offset" -> ((s, dir) =>
       Windows.tumblingOffsetCount(events(s, dir), col("ts"), col("event_type"), "60 seconds", "15 seconds")),
 
+    // W6 — cumulative (expanding) windows, 1-minute step inside a
+    // 4-minute bucket (Flink CUMULATE TVF; slice-optimized — see
+    // Windows.cumulateCount)
+    "q_cumulate_count" -> ((s, dir) =>
+      Windows.cumulateCount(events(s, dir), col("ts"), col("event_type"), stepSec = 60, maxSizeSec = 240)),
+
     // W3 — per-row trailing 60 s count (StreamJobSqlSliding.java:153–160)
     "q_sliding_over_1m" -> ((s, dir) =>
       Windows.slidingOverCount(events(s, dir), col("ts"), col("event_type"), 60L)
@@ -141,6 +147,18 @@ object EventQueries {
         |       time_bucket(INTERVAL '1 minute', ts) AS window_start,
         |       time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end
         |FROM events GROUP BY 1, 3, 4""".stripMargin,
+
+    // each event lands in every expanding window of its 4-minute bucket
+    // whose end is past the event; 2000-01-03 (DuckDB's time_bucket
+    // origin) sits on the 4-minute epoch grid, so alignment matches
+    // Spark's epoch-based window()
+    "q_cumulate_count" ->
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,
+        |       time_bucket(INTERVAL '4 minutes', ts) AS window_start,
+        |       time_bucket(INTERVAL '4 minutes', ts) + g.i * INTERVAL '1 minute' AS window_end
+        |FROM events CROSS JOIN (SELECT unnest(range(1, 5)) AS i) g
+        |WHERE ts < time_bucket(INTERVAL '4 minutes', ts) + g.i * INTERVAL '1 minute'
+        |GROUP BY 1, 3, 4""".stripMargin,
 
     "q_hopping_count" ->
       """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,

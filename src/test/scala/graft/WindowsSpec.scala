@@ -80,6 +80,32 @@ class WindowsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L, 1L))
   }
 
+  test("cumulate == naive per-event expanding windows on real data") {
+    val events = Tables.load(spark, sf0001, "events")
+    val sliced = Windows.cumulateCount(events, $"ts", $"event_type", 60, 240)
+    // naive reference: every event joins each expanding window of its
+    // bucket whose end is strictly past the event timestamp
+    val naive = events
+      .select($"event_type".cast("string").as("key"), $"ts",
+        timestamp_millis(expr("(unix_millis(ts) div 240000) * 240000")).as("window_start"))
+      .select($"key", $"ts", $"window_start",
+        explode(sequence(lit(60000L), lit(240000L), lit(60000L))).as("off"))
+      .filter(unix_millis($"ts") < unix_millis($"window_start") + $"off")
+      .groupBy($"key", $"window_start",
+        timestamp_millis(unix_millis($"window_start") + $"off").as("window_end"))
+      .agg(count(lit(1)).as("cnt"))
+      .select("key", "cnt", "window_start", "window_end")
+    assert(sliced.exceptAll(naive).isEmpty && naive.exceptAll(sliced).isEmpty)
+  }
+
+  test("cumulate's widest window equals the plain tumble at maxSize") {
+    val events = Tables.load(spark, sf0001, "events")
+    val widest = Windows.cumulateCount(events, $"ts", $"event_type", 60, 240)
+      .filter(unix_millis($"window_end") - unix_millis($"window_start") === 240000L)
+    val tumble = Windows.tumblingCount(events, $"ts", $"event_type", "4 minutes")
+    assert(widest.exceptAll(tumble).isEmpty && tumble.exceptAll(widest).isEmpty)
+  }
+
   test("lastWindowPerKey keeps exactly one latest row per key") {
     val out = Windows.lastWindowPerKey(
       Windows.tumblingCount(tiny, $"t", $"k", "1 minute")).collect()
