@@ -144,6 +144,38 @@ object SimilarityQueries {
           round(sqrt(dot(col("mv"), col("mv"))), 6).as("centroid_norm"))
     }),
 
+    // Embedding-outlier filter: the 5 vectors least similar to their
+    // class's ROBUST centroid (per-dimension exact median, not mean —
+    // medians are selection, not summation, so they are deterministic
+    // under any partitioning AND insensitive to the very outliers being
+    // hunted). One posexplode shuffle of |corpus|×dim (label, dim, val)
+    // rows with partial aggregation builds the medians; centroids
+    // (|labels|×dim, index-parameter-sized) broadcast back for a
+    // map-side cosine — the corpus is never re-shuffled. At 100 TB the
+    // explode pass is the cost; swap the exact median for a per-dim
+    // quantile sketch when 64× row inflation matters more than
+    // exactness.
+    "sim_embedding_outliers" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val med = emb
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy("label", "dim")
+        .agg(percentile(col("val"), lit(0.5)).as("med"))
+      val centroid = med.groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("med")))),
+          p => p.getField("med")).as("c"))
+        .withColumn("cnrm", sqrt(dot(col("c"), col("c"))))
+      val w = Window.partitionBy(col("label")).orderBy(col("cos").asc, col("vec_id"))
+      emb.join(broadcast(centroid), "label")
+        .withColumn("cos", round(dot(col("v"), col("c")) / (col("nrm") * col("cnrm")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("vec_id", "label", "cos", "rank")
+    }),
+
     // IVF ANN: k=16 driver-bootstrapped centroids, nprobe=4 multi-probe.
     // Candidate set ≈ nprobe/k of the corpus via an equi-join on the
     // bucket id — the inverted-file scale path. Recall asserted in
@@ -280,6 +312,37 @@ object SimilarityQueries {
 
     "sim_ann_lsh" -> lshOracle,
     "sim_ann_ivf" -> ivfOracle,
+
+    // same per-dim interpolated median (quantile_cont == Spark's exact
+    // percentile at p·(n−1)), same ascending-dim centroid list, same
+    // left-fold dot; round(…, 6) absorbs interpolation jitter
+    "sim_embedding_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+        |  FROM e),
+        |d AS (
+        |  SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS dim FROM e),
+        |m AS (
+        |  SELECT label, dim, quantile_cont(val, 0.5) AS med FROM d GROUP BY 1, 2),
+        |c0 AS (
+        |  SELECT label, list(med ORDER BY dim) AS c FROM m GROUP BY 1),
+        |c AS (
+        |  SELECT label, c,
+        |         sqrt(list_reduce(list_prepend(0.0, list_transform(c, x -> x * x)), (a, b) -> a + b)) cnrm
+        |  FROM c0),
+        |s AS (
+        |  SELECT n.vec_id, n.label,
+        |         round(list_reduce(list_prepend(0.0,
+        |                 list_transform(range(1, 65), i -> n.v[i] * c.c[i])), (x, y) -> x + y)
+        |               / (n.nrm * c.cnrm), 6) AS cos
+        |  FROM n JOIN c ON n.label = c.label)
+        |SELECT vec_id, label, cos,
+        |       CAST(row_number() OVER (PARTITION BY label ORDER BY cos ASC, vec_id) AS INTEGER) AS rank
+        |FROM s
+        |QUALIFY rank <= 5""".stripMargin,
 
     // per-dimension mean = sum/count exactly as the Spark plan computes
     // it (sum first, one division), then the same ascending-index

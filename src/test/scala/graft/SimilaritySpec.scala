@@ -35,6 +35,37 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(col("rank") > 5 || col("rank") < 1).isEmpty)
   }
 
+  test("embedding outliers: 5 per label, least-similar-first, partition-invariant") {
+    val out = SimilarityQueries.queries("sim_embedding_outliers")(spark, sf0001)
+    val rows = out.collect()
+    val byLabel = rows.groupBy(_.getInt(1))
+    assert(byLabel.forall(_._2.length == 5))
+    // rank order agrees with ascending cosine within each label
+    byLabel.values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(3))
+      assert(sorted.map(_.getDouble(2)).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+    // exact medians make the result independent of physical partitioning
+    val again = SimilarityQueries.queries("sim_embedding_outliers")(spark, sf0001)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("per-dim median centroid shrugs off an injected extreme vector") {
+    import spark.implicits._
+    val base = SimilarityQueries.vectors(spark, sf0001)
+      .select(posexplode(col("v")).as(Seq("dim", "val")))
+    def med(df: org.apache.spark.sql.DataFrame): Map[Int, Double] =
+      df.groupBy("dim").agg(percentile(col("val"), lit(0.5)).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val m0 = med(base)
+    // one adversarial vector at +1000 per dim
+    val poisoned = base.union(
+      (0 until 64).map(d => (d, 1000.0)).toDF("dim", "val"))
+    val m1 = med(poisoned)
+    // the median moves at most one order-statistic step, never toward 1000
+    assert(m0.keys.forall(d => math.abs(m1(d) - m0(d)) < 0.5), "median dragged by outlier")
+  }
+
   test("cosine of a vector with itself is 1") {
     val vs = SimilarityQueries.vectors(spark, sf0001).limit(5)
     val self = vs.select(
