@@ -81,6 +81,36 @@ class SketchesSpec extends SparkSpec {
     assert(p2.contains("BroadcastNestedLoopJoin") || p2.contains("BroadcastExchange"), p2)
   }
 
+  test("sketches aggregate incrementally in a streaming windowed query == batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Timestamp)]
+    val hash = (((length(col("tok")).cast("long") * lit(2654435761L)) + lit(104729L)) % lit(2147483647L))
+    def aggs(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window(col("t"), "1 minute"))
+        .agg(
+          Sketches.cmsSketch(col("tok"), 4, 64).as("cms"),
+          Sketches.kmvMinima(hash, 8).as("kmv"))
+        .select(col("window.start").as("ws"), col("cms"), col("kmv"))
+    val q = aggs(in.toDF().toDF("tok", "t"))
+      .writeStream.outputMode("complete").format("memory").queryName("sk_out").start()
+    try {
+      val batch1 = Seq(("alpha", ts("2024-01-01 00:00:10")), ("beta", ts("2024-01-01 00:00:20")))
+      val batch2 = Seq(("alpha", ts("2024-01-01 00:00:40")), ("gamma", ts("2024-01-01 00:01:15")))
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("sk_out").collect()
+        .map(r => (r.getTimestamp(0), r.getSeq[Long](1), r.getSeq[Long](2))).toSet
+      val batch = aggs((batch1 ++ batch2).toDF("tok", "t")).collect()
+        .map(r => (r.getTimestamp(0), r.getSeq[Long](1), r.getSeq[Long](2))).toSet
+      // incremental (state-merged across micro-batches) == one-shot batch
+      assert(streamed == batch)
+      assert(streamed.map(_._1) == Set(ts("2024-01-01 00:00:00"), ts("2024-01-01 00:01:00")))
+    } finally q.stop()
+  }
+
   test("serialize/deserialize round-trips both sketch buffers") {
     val kmv = KmvSketch(org.apache.spark.sql.graftbridge.Bridge.expression(lit(0L)), 8)
     val kb = kmv.createAggregationBuffer()
