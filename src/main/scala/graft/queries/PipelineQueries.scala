@@ -49,6 +49,22 @@ object PipelineQueries {
         .select("doc_id", "n_tokens")
     }),
 
+    // Keyed deterministic pseudonymization — the privacy stage of a
+    // training-data pipeline: SHA-256 over pepper+key gives stable ids
+    // (joinability across tables survives; unlinkable without the
+    // pepper), digits in free-text names are masked, and the numeric
+    // quasi-identifier is generalized to a coarse bucket. Entirely
+    // map-side codegen'd expressions — at 100 TB this streams at scan
+    // speed. SHA-256 is bit-identical across engines, so the oracle
+    // checks the actual hashes.
+    "pipeline_pseudonymize" -> ((s, dir) =>
+      Tables.load(s, dir, "customer")
+        .select(
+          substring(sha2(concat(lit("pepper:"), col("c_custkey").cast("string")), 256), 1, 16).as("pseudo_id"),
+          regexp_replace(col("c_name"), "[0-9]", "*").as("name_masked"),
+          col("c_mktsegment"),
+          (floor(col("c_acctbal") / 1000) * 1000).cast("long").as("bal_bucket"))),
+
     // deterministic train/val/test split — the step between cleaning
     // and training. Assignment hashes the STABLE document id (the
     // rolling polynomial hash shared with text_fingerprint), never a
@@ -185,6 +201,15 @@ object PipelineQueries {
          |  AND l.c_en >= l.c_de AND l.c_en >= l.c_es AND l.c_en >= l.c_fr
          |  AND d.source <> 'src0'
          |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+
+    // SHA-256 is bit-identical across engines; DuckDB regexp_replace
+    // needs the 'g' flag to match Spark's replace-all default
+    "pipeline_pseudonymize" ->
+      """SELECT substring(sha256('pepper:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS pseudo_id,
+        |       regexp_replace(c_name, '[0-9]', '*', 'g') AS name_masked,
+        |       c_mktsegment,
+        |       CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_bucket
+        |FROM customer""".stripMargin,
 
     // same rolling polynomial hash as the text_fingerprint oracle,
     // applied to the decimal doc_id string
