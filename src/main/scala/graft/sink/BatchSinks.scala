@@ -68,4 +68,41 @@ object BatchSinks {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Interchange formats: parquet is the engine's native layout, but a
+    * corpus pipeline also exports to/ingests from ORC (the other
+    * columnar with pushdown + pruning), JSON lines, and CSV. The writer
+    * is format-agnostic; [[readInterchange]] re-applies the schema
+    * explicitly because text formats carry none (CSV) or only
+    * inferrable (JSON) types — round-trip fidelity is asserted in
+    * BatchSinksSpec, including quoting/escaping on the text formats.
+    */
+  def writeInterchange(df: DataFrame, path: String, format: String): Unit =
+    df.write.mode("overwrite").format(format)
+      .option("compression", if (format == "csv" || format == "json") "gzip" else "zstd")
+      .option("header", "true")  // csv only; others ignore
+      .option("escape", "\"")    // RFC 4180: quotes double inside quoted fields
+      .save(path)
+
+  /** Schema-explicit read of an interchange export (see
+    * [[writeInterchange]]). `multiLine` lets quoted CSV fields span
+    * newlines — NOTE this makes a csv file unsplittable (one task per
+    * file); exports whose text columns can embed newlines should
+    * prefer json/orc when the read side must parallelize within files.
+    */
+  def readInterchange(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      format: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val reader = spark.read.format(format)
+      .schema(schema)
+      .option("header", "true")
+      .option("escape", "\"")
+    // CSV-only: quoted fields spanning newlines. For JSON, multiLine
+    // means "one document per file" and would drop all but the first
+    // record of a JSON-lines export.
+    (if (format == "csv") reader.option("multiLine", "true") else reader)
+      .load(path)
+  }
 }

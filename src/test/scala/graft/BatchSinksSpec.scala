@@ -69,6 +69,24 @@ class BatchSinksSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("interchange formats round-trip the documents table losslessly") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "source", "text", "n_chars")
+    // a row with CSV-hostile content exercises quoting/escaping
+    val hostile = docs.limit(0).union(
+      Seq((-1L, "s,rc\"x", "line one\nline \"two\", comma", 25L))
+        .toDF("doc_id", "source", "text", "n_chars"))
+    val all = docs.union(hostile)
+    Seq("orc", "json", "csv").foreach { fmt =>
+      val path = java.nio.file.Files.createTempDirectory(s"graft_interchange_$fmt").toString + "/out"
+      graft.sink.BatchSinks.writeInterchange(all, path, fmt)
+      val back = graft.sink.BatchSinks.readInterchange(spark, path, fmt, all.schema)
+      assert(back.schema == all.schema, s"$fmt schema drift")
+      assert(back.exceptAll(all).isEmpty && all.exceptAll(back).isEmpty,
+        s"$fmt round-trip mismatch")
+    }
+  }
+
   test("approximate percentile sketch brackets the exact histogram median") {
     // the sketch path for quantiles at scale (one pass, mergeable
     // state); the exact path is q_median_price's histogram plan.
