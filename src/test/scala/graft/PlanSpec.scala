@@ -128,6 +128,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("cumulate windows re-aggregate slices — expansion sits above the raw-event shuffle") {
+    val p = plan("q_cumulate_count")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // two aggregation levels (slices, then expanded windows), each with
+    // partial+final combine; the explode (Generate) must be above the
+    // first aggregate, i.e. it multiplies slices, not events
+    val genIdx = p.indexOf("Generate")
+    val lastAggIdx = p.lastIndexOf("HashAggregate")
+    assert(genIdx >= 0 && lastAggIdx > genIdx, s"explode below the slice aggregate: $p")
+  }
+
+  test("embedding outliers broadcast the centroids — the corpus joins without a shuffle") {
+    val p = plan("sim_embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("repetition-quality scoring is map-side — no exchange, no join, in codegen") {
     val p = plan("text_quality_repetition")
     assert(!p.contains("Exchange"), p)
