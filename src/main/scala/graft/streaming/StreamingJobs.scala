@@ -35,6 +35,43 @@ object StreamingJobs {
   def hoppingCounts(events: DataFrame, tsCol: String, keyCol: String, size: String, slide: String): DataFrame =
     Windows.hoppingCount(Ingest.withEventTime(events, tsCol), col(tsCol), col(keyCol), size, slide)
 
+  /** Streaming CUMULATE windows. The batch slice-optimized form
+    * ([[graft.ops.Windows.cumulateCount]]) ends in a second aggregation
+    * over derived (start, end) columns — not a time-window group, so
+    * the streaming planner can neither watermark-finalize nor evict it.
+    * Instead: CUMULATE(step, max) ≡ ⋃ₖ TUMBLE(max) over the events
+    * whose in-bucket offset is < k·step — each branch is an ordinary
+    * watermark-evicted tumbling aggregation (append-safe), labeled with
+    * its expanding window end. State per key is K = max/step window
+    * groups, the same factor a hop with slide = step pays.
+    */
+  def cumulateCounts(events: DataFrame, tsCol: String, keyCol: String,
+      stepSec: Int, maxSizeSec: Int): DataFrame = {
+    require(maxSizeSec % stepSec == 0, "maxSize must be a whole multiple of step")
+    val e = Ingest.withEventTime(events, tsCol)
+    val maxMs = maxSizeSec * 1000L
+    (1 to maxSizeSec / stepSec).map { k =>
+      val lim = k * stepSec * 1000L
+      e.filter(expr(s"unix_millis($tsCol) - (unix_millis($tsCol) div $maxMs) * $maxMs") < lim)
+        .groupBy(window(col(tsCol), s"$maxSizeSec seconds"), col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("key"), col("cnt"),
+          col("window.start").as("window_start"),
+          timestamp_millis(unix_millis(col("window.start")) + lit(lim)).as("window_end"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Session-window variant. Spark's `session_window` is natively
+    * streamable: partial sessions merge inside the same stateful
+    * aggregation operator that holds the counts, so this reuses the
+    * SAME pure plan function as batch ([[graft.ops.Windows.sessionCount]])
+    * — no dedicated streaming code. A session finalizes (append mode)
+    * once the watermark passes its end (max ts + gap); state per key is
+    * only the OPEN sessions, evicted on emission.
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String, gap: String): DataFrame =
+    Windows.sessionCount(Ingest.withEventTime(events, tsCol), col(tsCol), col(keyCol), gap)
+
   /** Streaming exact dedup for a document feed: keep the first
     * occurrence of each content digest, drop later copies. State is
     * BOUNDED by the watermark: `dropDuplicatesWithinWatermark` evicts

@@ -44,6 +44,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session count merges gap-linked events and converges to batch") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val q = sessionCounts(in.toDF().toDF("k", "t"), "t", "k", "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("session_out")
+      .start()
+    try {
+      val data = Seq(
+        ("a", ts("2024-01-01 00:00:10")), // session 1 of a …
+        ("a", ts("2024-01-01 00:00:50")), // … 40 s later: same session (< 1 min gap)
+        ("a", ts("2024-01-01 00:03:00")), // 130 s later: NEW session
+        ("b", ts("2024-01-01 00:00:30"))) // b's only session
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 00:30:00"))) // watermark past every session end
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 00:40:00")))
+      q.processAllAvailable()
+      val emitted = spark.table("session_out")
+        .filter($"session_start" < ts("2024-01-01 00:10:00"))
+        .as[(String, Long, Timestamp, Timestamp)].collect().toSet
+      val batch = Windows.sessionCount(data.toDF("k", "t"), $"t", $"k", "1 minute")
+        .as[(String, Long, Timestamp, Timestamp)].collect().toSet
+      assert(emitted == batch)
+      // the two gap-linked events merged: one session [00:00:10, 00:01:50)
+      assert(emitted.contains(("a", 2L, ts("2024-01-01 00:00:10"), ts("2024-01-01 00:01:50"))))
+      // the 130 s-later event opened a fresh single-event session
+      assert(emitted.contains(("a", 1L, ts("2024-01-01 00:03:00"), ts("2024-01-01 00:04:00"))))
+      assert(emitted.contains(("b", 1L, ts("2024-01-01 00:00:30"), ts("2024-01-01 00:01:30"))))
+    } finally q.stop()
+  }
+
+  test("streaming cumulate count converges to the batch slice-optimized result") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val q = cumulateCounts(in.toDF().toDF("k", "t"), "t", "k", stepSec = 60, maxSizeSec = 240)
+      .writeStream.outputMode("append").format("memory").queryName("cumulate_out").start()
+    try {
+      val data = Seq(
+        ("a", ts("2024-01-01 00:00:30")), // minute 0 of the bucket → all 4 windows
+        ("a", ts("2024-01-01 00:02:30")), // minute 2 → windows ending at 3,4 min
+        ("b", ts("2024-01-01 00:01:10"))) // minute 1 → windows ending at 2,3,4 min
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 00:20:00"))) // watermark far past the bucket
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      val emitted = spark.table("cumulate_out")
+        .filter($"window_start" === ts("2024-01-01 00:00:00"))
+        .select("key", "cnt", "window_end").as[(String, Long, Timestamp)].collect().toSet
+      val batch = graft.ops.Windows
+        .cumulateCount(data.toDF("k", "t"), $"t", $"k", 60, 240)
+        .select("key", "cnt", "window_end").as[(String, Long, Timestamp)].collect().toSet
+      assert(emitted == batch)
+      // spot-check semantics: key a is alone in the 1-minute window,
+      // joined by its minute-2 row only in the 3- and 4-minute windows
+      assert(emitted.contains(("a", 1L, ts("2024-01-01 00:01:00"))))
+      assert(emitted.contains(("a", 2L, ts("2024-01-01 00:03:00"))))
+      // b arrived in minute 1: absent from the 1-minute window, count 1
+      // in every later expanding window
+      assert(!emitted.exists(e => e._1 == "b" && e._3 == ts("2024-01-01 00:01:00")))
+      assert(emitted.contains(("b", 1L, ts("2024-01-01 00:04:00"))))
+    } finally q.stop()
+  }
+
   test("streaming hopping count emits every overlapping window (append mode)") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]
