@@ -138,7 +138,28 @@ object EventQueries {
           count(lit(1)).as("cnt"),
           round(sum(col("value")), 2).as("sum_value"),
           min(col("value")).as("min_value"),
-          max(col("value")).as("max_value")))
+          max(col("value")).as("max_value"))),
+
+    // PIVOT: the wide event-type × hour activity matrix (the reporting
+    // shape BI layers ask of an event table). The pivot values are
+    // ENUMERATED, not discovered: discovery costs an extra distinct
+    // job before planning and makes the output schema data-dependent —
+    // at 100 TB the category set must be a declared contract anyway.
+    // Written as conditional counts rather than `Dataset.pivot`, which
+    // lowers to TWO shuffles (a (hour, type) pre-aggregate under a
+    // pivotfirst aggregate); the conditional-count form is one hash
+    // aggregate keyed on the hour — each map-side partial carries one
+    // row per hour with all five counters, and absent cells are 0 by
+    // construction (count of a never-true WHEN), keeping the matrix
+    // dense without a coalesce pass.
+    "q_pivot_hourly_matrix" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cells = types.map(t => count(when(col("event_type") === t, 1)).as(t))
+      events(s, dir)
+        .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .groupBy("hour")
+        .agg(cells.head, cells.tail: _*)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -249,6 +270,15 @@ object EventQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
         |       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
         |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_pivot_hourly_matrix" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        |       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY 1""".stripMargin
   )
 }

@@ -151,6 +151,31 @@ object PipelineQueries {
             / (count(lit(1)).over(all).cast("double")
               * col("src_tokens").cast("double")))
         .select("source", "n_docs", "src_tokens", "token_share", "mix_weight")
+    }),
+
+    // near-dup contamination audit — per-source duplication rate, the
+    // health metric a corpus curator watches per ingest batch (a source
+    // whose dup_rate jumps is re-crawling itself or mirroring another).
+    // A doc counts as near-dup iff it has ≥ 1 τ=0.8 n-gram-Jaccard edge
+    // — i.e. it appears in the verified pair frame, no component
+    // clustering needed. Reuses the SAME cached pair frame as
+    // dedup_ngram_jaccard/dedup_survivors (the audit adds one
+    // pair-id distinct + a broadcast-size per-source aggregate on top,
+    // nothing quadratic of its own).
+    "pipeline_dedup_audit" -> ((s, dir) => {
+      val pairs = DedupQueries.ngramJaccardPairs(s, dir)
+      val dupDocs = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .distinct()
+        .withColumn("is_dup", lit(1L))
+      Tables.load(s, dir, "documents")
+        .select("doc_id", "source")
+        .join(dupDocs, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_near_dup"))
+        .withColumn("dup_rate",
+          col("n_near_dup").cast("double") / col("n_docs").cast("double"))
     })
   )
 
@@ -270,6 +295,28 @@ object PipelineQueries {
         |       CAST(sum(src_tokens) OVER () AS DOUBLE)
         |         / (CAST(count(*) OVER () AS DOUBLE)
         |            * CAST(src_tokens AS DOUBLE)) AS mix_weight
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // the pair CTE mirrors the validated dedup_ngram_jaccard oracle;
+    // a doc is near-dup iff it appears on either side of a pair
+    "pipeline_dedup_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(a.g) > 0 AND len(b.g) > 0
+        |    AND CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
+        |        (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) >= 0.8),
+        |dup AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p))
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(dup.doc_id) AS BIGINT) AS n_near_dup,
+        |       CAST(count(dup.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+        |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -164,6 +164,32 @@ object TextQueries {
             col("top_bigram_frac") <= 0.1).cast("long"))
     }),
 
+    // gibberish screen: per-doc fraction of tokens drawn from the
+    // top-100 corpus vocabulary. Natural-language docs put most of
+    // their token mass on the head of the distribution; boilerplate /
+    // binary-spill / wrong-language docs don't. The vocab is a FIXED-K
+    // top-k (one word-count shuffle + TakeOrderedAndProject), so the
+    // broadcast side is ~100 strings regardless of corpus size — at
+    // 100 TB the scoring pass is map-side at scan speed, and the ratio
+    // is a single IEEE division of exact integer counts (engine-exact).
+    "text_common_token_ratio" -> ((s, dir) => {
+      val vocab = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(100)
+        .agg(collect_list(col("token")).as("vocab"))
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .crossJoin(broadcast(vocab))
+        .select(
+          col("doc_id"),
+          expr("size(filter(toks, t -> array_contains(vocab, t)))")
+            .cast("long").as("common_tokens"),
+          size(col("toks")).cast("long").as("n_tokens"))
+        .withColumn("common_ratio",
+          col("common_tokens").cast("double") / col("n_tokens").cast("double"))
+    }),
+
     // corpus length distribution: documents histogrammed by token count
     // in width-10 buckets — the first diagnostic run on any training
     // corpus (truncation/padding budgets, outlier screens). Bucketing
@@ -309,6 +335,22 @@ object TextQueries {
         |                       AND top_bigram_frac <= 0.1
         |                  THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM m""".stripMargin,
+
+    "text_common_token_ratio" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |top AS (
+        |  SELECT token FROM (SELECT token, count(*) AS c FROM tok GROUP BY 1)
+        |  ORDER BY c DESC, token LIMIT 100),
+        |v AS (SELECT list(token) AS vocab FROM top)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |              t -> list_contains(v.vocab, t))) AS BIGINT) AS common_tokens,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |              t -> list_contains(v.vocab, t))) AS DOUBLE)
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS common_ratio
+        |FROM documents CROSS JOIN v""".stripMargin,
 
     "text_length_histogram" ->
       """WITH t AS (

@@ -182,4 +182,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("pivot matrix is one hash aggregate keyed on the hour — categories are CASE partials") {
+    val p = plan("q_pivot_hourly_matrix")
+    // enumerated pivot values: no discovery job, no join, no explode;
+    // one shuffle (the hour groupBy) with map-side partial combine
+    assert(!p.contains("Join") && !p.contains("Generate"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("common-token scoring broadcasts the fixed-k vocab — corpus never shuffles for it") {
+    val p = plan("text_common_token_ratio")
+    // vocab side: word-count shuffle + top-k; corpus side: map-only
+    // against the broadcast single-row vocab (intentional scalar BNLJ,
+    // same pattern as text_tfidf's corpus-size broadcast)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup audit adds only a distinct + tiny aggregate over the shared pair frame") {
+    val p = plan("pipeline_dedup_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
