@@ -159,6 +159,24 @@ object EventQueries {
         .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .groupBy("hour")
         .agg(cells.head, cells.tail: _*)
+    }),
+
+    // UNPIVOT (melt): the inverse reshape — wide matrix back to long
+    // (hour, event_type, cnt). Unpivot is a zero-shuffle Expand (each
+    // wide row emits one row per value column, map-side), so the
+    // round-trip costs exactly the pivot's one aggregate. The cnt > 0
+    // filter drops the dense zeros pivot fabricates, making the
+    // round-trip IDENTITY with the plain long-form groupBy — which is
+    // the oracle: reshape operators must not invent or lose data.
+    "q_unpivot_roundtrip" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cells = types.map(t => count(when(col("event_type") === t, 1)).as(t))
+      events(s, dir)
+        .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .groupBy("hour")
+        .agg(cells.head, cells.tail: _*)
+        .unpivot(Array(col("hour")), types.map(col).toArray, "event_type", "cnt")
+        .filter(col("cnt") > 0)
     })
   )
 
@@ -279,6 +297,12 @@ object EventQueries {
         |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
         |       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
         |       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // the round-trip collapses to the plain long-form aggregate
+    "q_unpivot_roundtrip" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

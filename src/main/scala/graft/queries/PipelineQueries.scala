@@ -176,6 +176,32 @@ object PipelineQueries {
           sum(coalesce(col("is_dup"), lit(0L))).as("n_near_dup"))
         .withColumn("dup_rate",
           col("n_near_dup").cast("double") / col("n_docs").cast("double"))
+    }),
+
+    // curriculum bucketing — assign every doc its global length decile
+    // (short→long curricula order training data by a difficulty proxy)
+    // WITHOUT a global sort: the decile of a doc is determined by how
+    // many docs score strictly below it, computed from an equi-depth
+    // histogram. One map-side-combined aggregate to #distinct-scores
+    // rows, a single-partition cumulative window over that TINY frame
+    // (score domain is bounded by max doc length, never corpus size),
+    // then a broadcast join maps each doc to its bucket map-side —
+    // the same two-pass shape `repartitionByRange` uses to sample
+    // range boundaries, made exact and deterministic (ties share a
+    // decile; no ntile row-order dependence). Integer arithmetic
+    // throughout → engine-exact.
+    "pipeline_curriculum_deciles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("score"))
+      val buckets = d.groupBy("score").agg(count(lit(1)).as("c"))
+        .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+        .withColumn("total", sum(col("c")).over(all))
+        .select(col("score"),
+          least(lit(9L), expr("(below * 10) div total")).as("decile"))
+      d.join(broadcast(buckets), "score").select("doc_id", "score", "decile")
     })
   )
 
@@ -317,6 +343,22 @@ object PipelineQueries {
         |       CAST(count(dup.doc_id) AS BIGINT) AS n_near_dup,
         |       CAST(count(dup.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // same strict-below histogram arithmetic; integer // division
+    "pipeline_curriculum_deciles" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |h AS (SELECT score, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+        |b AS (
+        |  SELECT score,
+        |         COALESCE(sum(c) OVER (ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |         sum(c) OVER () AS total
+        |  FROM h)
+        |SELECT t.doc_id, t.score,
+        |       CAST(least(9, b.below * 10 // b.total) AS BIGINT) AS decile
+        |FROM t JOIN b ON t.score = b.score""".stripMargin
   )
 }

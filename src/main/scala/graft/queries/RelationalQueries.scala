@@ -143,6 +143,24 @@ object RelationalQueries {
         .rollup("l_returnflag", "l_linestatus")
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))),
 
+    // GROUPING SETS beyond the rollup hierarchy: two NON-nested
+    // aggregation grains — per return flag AND per line status — in one
+    // pass over the fact table (ROLLUP/CUBE can't express an arbitrary
+    // grain list). Catalyst plans one Expand (×2 rows) feeding a single
+    // partial+final hash aggregate, i.e. one shuffle for both grains,
+    // where two separate groupBys would scan and shuffle twice. The
+    // per-column grouping() indicator disambiguates a genuine NULL key
+    // from a rolled-up one — emitted as two 0/1 columns rather than the
+    // packed grouping_id bitmask so the oracle is convention-proof.
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))),
+
     // set operations: INTERSECT / EXCEPT / UNION ALL in one result
     "q_set_ops" -> ((s, dir) => {
       val ord = t(s, dir, "orders")
@@ -423,6 +441,15 @@ object RelationalQueries {
         |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
 
     "q_set_ops" ->
       """WITH o AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),

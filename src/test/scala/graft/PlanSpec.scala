@@ -207,4 +207,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("grouping sets plan one Expand into a single shuffle — not one scan per grain") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("unpivot is a zero-shuffle Expand above the pivot aggregate") {
+    val p = plan("q_unpivot_roundtrip")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join") && !p.contains("Generate"), p)
+    // still only the pivot's hour-groupBy shuffle
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("curriculum deciles: single-partition window over the histogram only, broadcast back") {
+    val p = plan("pipeline_curriculum_deciles")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // tree prints top-down: the SinglePartition exchange must sit ABOVE
+    // the score-histogram aggregate (it never touches the corpus)
+    val spIdx = p.indexOf("SinglePartition")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(spIdx >= 0 && aggIdx > spIdx, p)
+  }
 }
