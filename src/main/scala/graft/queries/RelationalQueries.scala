@@ -143,6 +143,44 @@ object RelationalQueries {
         .rollup("l_returnflag", "l_linestatus")
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))),
 
+    // SCD2 / temporal-table build: a keyed changelog becomes validity
+    // intervals — each version is valid from its own date until the
+    // next version's date (NULL = still current). One per-key window
+    // (lead), shuffle keyed on the entity — parallelism is #keys, no
+    // global sort anywhere; ties inside a key are broken by orderkey so
+    // the intervals are deterministic. This is the batch construction
+    // of the temporal table a stream-side as-of join probes
+    // (q_asof_join / asofEnrichStreaming consume exactly this shape).
+    "q_scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull.cast("long"))
+    }),
+
+    // salted skew join: a hot probe-side key floods one reducer in a
+    // plain shuffle join; salting splits each key's rows across S=8
+    // shards (stable row-derived salt, never random()) and replicates
+    // the build side ×S so every shard can still match — the join is
+    // EXACT, which is what the oracle (the unsalted join) proves. The
+    // shuffle_hash hint keeps the demo on the shuffled path (Catalyst
+    // would otherwise broadcast this small build side and the salt
+    // would be dead weight); at 100 TB with a dim too big to broadcast
+    // and AQE's skew threshold exceeded, this is the manual fix.
+    "q_salted_join" -> ((s, dir) => {
+      val S = 8
+      val li = t(s, dir, "lineitem").withColumn("_salt", pmod(col("l_orderkey"), lit(S)))
+      val p = t(s, dir, "part")
+        .withColumn("_salt", explode(array((0 until S).map(lit(_)): _*)))
+      li.join(p.hint("shuffle_hash"),
+          li("l_partkey") === p("p_partkey") && li("_salt") === p("_salt"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // GROUPING SETS beyond the rollup hierarchy: two NON-nested
     // aggregation grains — per return flag AND per line status — in one
     // pass over the fact table (ROLLUP/CUBE can't express an arbitrary
@@ -441,6 +479,21 @@ object RelationalQueries {
         |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_scd2_intervals" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+        |       lead(o_orderdate) OVER w AS valid_to,
+        |       CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    // the UNSALTED join: salting must be invisible in the result
+    "q_salted_join" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

@@ -223,6 +223,20 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("SCD2 intervals window per entity key — no global sort, no single partition") {
+    val p = plan("q_scd2_intervals")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("salted join runs shuffled (the path salting exists for), not broadcast") {
+    val p = plan("q_salted_join")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("curriculum deciles: single-partition window over the histogram only, broadcast back") {
     val p = plan("pipeline_curriculum_deciles")
     assert(p.contains("BroadcastHashJoin"), p)
