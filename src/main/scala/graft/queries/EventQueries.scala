@@ -161,6 +161,43 @@ object EventQueries {
         .agg(cells.head, cells.tail: _*)
     }),
 
+    // funnel analysis: how many users progress view → click →
+    // purchase, each stage STRICTLY AFTER the previous one (an
+    // out-of-order click doesn't count). Stage frames are conditional
+    // min-timestamp aggregates chained by user-keyed equi-joins — every
+    // shuffle is keyed on user_id, so at 100 TB each stage is one
+    // hash-partitioned pass with map-side combine, and the stage counts
+    // are single-row scalars cross-joined at the end (broadcast of one
+    // row each — the documented scalar-broadcast pattern).
+    "q_funnel_stages" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val f1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val f2 = e.filter(col("event_type") === "click").join(f1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val f3 = e.filter(col("event_type") === "purchase").join(f2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      f1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(f2.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(f3.agg(count(lit(1)).as("n_purchase_after")))
+    }),
+
+    // retention cohorts: users grouped by first-seen day, activity
+    // counted per day-offset from that cohort day — the standard
+    // engagement triangle. The cohort frame (one row per user) joins
+    // back on user_id (co-partitioned equi-join, never broadcast at
+    // scale), and the final distinct-user count per (cohort, offset)
+    // is the only other shuffle.
+    "q_retention_cohorts" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      e.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    }),
+
     // UNPIVOT (melt): the inverse reshape — wide matrix back to long
     // (hour, event_type, cnt). Unpivot is a zero-shuffle Expand (each
     // wide row emits one row per value column, map-side), so the
@@ -298,6 +335,32 @@ object EventQueries {
         |       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
         |       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_funnel_stages" ->
+      """WITH f1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |f2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN f1 ON e.user_id = f1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > f1.t1 GROUP BY 1),
+        |f3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN f2 ON e.user_id = f2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > f2.t2 GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM f1) AS n_view,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM f2) AS n_click_after,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM f3) AS n_purchase_after""".stripMargin,
+
+    "q_retention_cohorts" ->
+      """WITH c AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY 1)
+        |SELECT c.cohort_day,
+        |       CAST(CAST(e.ts AS DATE) - c.cohort_day AS BIGINT) AS day_offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // the round-trip collapses to the plain long-form aggregate
     "q_unpivot_roundtrip" ->
