@@ -184,6 +184,35 @@ object EventQueries {
         .crossJoin(f3.agg(count(lit(1)).as("n_purchase_after")))
     }),
 
+    // hourly conversion funnel: the windowed form of q_funnel_stages —
+    // stage ordering evaluated WITHIN each (user, hour) scope, so the
+    // metric is streamable with bounded state (see
+    // StreamingJobs.funnelHourlyStreaming: buffer-until-watermark per
+    // (user, hour), evicted at finalization). Same chained
+    // conditional-min shape, every shuffle keyed on (user, hour);
+    // later stages' hours are subsets of earlier ones, so the hour
+    // roll-up is a left-join chain with dense zeros.
+    "q_funnel_hourly" -> ((s, dir) => {
+      val e = events(s, dir).select(
+        date_trunc("hour", col("ts")).as("hour"), col("user_id"),
+        col("event_type"), col("ts"))
+      val f1 = e.filter(col("event_type") === "view")
+        .groupBy("hour", "user_id").agg(min(col("ts")).as("t1"))
+      val f2 = e.filter(col("event_type") === "click").join(f1, Seq("hour", "user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy("hour", "user_id").agg(min(col("ts")).as("t2"))
+      val f3 = e.filter(col("event_type") === "purchase").join(f2, Seq("hour", "user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy("hour", "user_id").agg(min(col("ts")).as("t3"))
+      f1.groupBy("hour").agg(count(lit(1)).as("n_view"))
+        .join(f2.groupBy("hour").agg(count(lit(1)).as("n_click_after")), Seq("hour"), "left")
+        .join(f3.groupBy("hour").agg(count(lit(1)).as("n_purchase_after")), Seq("hour"), "left")
+        .select(col("hour"),
+          col("n_view"),
+          coalesce(col("n_click_after"), lit(0L)).as("n_click_after"),
+          coalesce(col("n_purchase_after"), lit(0L)).as("n_purchase_after"))
+    }),
+
     // retention cohorts: users grouped by first-seen day, activity
     // counted per day-offset from that cohort day — the standard
     // engagement triangle. The cohort frame (one row per user) joins
@@ -351,6 +380,27 @@ object EventQueries {
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM f1) AS n_view,
         |       (SELECT CAST(count(*) AS BIGINT) FROM f2) AS n_click_after,
         |       (SELECT CAST(count(*) AS BIGINT) FROM f3) AS n_purchase_after""".stripMargin,
+
+    "q_funnel_hourly" ->
+      """WITH f1 AS (
+        |  SELECT date_trunc('hour', ts) AS hour, user_id, min(ts) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |f2 AS (
+        |  SELECT f1.hour, e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN f1 ON date_trunc('hour', e.ts) = f1.hour AND e.user_id = f1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > f1.t1 GROUP BY 1, 2),
+        |f3 AS (
+        |  SELECT f2.hour, e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN f2 ON date_trunc('hour', e.ts) = f2.hour AND e.user_id = f2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > f2.t2 GROUP BY 1, 2)
+        |SELECT f1.hour,
+        |       CAST(count(*) AS BIGINT) AS n_view,
+        |       CAST(coalesce(any_value(c.n), 0) AS BIGINT) AS n_click_after,
+        |       CAST(coalesce(any_value(p.n), 0) AS BIGINT) AS n_purchase_after
+        |FROM f1
+        |LEFT JOIN (SELECT hour, count(*) AS n FROM f2 GROUP BY 1) c ON f1.hour = c.hour
+        |LEFT JOIN (SELECT hour, count(*) AS n FROM f3 GROUP BY 1) p ON f1.hour = p.hour
+        |GROUP BY 1""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH c AS (

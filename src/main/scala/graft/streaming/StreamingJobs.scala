@@ -159,6 +159,71 @@ object StreamingJobs {
       }
   }
 
+  /** One (user, hour-bucket) funnel input event. */
+  case class FunnelEvent(user_id: Long, bucket: Timestamp, event_type: String, ts: Timestamp)
+
+  /** Finalized per-(user, bucket) funnel verdict. */
+  case class FunnelResult(user_id: Long, bucket: Timestamp,
+      reached_view: Boolean, reached_click: Boolean, reached_purchase: Boolean)
+
+  /** Streaming hourly conversion funnel — the live form of
+    * `q_funnel_hourly`'s per-(user, hour) stage machine.
+    *
+    * Stage ordering (view < click < purchase, strictly increasing
+    * timestamps) is NOT incrementally computable under out-of-order
+    * arrival: a late-arriving EARLIER view can retro-qualify a click
+    * that looked premature, so min-timestamp running state would be
+    * wrong. The exact pattern is buffer-until-finalization: events
+    * buffer per (user, bucket) and the stages are computed once, when
+    * the event-time watermark passes the bucket end — the same
+    * finalize-on-watermark contract a session window gives. State is
+    * BOUNDED by one bucket's events per active (user, bucket) and
+    * evicted at emission; rows older than the watermark never reach
+    * the operator, so the timeout timestamp (bucket end) is always
+    * ahead of the watermark when a group is live.
+    *
+    * `lateness` is the out-of-order tolerance: the watermark trails the
+    * max event time by this much, so a bucket finalizes once an event
+    * arrives `lateness` past its end — cross-micro-batch disorder
+    * within the tolerance is absorbed by the buffer (a 0-second
+    * watermark would drop any event older than the newest one already
+    * seen, silently un-qualifying staged conversions).
+    */
+  def funnelHourlyStreaming(events: DataFrame, tsCol: String, userCol: String,
+      lateness: String = "30 minutes"): Dataset[FunnelResult] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    events
+      .select(col(userCol).cast("long").as("user_id"),
+        date_trunc("hour", col(tsCol)).as("bucket"),
+        col("event_type"), col(tsCol).as("ts"))
+      .withWatermark("ts", lateness)
+      .as[FunnelEvent]
+      .groupByKey(r => (r.user_id, r.bucket.getTime))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), rows: Iterator[FunnelEvent], state: GroupState[List[(String, Long)]]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            def minAfter(tpe: String, after: Long): Option[Long] = {
+              val ts = buf.collect { case (t, us) if t == tpe && us > after => us }
+              if (ts.isEmpty) None else Some(ts.min)
+            }
+            val t1 = minAfter("view", Long.MinValue)
+            val t2 = t1.flatMap(minAfter("click", _))
+            val t3 = t2.flatMap(minAfter("purchase", _))
+            Iterator.single(FunnelResult(key._1, new Timestamp(key._2),
+              t1.isDefined, t2.isDefined, t3.isDefined))
+          } else {
+            val buf = state.getOption.getOrElse(Nil) ++
+              rows.map(r => (r.event_type, micros(r.ts)))
+            state.update(buf)
+            state.setTimeoutTimestamp(key._2 + 3600000L) // finalize at bucket end
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming AS-OF enrichment against a STATIC dimension: each
     * stream row picks up the latest dimension row (by `dimTs`, ties by
     * max `dimVal`) at or before its own event time. The dimension is

@@ -76,6 +76,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hourly funnel finalizes staged conversions at bucket end, out-of-order safe") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = funnelHourlyStreaming(in.toDF().toDF("user_id", "event_type", "t"), "t", "user_id",
+        lateness = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("funnel_out")
+      .start()
+    try {
+      // user 1 arrives OUT OF ORDER: purchase and click first, the view
+      // that retro-qualifies them only in a later micro-batch
+      in.addData((1L, "purchase", ts("2024-01-01 00:20:00")), (1L, "click", ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      in.addData(
+        (1L, "view", ts("2024-01-01 00:05:00")),
+        (2L, "click", ts("2024-01-01 00:05:00")), // click BEFORE the view: not a conversion
+        (2L, "view", ts("2024-01-01 00:10:00")),
+        (3L, "purchase", ts("2024-01-01 00:05:00")), // no view at all
+        (4L, "view", ts("2024-01-01 01:10:00")), // next bucket, no click
+        (4L, "purchase", ts("2024-01-01 01:20:00")))
+      q.processAllAvailable()
+      // watermark = max ts − 1 h lateness; 03:30 puts it at 02:30, past
+      // both bucket ends (01:00, 02:00)
+      in.addData((9L, "view", ts("2024-01-01 03:30:00")))
+      q.processAllAvailable()
+      in.addData((9L, "view", ts("2024-01-01 03:31:00"))) // extra batch so timeouts fire
+      q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .as[(Long, Timestamp, Boolean, Boolean, Boolean)].collect().toSet
+      assert(got == Set(
+        (1L, ts("2024-01-01 00:00:00"), true, true, true),
+        (2L, ts("2024-01-01 00:00:00"), true, false, false),
+        (3L, ts("2024-01-01 00:00:00"), false, false, false),
+        (4L, ts("2024-01-01 01:00:00"), true, false, false)))
+      // the 03:00 bucket is still open — nothing emitted for user 9
+      assert(!got.exists(_._1 == 9L))
+    } finally q.stop()
+  }
+
   test("streaming cumulate count converges to the batch slice-optimized result") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]
