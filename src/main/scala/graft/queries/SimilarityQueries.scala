@@ -196,6 +196,29 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("query_id", "neighbor_id", "cos", "rank")
+    }),
+
+    // symmetric int8 quantization — the vector-store compression step
+    // (4× over float32): per-vector scale = max|x|/127, qᵢ = round(xᵢ/
+    // scale). Entirely map-side higher-order functions in codegen —
+    // at 100 TB this streams at scan speed alongside the embedding
+    // write. Audited by engine-exact integers (quantized sum +
+    // saturation count; the float→double widening and the in-order
+    // array fold are both bit-reproducible in DuckDB), and scale is a
+    // single rounded division. Zero vectors quantize to all-zeros via
+    // the guarded branch rather than a NaN division.
+    "sim_quantize_int8" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+      v.withColumn("qv",
+          when(col("max_abs") === 0d, transform(col("v"), _ => lit(0L)))
+            .otherwise(expr("transform(v, x -> cast(round(x * 127 / max_abs) as long))")))
+        .select(
+          col("vec_id"),
+          round(col("max_abs") / 127d, 6).as("scale"),
+          expr("aggregate(qv, 0L, (a, x) -> a + x)").as("sum_q"),
+          expr("size(filter(qv, x -> abs(x) = 127))").cast("long").as("n_sat"))
     })
   )
 
@@ -316,6 +339,22 @@ object SimilarityQueries {
     // same per-dim interpolated median (quantile_cont == Spark's exact
     // percentile at p·(n−1)), same ascending-dim centroid list, same
     // left-fold dot; round(…, 6) absorbs interpolation jitter
+    "sim_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        |q AS (
+        |  SELECT vec_id, ma,
+        |         CASE WHEN ma = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(v, x -> CAST(round(x * 127 / ma) AS BIGINT))
+        |         END AS qv
+        |  FROM m)
+        |SELECT vec_id, round(ma / 127, 6) AS scale,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (a, b) -> a + b) AS BIGINT) AS sum_q,
+        |       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        |FROM q""".stripMargin,
+
     "sim_embedding_outliers" ->
       """WITH e AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
