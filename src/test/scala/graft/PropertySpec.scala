@@ -178,6 +178,66 @@ class PropertySpec extends SparkSpec {
     ws <- Gen.listOfN(n, Gen.oneOf("spark", "join", "scan", "the", "agg", "row", "key"))
   } yield ws.mkString(" ")
 
+  test("∀ vectors: int8 quantization error ≤ scale/2 per element, no value escapes [-127, 127]") {
+    val vecGen = for {
+      n <- Gen.choose(1, 32)
+      v <- Gen.listOfN(n, Gen.choose(-10.0, 10.0))
+    } yield v
+    check(Prop.forAll(vecGen) { v =>
+      val maxAbs = v.map(math.abs).max
+      if (maxAbs == 0.0) true
+      else {
+        val scale = maxAbs / 127.0
+        val q = v.map(x => math.round(x / scale))
+        q.forall(qi => math.abs(qi) <= 127) &&
+          v.zip(q).forall { case (x, qi) =>
+            math.abs(x - qi * scale) <= scale / 2 + 1e-12
+          }
+      }
+    })
+  }
+
+  test("∀ events: funnel stage counts are monotonically non-increasing") {
+    val funnelGen = for {
+      n <- Gen.choose(1, 80)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 8L)
+        tpe <- Gen.oneOf("view", "click", "purchase")
+        sec <- Gen.choose(0L, 3600L)
+      } yield (u, tpe, new Timestamp(1704067200000L + sec * 1000)))
+    } yield evs
+    check(Prop.forAll(funnelGen) { evs =>
+      // replicate q_funnel_stages' chained conditional-min semantics
+      val byUser = evs.groupBy(_._1)
+      def minAfter(u: Long, tpe: String, after: Long): Option[Long] = {
+        val ts = byUser.getOrElse(u, Nil)
+          .collect { case (_, t, x) if t == tpe && x.getTime > after => x.getTime }
+        if (ts.isEmpty) None else Some(ts.min)
+      }
+      val t1 = byUser.keys.map(u => u -> minAfter(u, "view", Long.MinValue)).toMap
+      val t2 = t1.collect { case (u, Some(t)) => u -> minAfter(u, "click", t) }
+      val t3 = t2.collect { case (u, Some(t)) => u -> minAfter(u, "purchase", t) }
+      val (n1, n2, n3) =
+        (t1.count(_._2.isDefined), t2.count(_._2.isDefined), t3.count(_._2.isDefined))
+      val df = evs.toDF("user_id", "event_type", "t")
+        .withColumnRenamed("t", "ts")
+      val Array(row) = {
+        val e = df.select($"user_id", $"event_type", $"ts")
+        val f1 = e.filter($"event_type" === "view").groupBy("user_id").agg(min($"ts").as("t1"))
+        val f2 = e.filter($"event_type" === "click").join(f1, "user_id")
+          .filter($"ts" > $"t1").groupBy("user_id").agg(min($"ts").as("t2"))
+        val f3 = e.filter($"event_type" === "purchase").join(f2, "user_id")
+          .filter($"ts" > $"t2").groupBy("user_id").agg(min($"ts").as("t3"))
+        f1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(f2.agg(count(lit(1)).as("n_click_after")))
+          .crossJoin(f3.agg(count(lit(1)).as("n_purchase_after")))
+          .as[(Long, Long, Long)].collect()
+      }
+      row == ((n1.toLong, n2.toLong, n3.toLong)) &&
+        row._1 >= row._2 && row._2 >= row._3
+    })
+  }
+
   test("∀ texts: jaccard(shingles(x), shingles(x)) == 1 for docs with ≥3 tokens") {
     check(Prop.forAll(Gen.listOfN(5, textGen)) { texts =>
       val df = texts.toDF("text")
