@@ -355,6 +355,42 @@ object RelationalQueries {
           col("m.o_orderstatus").as("last_status"),
           round(col("m.o_totalprice"), 2).as("last_totalprice"))),
 
+    // per-group statistical MODE — most frequent quantity per return
+    // flag — as TWO stacked aggregates: value-frequency counts (hash
+    // agg, map-side combined), then the native ArgMax over (freq,
+    // ¬value) per flag. No per-group sort, no window: the second
+    // aggregate's input is already one row per (flag, value), so at
+    // 100 TB the heavy shuffle is the first (bounded by the value
+    // domain) and the argmax reduces #distinct-values rows per flag to
+    // one. Tie-break: highest freq, then SMALLEST value (negated in
+    // the ordering struct), total and engine-independent.
+    "q_mode_quantity" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").as("q"))
+        .agg(count(lit(1)).as("freq"))
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.ArgMax.argMax(
+          struct(col("q"), col("freq")),
+          struct(col("freq"), (-col("q")).as("nq"))).as("m"))
+        .select(col("l_returnflag"),
+          col("m.q").as("mode_quantity"),
+          col("m.freq").as("mode_freq"))),
+
+    // FULL OUTER join: the reconciliation shape — every supplier and
+    // every nation key present on either side survives, unmatched
+    // sides padded with NULLs. Aggregated to per-nation counts with a
+    // has-suppliers flag so the null-padding is observable in the
+    // oracle. Catalyst plans a shuffled sort-merge join (full outer
+    // can't broadcast); both sides shuffle once on the key.
+    "q_full_outer_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      nat.join(sup, nat("n_nationkey") === sup("s_nationkey"), "full_outer")
+        .groupBy(col("n_name"))
+        .agg(count(col("s_suppkey")).as("n_suppliers"),
+          max(col("n_regionkey")).as("regionkey"))
+    }),
+
     // interval (time-range) join: clicks attributed to each purchase of
     // the same user within the trailing 30 minutes. A naive range join
     // is a BroadcastNestedLoopJoin (all pairs per user); the scalable
@@ -479,6 +515,21 @@ object RelationalQueries {
         |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_mode_quantity" ->
+      """WITH f AS (
+        |  SELECT l_returnflag, l_quantity AS q, CAST(count(*) AS BIGINT) AS freq
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, q AS mode_quantity, freq AS mode_freq
+        |FROM f
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY freq DESC, q ASC) = 1""".stripMargin,
+
+    "q_full_outer_join" ->
+      """SELECT n_name, CAST(count(s_suppkey) AS BIGINT) AS n_suppliers,
+        |       CAST(max(n_regionkey) AS BIGINT) AS regionkey
+        |FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY 1""".stripMargin,
 
     "q_scd2_intervals" ->
       """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,

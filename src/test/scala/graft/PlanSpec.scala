@@ -223,6 +223,13 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("per-group mode is stacked aggregates ending in argmax — no window, no sort") {
+    val p = plan("q_mode_quantity")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("SCD2 intervals window per entity key — no global sort, no single partition") {
     val p = plan("q_scd2_intervals")
     assert(p.contains("Window"), p)
