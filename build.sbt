@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout through verbatim: the bench contract is
+// "print ONE JSON line", and sbt's default logger prefixes every line
+// with "[info] ", which breaks any consumer that json-parses stdout
+// lines (BENCH_r1–r3 all show `parsed: null` for exactly this reason).
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,12 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — one JSON line with per-query and total timings.
+/** Benchmark main — one compact JSON line on stdout, full detail on disk.
   *
   * Measurement policy (BASELINE.md quotes this):
-  *  - every query runs twice; `queries_cold` is the FIRST run,
-  *    `queries` is the best of two (the steady-state figure, immune to
-  *    one GC pause / JIT recompile);
+  *  - every query runs twice; the cold map is the FIRST run, the warm
+  *    map is the best of two (steady state, immune to one GC pause /
+  *    JIT recompile);
   *  - the headline `value` is the COLD total: queries run in family
   *    order, so each one-time shared cost (the shingle index, the
   *    normalized-vector cache, the memoized connected-components
@@ -20,8 +20,39 @@ import org.apache.spark.sql.SparkSession
   *    are released before the relational/text/multimodal families —
   *    a pinned shingle index must not squeeze execution memory for an
   *    unrelated TPC-H join (the round-2 bench regression).
+  *
+  * Reporting contract: the consumer of stdout keeps only the LAST
+  * ~2000 bytes (BENCH_r03's line outgrew that window and the headline
+  * was truncated away, so the round went ungraded). The stdout line is
+  * therefore kept compact — 3-decimal seconds, per-query map limited
+  * to the BASELINE.md comparison set plus any other query slower than
+  * 1 s — and the complete full-precision cold/warm maps are written to
+  * `BENCH_DETAIL.json` in the working directory (the repo root when
+  * run via sbt), referenced from the line's `detail` field.
   */
 object Bench {
+  /** The 44 queries in BASELINE.md's per-query table — the per-query
+    * comparison targets. Everything else is summarized in the line's
+    * totals and fully listed in BENCH_DETAIL.json. */
+  private val baselineSet: Set[String] = Set(
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_survivors",
+    "multimodal_decode", "q10_returned_revenue", "q17_small_quantity",
+    "q1_pricing_summary", "q3_top_revenue", "q5_region_revenue",
+    "q_agg_value_stats", "q_anti_join", "q_brand_stats",
+    "q_count_aggregator", "q_distinct_counts", "q_filter_pushdown",
+    "q_hopping_count", "q_json_extract", "q_lag_gap",
+    "q_last_window_upsert", "q_rank_suppliers", "q_rollup",
+    "q_salted_agg", "q_semi_join", "q_session_window", "q_set_ops",
+    "q_sliding_over_1m", "q_sliding_over_30m", "q_sliding_over_chunked",
+    "q_topk_orders", "q_ts_roundtrip", "q_tumbling_count",
+    "q_tumbling_count_sql", "q_tumbling_offset", "sim_ann_ivf",
+    "sim_ann_lsh", "sim_topk_bruteforce", "text_fingerprint",
+    "text_lang_id", "text_stats", "text_token_count", "text_vocab")
+
+  private def f3(v: Double): String =
+    if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches BASELINE.md's measurement config (local[32], 32
@@ -71,17 +102,38 @@ object Bench {
       rows
     }
 
-    def jsonMap(sel: ((String, Double, Double)) => Double): String =
-      results.map { case r @ (k, _, _) => "\"" + k + "\":" + sel(r) }
-        .mkString("{", ",", "}")
     // any failure poisons the totals: a broken run must never look fast
     val failed = results.exists(_._3 < 0)
     val totalCold = if (failed) -1.0 else results.map(_._2).sum
     val totalWarm = if (failed) -1.0 else results.map(_._3).sum
-    println(s"""{"metric":"total","value":$totalCold,"unit":"sec""""
-      + s""","queries":${jsonMap(_._3)},"queries_cold":${jsonMap(_._2)}"""
-      + s""","total_warm":$totalWarm,"sf":"$sfDir""""
+
+    // full-precision detail file: every query, cold + warm, plus policy
+    def fullMap(sel: ((String, Double, Double)) => Double): String =
+      results.map { case r @ (k, _, _) => "\"" + k + "\":" + sel(r) }
+        .mkString("{", ",", "}")
+    val detailPath = "BENCH_DETAIL.json"
+    val detailJson = (s"""{"metric":"total","value":$totalCold,"unit":"sec""""
+      + s""","queries":${fullMap(_._3)},"queries_cold":${fullMap(_._2)}"""
+      + s""","total_warm":$totalWarm,"n":${results.size},"sf":"$sfDir""""
       + s""","run_policy":"value=cold total (each one-time shared cost paid exactly once, in family order); queries=best-of-2 steady state; caches released after the dedup/pipeline/sim block"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detailJson + "\n").getBytes("UTF-8"))
+
+    // compact stdout line: baseline comparison set + anything ≥ 1 s warm,
+    // 3-decimal seconds; hard cap well inside the 2000-byte tail window
+    def compactLine(sel: Set[String]): String = {
+      val m = results.filter(r => sel.contains(r._1))
+        .map { case (k, _, w) => "\"" + k + "\":" + f3(w) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(totalCold)},"unit":"sec"""" +
+        s""","queries":$m,"total_warm":${f3(totalWarm)},"n":${results.size}""" +
+        s""","sf":"$sfDir","detail":"$detailPath"}"""
+    }
+    val slowExtras = results.filter(r => !baselineSet.contains(r._1) && r._3 >= 1.0)
+      .sortBy(-_._3).take(10).map(_._1).toSet
+    val line = Seq(baselineSet ++ slowExtras, baselineSet, Set.empty[String])
+      .map(compactLine).find(_.length <= 1800).getOrElse(compactLine(Set.empty))
+    println(line)
     graft.model.Tables.clearCaches(spark) // release library-pinned frames/memos
     spark.stop()
   }
