@@ -49,6 +49,57 @@ object PipelineQueries {
         .select("doc_id", "n_tokens")
     }),
 
+    // Span SCRUBBING — the application step of exact substring dedup
+    // (Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better"): dedup_common_spans only DETECTS duplicated 8-token
+    // spans; this rewrites the corpus. Policy: a span occurring in ≥2
+    // distinct documents is kept verbatim only in its first (min
+    // doc_id) document; every other document drops all tokens covered
+    // by an occurrence of that span. Output per document: token count,
+    // tokens removed, and the md5 of the scrubbed text — a full
+    // corpus-rewrite audit, hash-checked against the oracle.
+    //
+    // Scale shape: every stage is a keyed shuffle — span-string
+    // (duplicate detection), (doc_id, position) (covered-token set,
+    // deduped because overlapping spans cover the same token), doc_id
+    // (reassembly). No joins are broadcast or all-pairs; the span join
+    // fans out per OCCURRENCE of a duplicated span, which is the output
+    // size of the rewrite itself. At 100 TB the tokenized frame would
+    // be persisted across the three passes (here Catalyst just re-scans
+    // the parquet — cheaper than pinning at this SF); reassembly
+    // collects one document per group, the same row width the scan
+    // started with.
+    "pipeline_scrub_spans" -> ((s, dir) => {
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // 1-based span start positions; docs with <8 tokens have no spans
+      val spans = t
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 7)).as("p"))
+        .select(col("doc_id"), col("p"),
+          concat_ws(" ", slice(col("toks"), col("p"), lit(8))).as("span"))
+      val dup = spans.groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+      val covered = spans.join(dup, "span")
+        .filter(col("doc_id") > col("first_doc"))
+        .select(col("doc_id"), explode(sequence(col("p"), col("p") + 7)).as("i"))
+        .distinct()
+      t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          posexplode(col("toks")).as(Seq("i0", "tok")))
+        .withColumn("i", col("i0") + 1)
+        .join(covered.withColumn("rm", lit(1)), Seq("doc_id", "i"), "left")
+        .groupBy("doc_id")
+        .agg(
+          max(col("n_tokens")).as("n_tokens"),
+          sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          md5(concat_ws(" ",
+            transform(
+              sort_array(collect_list(when(col("rm").isNull, struct(col("i"), col("tok"))))),
+              x => x.getField("tok"))).cast("binary")).as("clean_hash"))
+    }),
+
     // Keyed deterministic pseudonymization — the privacy stage of a
     // training-data pipeline: SHA-256 over pepper+key gives stable ids
     // (joinability across tables survives; unlinkable without the
@@ -252,6 +303,41 @@ object PipelineQueries {
          |  AND l.c_en >= l.c_de AND l.c_en >= l.c_es AND l.c_en >= l.c_fr
          |  AND d.source <> 'src0'
          |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+
+    // duplicated-span policy mirrored exactly: ≥2 distinct docs, first
+    // (min doc_id) keeps its text, coverage positions deduped before
+    // token removal; string_agg(ORDER BY i) skips the NULLed removed
+    // tokens, and md5 of the rejoined string matches Spark's byte-wise
+    "pipeline_scrub_spans" -> {
+      val spanTerms = (0 until 8).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |pos AS (
+         |  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM t),
+         |sp AS (
+         |  SELECT doc_id, i AS p, $spanTerms AS span FROM pos),
+         |dup AS (
+         |  SELECT span, min(doc_id) AS first_doc
+         |  FROM (SELECT DISTINCT doc_id, span FROM sp)
+         |  GROUP BY span HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, i FROM (
+         |    SELECT sp.doc_id, unnest(range(sp.p, sp.p + 8)) AS i
+         |    FROM sp JOIN dup ON sp.span = dup.span AND sp.doc_id > dup.first_doc)),
+         |tok AS (
+         |  SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS tok,
+         |         generate_subscripts(toks, 1) AS i
+         |  FROM t),
+         |res AS (
+         |  SELECT tok.doc_id, max(tok.n_tokens) AS n_tokens,
+         |         sum(CASE WHEN cov.i IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+         |         string_agg(CASE WHEN cov.i IS NULL THEN tok.tok END, ' ' ORDER BY tok.i) AS clean
+         |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+         |  GROUP BY tok.doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(n_removed AS BIGINT) AS n_removed,
+         |       md5(coalesce(clean, '')) AS clean_hash
+         |FROM res""".stripMargin
+    },
 
     // SHA-256 is bit-identical across engines; DuckDB regexp_replace
     // needs the 'g' flag to match Spark's replace-all default

@@ -95,6 +95,50 @@ object SimilarityQueries {
     (withScores, assign, probes)
   }
 
+  /** Product-quantization pieces: per-subspace squared-L2 distance
+    * tables from each row's m-th subvector to the K codebook centroids.
+    *
+    * Codebook bootstrap mirrors [[ivfParts]]: centroid j of subspace m
+    * is the m-th subvector of corpus vector j (a driver-side collect
+    * bounded by the index parameter K, never by data size — the
+    * analogue of PQ training), baked into the plan as literals. Returns
+    * one K-wide array column per subspace, computed map-side in one
+    * projection; the corpus argmin-encodes them to an M-byte code
+    * (4 bits/subquantizer at K=16 — 16× smaller than the raw floats),
+    * the query side keeps the full arrays as its ADC lookup tables.
+    *
+    * Vectors are UNIT-NORMALIZED before quantization: the search metric
+    * is cosine, and on the unit sphere L2 order equals cosine order
+    * (‖a−b‖² = 2−2·cos), so the ADC ranking approximates the cosine
+    * ranking instead of an unrelated raw-L2 one. Distance folds are
+    * ascending-index and 0-seeded so the DuckDB oracle is
+    * bit-identical. */
+  private[graft] def pqDistTables(
+      s: SparkSession, dir: String, subDim: Int, k: Int): (DataFrame, Seq[Column]) = {
+    val vs = vectors(s, dir)
+    val dim = 64
+    val nSub = dim / subDim
+    val boot: Array[Array[Double]] = vs.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val a = r.getSeq[Double](1).toArray
+        // same ascending 0-seeded fold as the `nrm` column / the oracle
+        val nrm = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x * x))
+        a.map(_ / nrm)
+      }
+    val dists: Seq[Column] = (0 until nSub).map { m =>
+      array((0 until k).map { j =>
+        (0 until subDim).foldLeft(lit(0.0)) { (acc, i) =>
+          val d = element_at(col("v"), m * subDim + i + 1) / col("nrm") -
+            lit(boot(j)(m * subDim + i))
+          acc + d * d
+        }
+      }: _*)
+    }
+    (vs, dists)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force top-5 cosine for the first 10 vectors as queries
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -192,6 +236,61 @@ object SimilarityQueries {
         .orderBy(col("cos").desc, col("neighbor_id"))
       corpus.join(broadcast(q), Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", round(cosine(col("vq"), col("vc"), col("nq"), col("nc")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    }),
+
+    // product-quantization ANN (Jégou et al., "Product Quantization for
+    // Nearest Neighbor Search"): 64 dims → 8 subspaces × 16 centroids,
+    // so each corpus vector compresses to an 8-nibble code and the scan
+    // side carries 4 bytes instead of 256. Asymmetric distance (ADC):
+    // the query keeps its exact per-subspace distance tables (8×16
+    // doubles, broadcast with the 10-row query side) and each
+    // corpus-pair distance is 8 table LOOKUPS, not 64 multiplies.
+    // Production shape: the cheap ADC pass SHORTLISTS 50 candidates per
+    // query (a 10× prune at this SF; the ratio is the tunable at
+    // scale), then exact cosine re-ranks only the shortlist — the
+    // shortlist is tiny (queries × 50) and broadcasts back onto the
+    // corpus for the re-rank, so non-candidates' full vectors are never
+    // touched after the scan. Encoding is a map-side argmin over
+    // centroid literals — the corpus is scanned once, never shuffled;
+    // the only exchanges are the two rank windows keyed on query_id.
+    // At 100 TB this composes with the IVF bucket join (IVF-PQ: coarse
+    // quantizer prunes, PQ codes price, exact re-rank decides). Fully
+    // deterministic (first-min tie-break, fixed bootstrap codebooks,
+    // 6-dp+id tie-broken windows) → hash-checkable DuckDB oracle;
+    // recall ≥ 0.8 vs exact brute force asserted in SimilaritySpec.
+    "sim_ann_pq" -> ((s, dir) => {
+      val (vs, dists) = pqDistTables(s, dir, subDim = 8, k = 16)
+      val nSub = dists.size
+      val withD = vs.select(
+        col("vec_id") +: dists.zipWithIndex.map { case (d, m) => d.as(s"d$m") }: _*)
+      val corpus = withD.select(
+        col("vec_id").as("neighbor_id") +:
+          (0 until nSub).map(m =>
+            array_position(col(s"d$m"), array_min(col(s"d$m"))).cast("int").as(s"code$m")): _*)
+      val q = withD.filter(col("vec_id") < 10).select(
+        col("vec_id").as("query_id") +:
+          (0 until nSub).map(m => col(s"d$m").as(s"t$m")): _*)
+      val adc = (0 until nSub).foldLeft(lit(0.0)) { (acc, m) =>
+        acc + element_at(col(s"t$m"), col(s"code$m"))
+      }
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("neighbor_id"))
+      val short = corpus.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("adc", round(adc, 6))
+        .withColumn("arank", row_number().over(wAdc))
+        .filter(col("arank") <= 50)
+        .select("query_id", "neighbor_id")
+      val qv = vs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"))
+      val cv = vs.select(col("vec_id").as("neighbor_id"), col("v").as("vc"), col("nrm").as("nc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      cv.join(broadcast(short), Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
         .withColumn("cos", round(cosine(col("vq"), col("vc"), col("nq"), col("nc")), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
@@ -335,6 +434,51 @@ object SimilarityQueries {
 
     "sim_ann_lsh" -> lshOracle,
     "sim_ann_ivf" -> ivfOracle,
+
+    // deterministic end-to-end like the IVF oracle: codebooks are the
+    // first 16 vectors' subvectors, encode is first-min argmin
+    // (row_number ORDER BY dist ASC, cent_id ASC), every per-subspace
+    // distance is the same ascending-index 0-seeded fold as the Spark
+    // kernel, and the final ADC sum folds in subspace order (list(dist
+    // ORDER BY m)) to mirror the plan's left-fold exactly
+    "sim_ann_pq" ->
+      s"""WITH $vectorCtes,
+         |cents AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cent_id,
+         |         list_transform(v, x -> x / nrm) AS cv
+         |  FROM n WHERE vec_id < 16),
+         |sub AS (
+         |  SELECT n.vec_id, m.m, c.cent_id,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+         |           i -> (n.v[8 * m.m + i] / n.nrm - c.cv[8 * m.m + i]) * (n.v[8 * m.m + i] / n.nrm - c.cv[8 * m.m + i]))),
+         |           (a, b) -> a + b) AS dist
+         |  FROM n CROSS JOIN range(0, 8) m(m) CROSS JOIN cents c),
+         |enc AS (
+         |  SELECT vec_id, m, cent_id AS code FROM sub
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, cent_id ASC) = 1),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.m, q.dist
+         |  FROM enc c JOIN sub q ON q.m = c.m AND q.cent_id = c.code
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |         round(list_reduce(list_prepend(0.0, list(dist ORDER BY m)), (a, b) -> a + b), 6) AS adc
+         |  FROM pairs GROUP BY 1, 2),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM adc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id) <= 50),
+         |rr AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         round(list_reduce(list_prepend(0.0,
+         |                 list_transform(range(1, 65), i -> qn.v[i] * cn.v[i])), (x, y) -> x + y)
+         |               / (qn.nrm * cn.nrm), 6) AS cos
+         |  FROM short s
+         |  JOIN n qn ON qn.vec_id = s.query_id
+         |  JOIN n cn ON cn.vec_id = s.neighbor_id)
+         |SELECT query_id, neighbor_id, cos,
+         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |FROM rr
+         |QUALIFY rank <= 5""".stripMargin,
 
     // same per-dim interpolated median (quantile_cont == Spark's exact
     // percentile at p·(n−1)), same ascending-dim centroid list, same

@@ -61,6 +61,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("PQ ANN: ADC scan broadcasts the query tables; re-rank broadcasts the shortlist") {
+    val p = plan("sim_ann_pq")
+    // the ADC pass is an intentional broadcast of the 10-row query side
+    // over the one-pass encoded corpus (same contract as
+    // sim_topk_bruteforce); the re-rank stage must join the corpus via
+    // BROADCAST of the tiny shortlist, never a shuffle of the vectors
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("simhash candidates come from block-banded equi-joins — no all-pairs plan") {
     val p = plan("dedup_simhash")
     assert(!p.contains("CartesianProduct"), p)

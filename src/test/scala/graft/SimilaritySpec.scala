@@ -25,6 +25,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall")
   }
 
+  test("PQ ANN recall vs brute force ≥ 0.8 with shortlist-50 rerank") {
+    val bf = pairs("sim_topk_bruteforce")
+    val pq = pairs("sim_ann_pq")
+    val recall = bf.intersect(pq).count() / 50.0
+    assert(recall >= 0.8, s"PQ recall $recall")
+  }
+
+  test("PQ ANN: 5 ranked neighbors per query, exact cosine agrees with brute force where shared") {
+    val out = SimilarityQueries.queries("sim_ann_pq")(spark, sf0001)
+    val perQuery = out.groupBy("query_id").agg(count(lit(1)).as("n")).collect()
+    assert(perQuery.length == 10 && perQuery.forall(_.getLong(1) == 5L))
+    // the re-rank stage computes the same exact cosine as brute force,
+    // so any (query, neighbor) pair present in both must carry the
+    // same score — catches a drifting kernel or normalization bug
+    val bf = SimilarityQueries.queries("sim_topk_bruteforce")(spark, sf0001)
+      .select("query_id", "neighbor_id", "cos")
+    assert(out.select("query_id", "neighbor_id", "cos")
+      .join(bf, Seq("query_id", "neighbor_id"))
+      .filter(out("cos") =!= bf("cos")).isEmpty)
+  }
+
   test("hyperplane LSH: deterministic planes, candidates share buckets") {
     val p1 = SimilarityQueries.hyperplanes(8, 64)
     val p2 = SimilarityQueries.hyperplanes(8, 64)

@@ -105,6 +105,28 @@ class TextDedupSpec extends SparkSpec {
     assert(cands2.contains((1L, 100L)))
   }
 
+  test("scrub_spans: first-doc keeps text verbatim, short docs untouched, removal bounded") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val out = graft.queries.PipelineQueries.queries("pipeline_scrub_spans")(spark, sf0001)
+    val joined = out.join(d, "doc_id")
+      .select($"doc_id", $"n_tokens", $"n_removed", $"clean_hash",
+        md5($"text".cast("binary")).as("orig_hash"),
+        size(tokens($"text")).cast("long").as("n_tok_direct"))
+      .collect()
+    assert(joined.length == d.count()) // every document is accounted for
+    joined.foreach { r =>
+      val (nTok, nRem) = (r.getLong(1), r.getLong(2))
+      assert(nTok == r.getLong(5))
+      assert(nRem >= 0 && nRem <= nTok)
+      if (nTok < 8) assert(nRem == 0) // no spans ⇒ nothing to scrub
+      // untouched documents round-trip byte-identically
+      if (nRem == 0) assert(r.getString(3) == r.getString(4))
+      else assert(r.getString(3) != r.getString(4))
+    }
+    // the planted near-duplicates guarantee the scrub actually fires
+    assert(joined.map(_.getLong(2)).sum > 0)
+  }
+
   test("DotProduct throws on dimension mismatch instead of truncating") {
     import graft.functions.KernelExpressions.dot
     val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
