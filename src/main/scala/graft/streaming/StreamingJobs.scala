@@ -305,44 +305,83 @@ object StreamingJobs {
     * cardinality the batch-mode chunked formulation
     * ([[Windows.slidingCountChunked]]) is the right offline tool; this
     * operator is for live streams.
+    *
+    * State is frame-bounded per ACTIVE key, but by default a key that
+    * stops arriving parks its last buffer forever — on a feed with
+    * unbounded key churn (session ids, request ids) that is an OOM on a
+    * long enough horizon. Pass `evictIdleAfter` (requires a caller-set
+    * event-time watermark on `events`) to drop a key's state once the
+    * watermark passes its newest event by frame + evictIdleAfter: by
+    * then every buffered timestamp is outside any future event's frame
+    * AND the watermark itself already drops events at or below the old
+    * per-key max, so eviction cannot change any output — it only
+    * bounds state by retention-window key occupancy, mirroring
+    * [[lshCandidatesStreaming]]'s contract.
     */
   def slidingCountStreaming(
       events: Dataset[KeyedEvent],
-      frameSeconds: Long): Dataset[SlidingCount] = {
+      frameSeconds: Long,
+      evictIdleAfter: Option[String] = None): Dataset[SlidingCount] = {
     import events.sparkSession.implicits._
     val frameUs = frameSeconds * 1000000L
+    val evictMs = evictIdleAfter.map { d =>
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d))
+      require(iv.months == 0, s"evictIdleAfter must be day-time, got: $d")
+      frameSeconds * 1000L + iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    val timeoutConf =
+      if (evictMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
 
     def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
 
     events
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: String, rows: Iterator[KeyedEvent], state: GroupState[SlidingState]) =>
-          val st = state.getOption.getOrElse(SlidingState(Long.MinValue, Nil))
-          var maxSeen = st.maxSeenUs
-          var buf = st.timesUs
-          // Ties within a batch are one group: RANGE frames include
-          // peers, so equal-ts rows all see each other (Flink buffers
-          // same-rowtime rows and fires them together). A tie arriving
-          // in a LATER batch is late — Flink's rowtime OVER drops
-          // ts <= lastTriggeringTs — so maxSeen uses <=, not <.
-          val out = rows.toSeq
-            .groupBy(e => micros(e.ts)).toSeq.sortBy(_._1)
-            .flatMap { case (t, peers) =>
-              if (t <= maxSeen) Nil // late (incl. cross-batch tie): drop
-              else {
-                maxSeen = t
-                // buf is descending and t is the new maximum: prepend
-                // the peers, prune the expired tail — no re-sort. After
-                // the prune every element is in [t - frame, t], so the
-                // trailing count is simply the buffer length.
-                buf = List.fill(peers.size)(t) ::: buf.takeWhile(_ >= t - frameUs)
-                val cnt = buf.length.toLong
-                peers.map(e => SlidingCount(key, e.ts, cnt))
-              }
-            }
-          state.update(SlidingState(maxSeen, buf))
-          out.iterator
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed newest event + frame + idle retention
+            Iterator.empty
+          } else slidingBatch(key, rows, state, frameUs, evictMs, micros)
       }
+  }
+
+  /** One micro-batch of the sliding OVER state machine (split out so the
+    * timed-out branch above stays a two-liner). */
+  private def slidingBatch(
+      key: String, rows: Iterator[KeyedEvent], state: GroupState[SlidingState],
+      frameUs: Long, evictMs: Option[Long],
+      micros: Timestamp => Long): Iterator[SlidingCount] = {
+    val st = state.getOption.getOrElse(SlidingState(Long.MinValue, Nil))
+    var maxSeen = st.maxSeenUs
+    var buf = st.timesUs
+    // Ties within a batch are one group: RANGE frames include
+    // peers, so equal-ts rows all see each other (Flink buffers
+    // same-rowtime rows and fires them together). A tie arriving
+    // in a LATER batch is late — Flink's rowtime OVER drops
+    // ts <= lastTriggeringTs — so maxSeen uses <=, not <.
+    val out = rows.toSeq
+      .groupBy(e => micros(e.ts)).toSeq.sortBy(_._1)
+      .flatMap { case (t, peers) =>
+        if (t <= maxSeen) Nil // late (incl. cross-batch tie): drop
+        else {
+          maxSeen = t
+          // buf is descending and t is the new maximum: prepend
+          // the peers, prune the expired tail — no re-sort. After
+          // the prune every element is in [t - frame, t], so the
+          // trailing count is simply the buffer length.
+          buf = List.fill(peers.size)(t) ::: buf.takeWhile(_ >= t - frameUs)
+          val cnt = buf.length.toLong
+          peers.map(e => SlidingCount(key, e.ts, cnt))
+        }
+      }
+    state.update(SlidingState(maxSeen, buf))
+    // rows older than the watermark never reach the operator, so
+    // maxSeen ≥ watermark and the timeout is always in the future
+    evictMs.foreach { ms =>
+      if (maxSeen != Long.MinValue) state.setTimeoutTimestamp(maxSeen / 1000L + ms)
+    }
+    out.iterator
   }
 }

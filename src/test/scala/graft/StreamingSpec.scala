@@ -236,6 +236,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding OVER evicts idle keys once the watermark passes frame + idle retention") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = slidingCountStreaming(
+        in.toDS().withWatermark("ts", "0 seconds"), 60L, evictIdleAfter = Some("1 minute"))
+      .writeStream.outputMode("append").format("memory").queryName("sliding_evict").start()
+    try {
+      in.addData(KeyedEvent("a", ts("2024-01-01 00:00:10.0")),
+        KeyedEvent("b", ts("2024-01-01 00:00:20.0")))
+      q.processAllAvailable()
+      // advance the watermark far past a's timeout (00:02:10); timeouts
+      // fire on the batch AFTER the watermark moves, so run two more
+      in.addData(KeyedEvent("b", ts("2024-01-01 01:00:00.0")))
+      q.processAllAvailable()
+      in.addData(KeyedEvent("b", ts("2024-01-01 02:00:00.0")))
+      q.processAllAvailable()
+      val stateRows = q.recentProgress
+        .filter(_.stateOperators.nonEmpty).map(_.stateOperators(0).numRowsTotal)
+      assert(stateRows.nonEmpty && stateRows.last == 1L,
+        s"idle key not evicted, state-row history: ${stateRows.mkString(",")}")
+      // eviction must not change emitted results: every event was the
+      // only one inside its own trailing frame
+      val got = spark.table("sliding_evict")
+        .select($"key", $"trailing_cnt").as[(String, Long)].collect()
+      assert(got.length == 4 && got.forall(_._2 == 1L), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes without duplicating upserts (F1+X3)") {
     implicit val sql = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
