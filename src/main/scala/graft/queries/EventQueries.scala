@@ -161,6 +161,24 @@ object EventQueries {
         .agg(cells.head, cells.tail: _*)
     }),
 
+    // Flink streaming-SQL "Window Top-N" (ROW_NUMBER OVER a window
+    // aggregate, rank filter ≤ N): the top-3 most active users per
+    // 1-hour tumbling window. Spark 4 plans the rank filter as a
+    // WindowGroupLimit (PlanSpec pins it): each map-side partition
+    // keeps only its local top-3 per hour BEFORE the per-hour exchange
+    // + sort, so the shuffle carries O(hours × 3) rows per partition —
+    // the property that makes per-window leaderboards viable when one
+    // window holds millions of keys.
+    "q_window_topn" -> ((s, dir) => {
+      val counts = events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("window_start"), col("user_id"), col("cnt"))
+      val wn = Window.partitionBy(col("window_start"))
+        .orderBy(col("cnt").desc, col("user_id"))
+      counts.withColumn("rnk", row_number().over(wn)).filter(col("rnk") <= 3)
+    }),
+
     // funnel analysis: how many users progress view → click →
     // purchase, each stage STRICTLY AFTER the previous one (an
     // out-of-order click doesn't count). Stage frames are conditional
@@ -252,6 +270,16 @@ object EventQueries {
         |       time_bucket(INTERVAL '1 minute', ts) AS window_start,
         |       time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end
         |FROM events GROUP BY 1, 3, 4""".stripMargin,
+
+    "q_window_topn" ->
+      """WITH c AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, user_id,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, user_id, cnt,
+        |       CAST(row_number() OVER (PARTITION BY window_start ORDER BY cnt DESC, user_id) AS INTEGER) AS rnk
+        |FROM c
+        |QUALIFY rnk <= 3""".stripMargin,
 
     // each event lands in every expanding window of its 4-minute bucket
     // whose end is past the event; 2000-01-03 (DuckDB's time_bucket

@@ -139,6 +139,23 @@ object SimilarityQueries {
     (vs, dists)
   }
 
+  /** Exact-cosine re-rank of a tiny (query_id, neighbor_id) shortlist:
+    * the shortlist broadcasts onto the corpus (never a vector shuffle),
+    * query vectors broadcast, top-5 per query by (cos desc, id). */
+  private def exactRerank(vs: DataFrame, short: DataFrame): DataFrame = {
+    val qv = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"))
+    val cv = vs.select(col("vec_id").as("neighbor_id"), col("v").as("vc"), col("nrm").as("nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cv.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", round(cosine(col("vq"), col("vc"), col("nq"), col("nc")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force top-5 cosine for the first 10 vectors as queries
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -284,17 +301,40 @@ object SimilarityQueries {
         .withColumn("arank", row_number().over(wAdc))
         .filter(col("arank") <= 50)
         .select("query_id", "neighbor_id")
-      val qv = vs.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("vq"), col("nrm").as("nq"))
-      val cv = vs.select(col("vec_id").as("neighbor_id"), col("v").as("vc"), col("nrm").as("nc"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      cv.join(broadcast(short), Seq("neighbor_id"))
-        .join(broadcast(qv), Seq("query_id"))
-        .withColumn("cos", round(cosine(col("vq"), col("vc"), col("nq"), col("nc")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select("query_id", "neighbor_id", "cos", "rank")
+      exactRerank(vs, short)
+    }),
+
+    // IVF-PQ — the composed production ANN shape: the coarse quantizer
+    // (IVF probe equi-join) PRUNES candidates to ~nprobe/k of the
+    // corpus, PQ ADC PRICES only those candidates from the 8-lookup
+    // code, exact cosine re-ranks the shortlist. One corpus scan
+    // carries (bucket, 8 codes) per vector — at 100 TB this is the
+    // index layout a vector store would persist: candidate generation
+    // never touches raw vectors, pricing touches 4 bytes/vector, and
+    // only queries×50 full vectors are read again for the re-rank.
+    "sim_ann_ivfpq" -> ((s, dir) => {
+      val (withScores, assign, probes) = ivfParts(s, dir, k = 16, nprobe = 4)
+      val (vs, dists) = pqDistTables(s, dir, subDim = 8, k = 16)
+      val nSub = dists.size
+      val corpus = withScores.select(
+        col("vec_id").as("neighbor_id") +: assign.as("bucket") +:
+          dists.zipWithIndex.map { case (d, m) =>
+            array_position(d, array_min(d)).cast("int").as(s"code$m") }: _*)
+      val q = withScores.filter(col("vec_id") < 10).select(
+        col("vec_id").as("query_id") +: explode(probes).as("bucket") +:
+          dists.zipWithIndex.map { case (d, m) => d.as(s"t$m") }: _*)
+      val adc = (0 until nSub).foldLeft(lit(0.0)) { (acc, m) =>
+        acc + element_at(col(s"t$m"), col(s"code$m"))
+      }
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("neighbor_id"))
+      val short = corpus.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adc", round(adc, 6))
+        .withColumn("arank", row_number().over(wAdc))
+        .filter(col("arank") <= 50)
+        .select("query_id", "neighbor_id")
+      exactRerank(vs, short)
     }),
 
     // symmetric int8 quantization — the vector-store compression step
@@ -370,6 +410,51 @@ object SimilarityQueries {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  /** Shared PQ CTE chain (normalized bootstrap codebooks → per-(vector,
+    * subspace) centroid distances → first-min codes) — reused by the
+    * sim_ann_pq and sim_ann_ivfpq oracles. Expects `n` (vec_id, v, nrm)
+    * in scope. */
+  private val pqCtes: String =
+    """pqc AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cent_id,
+      |         list_transform(v, x -> x / nrm) AS cv
+      |  FROM n WHERE vec_id < 16),
+      |psub AS (
+      |  SELECT n.vec_id, m.m, c.cent_id,
+      |         list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+      |           i -> (n.v[8 * m.m + i] / n.nrm - c.cv[8 * m.m + i]) * (n.v[8 * m.m + i] / n.nrm - c.cv[8 * m.m + i]))),
+      |           (a, b) -> a + b) AS dist
+      |  FROM n CROSS JOIN range(0, 8) m(m) CROSS JOIN pqc c),
+      |penc AS (
+      |  SELECT vec_id, m, cent_id AS code FROM psub
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, cent_id ASC) = 1)""".stripMargin
+
+  /** ADC aggregation (subspace-ordered fold), shortlist-50, and exact
+    * cosine re-rank — the tail shared by both PQ oracles. Expects
+    * `pairs` (query_id, neighbor_id, m, dist) and `n` in scope. */
+  private val adcRerankCtes: String =
+    """adc AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(list_reduce(list_prepend(0.0, list(dist ORDER BY m)), (a, b) -> a + b), 6) AS adc
+      |  FROM pairs GROUP BY 1, 2),
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM adc
+      |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id) <= 50),
+      |rr AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |         round(list_reduce(list_prepend(0.0,
+      |                 list_transform(range(1, 65), i -> qn.v[i] * cn.v[i])), (x, y) -> x + y)
+      |               / (qn.nrm * cn.nrm), 6) AS cos
+      |  FROM short s
+      |  JOIN n qn ON qn.vec_id = s.query_id
+      |  JOIN n cn ON cn.vec_id = s.neighbor_id)""".stripMargin
+
+  private val rankedTop5: String =
+    """SELECT query_id, neighbor_id, cos,
+      |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      |FROM rr
+      |QUALIFY rank <= 5""".stripMargin
+
   /** Shared IVF-assignment CTE chain (bootstrap centroids → scores →
     * first-max bucket per vector) — the deterministic core reused by
     * the ivf, k-means-refine, and semantic-dedup oracles. */
@@ -443,42 +528,40 @@ object SimilarityQueries {
     // ORDER BY m)) to mirror the plan's left-fold exactly
     "sim_ann_pq" ->
       s"""WITH $vectorCtes,
-         |cents AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cent_id,
-         |         list_transform(v, x -> x / nrm) AS cv
-         |  FROM n WHERE vec_id < 16),
-         |sub AS (
-         |  SELECT n.vec_id, m.m, c.cent_id,
-         |         list_reduce(list_prepend(0.0, list_transform(range(1, 9),
-         |           i -> (n.v[8 * m.m + i] / n.nrm - c.cv[8 * m.m + i]) * (n.v[8 * m.m + i] / n.nrm - c.cv[8 * m.m + i]))),
-         |           (a, b) -> a + b) AS dist
-         |  FROM n CROSS JOIN range(0, 8) m(m) CROSS JOIN cents c),
-         |enc AS (
-         |  SELECT vec_id, m, cent_id AS code FROM sub
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, cent_id ASC) = 1),
+         |$pqCtes,
          |pairs AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.m, q.dist
-         |  FROM enc c JOIN sub q ON q.m = c.m AND q.cent_id = c.code
+         |  FROM penc c JOIN psub q ON q.m = c.m AND q.cent_id = c.code
          |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
-         |adc AS (
-         |  SELECT query_id, neighbor_id,
-         |         round(list_reduce(list_prepend(0.0, list(dist ORDER BY m)), (a, b) -> a + b), 6) AS adc
-         |  FROM pairs GROUP BY 1, 2),
-         |short AS (
-         |  SELECT query_id, neighbor_id FROM adc
-         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id) <= 50),
-         |rr AS (
-         |  SELECT s.query_id, s.neighbor_id,
-         |         round(list_reduce(list_prepend(0.0,
-         |                 list_transform(range(1, 65), i -> qn.v[i] * cn.v[i])), (x, y) -> x + y)
-         |               / (qn.nrm * cn.nrm), 6) AS cos
-         |  FROM short s
-         |  JOIN n qn ON qn.vec_id = s.query_id
-         |  JOIN n cn ON cn.vec_id = s.neighbor_id)
-         |SELECT query_id, neighbor_id, cos,
-         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-         |FROM rr
-         |QUALIFY rank <= 5""".stripMargin,
+         |$adcRerankCtes
+         |$rankedTop5""".stripMargin,
+
+    // IVF-PQ — the composed production ANN: the coarse quantizer's
+    // probe join prunes candidates (same CTEs as the sim_ann_ivf
+    // oracle), PQ ADC prices only those candidates, exact cosine
+    // re-ranks the shortlist. Deterministic for the same reasons as
+    // its two parents.
+    "sim_ann_ivfpq" ->
+      s"""WITH $ivfAssignCtes,
+         |thr AS (
+         |  SELECT vec_id, score AS cthr FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cent_id ASC) = 13),
+         |probes AS (
+         |  SELECT sc.vec_id, sc.cent_id AS bucket
+         |  FROM sc JOIN thr ON sc.vec_id = thr.vec_id
+         |  WHERE sc.score >= thr.cthr),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM assign c JOIN probes q ON c.bucket = q.bucket
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |$pqCtes,
+         |pairs AS (
+         |  SELECT cand.query_id, cand.neighbor_id, qd.m, qd.dist
+         |  FROM cand
+         |  JOIN penc ce ON ce.vec_id = cand.neighbor_id
+         |  JOIN psub qd ON qd.vec_id = cand.query_id AND qd.m = ce.m AND qd.cent_id = ce.code),
+         |$adcRerankCtes
+         |$rankedTop5""".stripMargin,
 
     // same per-dim interpolated median (quantile_cont == Spark's exact
     // percentile at p·(n−1)), same ascending-dim centroid list, same

@@ -72,6 +72,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("IVF-PQ ANN: candidates from the bucket equi-join, no all-pairs ADC pass") {
+    val p = plan("sim_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("simhash candidates come from block-banded equi-joins — no all-pairs plan") {
     val p = plan("dedup_simhash")
     assert(!p.contains("CartesianProduct"), p)
@@ -82,6 +89,11 @@ class PlanSpec extends SparkSpec {
     val p = plan("dedup_embedding_cosine")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("window top-N pushes the rank limit below the exchange (WindowGroupLimit)") {
+    val p = plan("q_window_topn")
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("lag de-skew partitions by (key, chunk), not key alone") {

@@ -32,6 +32,13 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"PQ recall $recall")
   }
 
+  test("IVF-PQ ANN recall vs brute force ≥ 0.8 (prune + price + re-rank)") {
+    val bf = pairs("sim_topk_bruteforce")
+    val ip = pairs("sim_ann_ivfpq")
+    val recall = bf.intersect(ip).count() / 50.0
+    assert(recall >= 0.8, s"IVF-PQ recall $recall")
+  }
+
   test("PQ ANN: 5 ranked neighbors per query, exact cosine agrees with brute force where shared") {
     val out = SimilarityQueries.queries("sim_ann_pq")(spark, sf0001)
     val perQuery = out.groupBy("query_id").agg(count(lit(1)).as("n")).collect()
