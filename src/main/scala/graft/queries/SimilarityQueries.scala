@@ -110,15 +110,33 @@ object SimilarityQueries {
     * Vectors are UNIT-NORMALIZED before quantization: the search metric
     * is cosine, and on the unit sphere L2 order equals cosine order
     * (‖a−b‖² = 2−2·cos), so the ADC ranking approximates the cosine
-    * ranking instead of an unrelated raw-L2 one. Distance folds are
-    * ascending-index and 0-seeded so the DuckDB oracle is
-    * bit-identical. */
+    * ranking instead of an unrelated raw-L2 one.
+    *
+    * Each distance is computed as ssqₘ/‖v‖² − 2·(subₘ·cⱼ)/‖v‖ + ‖cⱼ‖²
+    * (raw-subvector dots, normalization folded into the algebra)
+    * rather than a fold of (x−y)² terms over normalized elements: the
+    * per-row RAW subvectors (codegen'd Slice) and their self-dots
+    * materialize ONCE, every cross term is the codegen'd
+    * [[graft.functions.KernelExpressions.dot]] kernel (a generated
+    * loop), and the centroid self-dots are driver-side literals. The
+    * naive 128-fold unrolled form blew past generated-code limits and
+    * dropped the projection out of whole-stage codegen (7 s instead of
+    * ~1 s at sf0.1), and a per-element `transform` normalization is a
+    * CodegenFallback higher-order function with the same effect. Every
+    * fold (kernel, driver literal, oracle list_reduce) is
+    * ascending-index and 0-seeded, and the division/3-term combination
+    * associates identically in Spark and SQL, so the DuckDB oracle
+    * stays bit-identical.
+    *
+    * `base` must carry `v`/`nrm` ([[vectors]] or a frame derived from
+    * it); returns it extended with subvector/self-dot columns plus the
+    * K-wide distance-array column expressions bound to them. */
   private[graft] def pqDistTables(
-      s: SparkSession, dir: String, subDim: Int, k: Int): (DataFrame, Seq[Column]) = {
-    val vs = vectors(s, dir)
+      s: SparkSession, dir: String, base: DataFrame,
+      subDim: Int, k: Int): (DataFrame, Seq[Column]) = {
     val dim = 64
     val nSub = dim / subDim
-    val boot: Array[Array[Double]] = vs.filter(col("vec_id") < k)
+    val boot: Array[Array[Double]] = vectors(s, dir).filter(col("vec_id") < k)
       .select(col("vec_id"), col("v")).collect()
       .sortBy(_.getLong(0))
       .map { r =>
@@ -127,16 +145,21 @@ object SimilarityQueries {
         val nrm = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x * x))
         a.map(_ / nrm)
       }
+    val withSub = base.select(col("*") +: (0 until nSub).map { m =>
+      slice(col("v"), m * subDim + 1, subDim).as(s"sub$m")
+    }: _*)
+    val prepped = withSub.select(col("*") +: (0 until nSub).map { m =>
+      dot(col(s"sub$m"), col(s"sub$m")).as(s"ssq$m")
+    }: _*)
     val dists: Seq[Column] = (0 until nSub).map { m =>
       array((0 until k).map { j =>
-        (0 until subDim).foldLeft(lit(0.0)) { (acc, i) =>
-          val d = element_at(col("v"), m * subDim + i + 1) / col("nrm") -
-            lit(boot(j)(m * subDim + i))
-          acc + d * d
-        }
+        val c = boot(j).slice(m * subDim, (m + 1) * subDim)
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        col(s"ssq$m") / (col("nrm") * col("nrm")) -
+          lit(2.0) * dot(col(s"sub$m"), typedLit(c.toSeq)) / col("nrm") + lit(cc)
       }: _*)
     }
-    (vs, dists)
+    (prepped, dists)
   }
 
   /** Exact-cosine re-rank of a tiny (query_id, neighbor_id) shortlist:
@@ -280,9 +303,10 @@ object SimilarityQueries {
     // 6-dp+id tie-broken windows) → hash-checkable DuckDB oracle;
     // recall ≥ 0.8 vs exact brute force asserted in SimilaritySpec.
     "sim_ann_pq" -> ((s, dir) => {
-      val (vs, dists) = pqDistTables(s, dir, subDim = 8, k = 16)
+      val vs = vectors(s, dir)
+      val (prepped, dists) = pqDistTables(s, dir, vs, subDim = 8, k = 16)
       val nSub = dists.size
-      val withD = vs.select(
+      val withD = prepped.select(
         col("vec_id") +: dists.zipWithIndex.map { case (d, m) => d.as(s"d$m") }: _*)
       val corpus = withD.select(
         col("vec_id").as("neighbor_id") +:
@@ -314,15 +338,21 @@ object SimilarityQueries {
     // only queries×50 full vectors are read again for the re-rank.
     "sim_ann_ivfpq" -> ((s, dir) => {
       val (withScores, assign, probes) = ivfParts(s, dir, k = 16, nprobe = 4)
-      val (vs, dists) = pqDistTables(s, dir, subDim = 8, k = 16)
+      val vs = vectors(s, dir)
+      val (prepped, dists) = pqDistTables(s, dir, withScores, subDim = 8, k = 16)
       val nSub = dists.size
-      val corpus = withScores.select(
+      // materialize the K-wide distance arrays once; argmin/dtab both
+      // read the attribute, not a re-expanded expression
+      val withD = prepped.select(
+        col("vec_id") +: col("cscores") +: col("cthr") +:
+          dists.zipWithIndex.map { case (d, m) => d.as(s"d$m") }: _*)
+      val corpus = withD.select(
         col("vec_id").as("neighbor_id") +: assign.as("bucket") +:
-          dists.zipWithIndex.map { case (d, m) =>
-            array_position(d, array_min(d)).cast("int").as(s"code$m") }: _*)
-      val q = withScores.filter(col("vec_id") < 10).select(
+          (0 until nSub).map(m =>
+            array_position(col(s"d$m"), array_min(col(s"d$m"))).cast("int").as(s"code$m")): _*)
+      val q = withD.filter(col("vec_id") < 10).select(
         col("vec_id").as("query_id") +: explode(probes).as("bucket") +:
-          dists.zipWithIndex.map { case (d, m) => d.as(s"t$m") }: _*)
+          (0 until nSub).map(m => col(s"d$m").as(s"t$m")): _*)
       val adc = (0 until nSub).foldLeft(lit(0.0)) { (acc, m) =>
         acc + element_at(col(s"t$m"), col(s"code$m"))
       }
@@ -415,15 +445,19 @@ object SimilarityQueries {
     * sim_ann_pq and sim_ann_ivfpq oracles. Expects `n` (vec_id, v, nrm)
     * in scope. */
   private val pqCtes: String =
-    """pqc AS (
-      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cent_id,
-      |         list_transform(v, x -> x / nrm) AS cv
-      |  FROM n WHERE vec_id < 16),
+    """nu AS (
+      |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n),
+      |pqc AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cent_id, u AS cv
+      |  FROM nu WHERE vec_id < 16),
       |psub AS (
       |  SELECT n.vec_id, m.m, c.cent_id,
-      |         list_reduce(list_prepend(0.0, list_transform(range(1, 9),
-      |           i -> (n.v[8 * m.m + i] / n.nrm - c.cv[8 * m.m + i]) * (n.v[8 * m.m + i] / n.nrm - c.cv[8 * m.m + i]))),
-      |           (a, b) -> a + b) AS dist
+      |         (list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+      |            i -> n.v[8 * m.m + i] * n.v[8 * m.m + i])), (a, b) -> a + b) / (n.nrm * n.nrm)
+      |          - 2 * list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+      |            i -> n.v[8 * m.m + i] * c.cv[8 * m.m + i])), (a, b) -> a + b) / n.nrm)
+      |         + list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+      |            i -> c.cv[8 * m.m + i] * c.cv[8 * m.m + i])), (a, b) -> a + b) AS dist
       |  FROM n CROSS JOIN range(0, 8) m(m) CROSS JOIN pqc c),
       |penc AS (
       |  SELECT vec_id, m, cent_id AS code FROM psub
