@@ -224,6 +224,59 @@ object StreamingJobs {
       }
   }
 
+  /** One hour-bucketed event for the streaming Top-N operator. */
+  case class TopNEvent(user_id: Long, bucket: Timestamp, ts: Timestamp)
+
+  /** One per-window leaderboard row, emitted at window finalization. */
+  case class TopNRow(bucket: Timestamp, user_id: Long, cnt: Long, rnk: Int)
+
+  /** Streaming Window Top-N — the live form of `q_window_topn` (Flink
+    * streaming-SQL "Window Top-N": ROW_NUMBER over a window aggregate,
+    * rank ≤ n), which Structured Streaming cannot express natively
+    * (rank windows are unsupported on streams).
+    *
+    * Exact top-N is not incrementally emittable under out-of-order
+    * arrival — a late increment can promote any key into the
+    * leaderboard — so the operator keeps the full (key → count) map
+    * per OPEN window and emits the ranked top-n once, when the
+    * watermark passes the window end (the same per-window state
+    * Flink's implementation keeps). State is bounded by per-window key
+    * occupancy × open windows (≈ lateness/width + 1) and evicted at
+    * emission; rows older than the watermark never reach the operator,
+    * so a live group's window-end timeout is always ahead of the
+    * watermark. At scale, windows are the shuffle key: each window's
+    * map lives on one partition — the map, not the event history, is
+    * the state, so memory is per-window distinct keys, and a
+    * heavy-hitter sketch (CMS top-k) is the documented fallback when
+    * even that is too wide.
+    */
+  def windowTopNStreaming(events: DataFrame, tsCol: String, userCol: String,
+      n: Int = 3, lateness: String = "30 minutes"): Dataset[TopNRow] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col(userCol).cast("long").as("user_id"),
+        date_trunc("hour", col(tsCol)).as("bucket"), col(tsCol).as("ts"))
+      .withWatermark("ts", lateness)
+      .as[TopNEvent]
+      .groupByKey(_.bucket.getTime)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucketMs: Long, rows: Iterator[TopNEvent], state: GroupState[Map[Long, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            counts.toSeq.sortBy { case (u, c) => (-c, u) } // (cnt desc, id asc) = batch tie-break
+              .take(n).zipWithIndex.iterator
+              .map { case ((u, c), i) => TopNRow(new Timestamp(bucketMs), u, c, i + 1) }
+          } else {
+            var m = state.getOption.getOrElse(Map.empty[Long, Long])
+            rows.foreach(r => m = m.updated(r.user_id, m.getOrElse(r.user_id, 0L) + 1L))
+            state.update(m)
+            state.setTimeoutTimestamp(bucketMs + 3600000L) // finalize at window end (+lateness via watermark)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming AS-OF enrichment against a STATIC dimension: each
     * stream row picks up the latest dimension row (by `dimTs`, ties by
     * max `dimVal`) at or before its own event time. The dimension is

@@ -236,6 +236,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming window Top-N finalizes each hour's leaderboard == batch rank query") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = windowTopNStreaming(
+        in.toDF().toDF("u", "t"), "t", "u", n = 2, lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("topn_out").start()
+    try {
+      // hour 10: u1×3, u2×3 (tie → u1 first), u3×1; out-of-order within tolerance
+      in.addData((1L, ts("2024-01-01 10:05:00")), (2L, ts("2024-01-01 10:10:00")),
+        (1L, ts("2024-01-01 10:20:00")), (2L, ts("2024-01-01 10:15:00")))
+      q.processAllAvailable()
+      in.addData((3L, ts("2024-01-01 10:40:00")), (1L, ts("2024-01-01 10:30:00")),
+        (2L, ts("2024-01-01 10:55:00")))
+      q.processAllAvailable()
+      // hour 11 events move the watermark past hour 10's end + lateness
+      in.addData((7L, ts("2024-01-01 11:30:00")), (7L, ts("2024-01-01 11:45:00")))
+      q.processAllAvailable()
+      in.addData((8L, ts("2024-01-01 13:00:00"))) // finalize hour 11 too
+      q.processAllAvailable()
+      val got = spark.table("topn_out")
+        .select($"bucket", $"user_id", $"cnt", $"rnk")
+        .as[(Timestamp, Long, Long, Int)].collect().toSet
+      assert(got == Set(
+        (ts("2024-01-01 10:00:00"), 1L, 3L, 1), (ts("2024-01-01 10:00:00"), 2L, 3L, 2),
+        (ts("2024-01-01 11:00:00"), 7L, 2L, 1)), got)
+      // and the same tie-break/ranking the batch q_window_topn applies
+      val batch = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("user_id", "cnt")
+        .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"cnt".desc, $"user_id")))
+        .filter($"rnk" <= 2).as[(Long, Long, Int)].collect().toSet
+      assert(batch == Set((1L, 3L, 1), (2L, 3L, 2)))
+    } finally q.stop()
+  }
+
   test("sliding OVER evicts idle keys once the watermark passes frame + idle retention") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[KeyedEvent]
