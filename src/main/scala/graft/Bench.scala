@@ -116,8 +116,14 @@ object Bench {
       + s""","queries":${fullMap(_._3)},"queries_cold":${fullMap(_._2)}"""
       + s""","total_warm":$totalWarm,"n":${results.size},"sf":"$sfDir""""
       + s""","run_policy":"value=cold total (each one-time shared cost paid exactly once, in family order); queries=best-of-2 steady state; caches released after the dedup/pipeline/sim block"}""")
-    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+    // the stdout line is the artifact of record — a failed detail write
+    // (read-only cwd, full disk) must never discard the whole run
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detailJson + "\n").getBytes("UTF-8"))
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
 
     // compact stdout line: baseline comparison set + anything ≥ 1 s warm,
     // 3-decimal seconds; hard cap well inside the 2000-byte tail window

@@ -162,6 +162,37 @@ object SimilarityQueries {
     (prepped, dists)
   }
 
+  /** ADC encode + price + shortlist — the stage shared by sim_ann_pq
+    * and sim_ann_ivfpq. `withD` must carry materialized K-wide distance
+    * arrays d0..d{nSub-1} (see [[pqDistTables]]); the corpus side
+    * argmin-encodes them to first-min codes, the query side (vec_id <
+    * 10) keeps them as ADC lookup tables, `pair` joins the two (all-
+    * pairs broadcast or bucket equi-join), and the 50 ADC-closest
+    * candidates per query survive. Extra columns (e.g. the IVF bucket)
+    * ride along via corpusExtra/queryExtra. */
+  private def adcShortlist(
+      withD: DataFrame, nSub: Int,
+      corpusExtra: Seq[Column] = Nil, queryExtra: Seq[Column] = Nil,
+      pair: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val corpus = withD.select(
+      (col("vec_id").as("neighbor_id") +: corpusExtra) ++
+        (0 until nSub).map(m =>
+          array_position(col(s"d$m"), array_min(col(s"d$m"))).cast("int").as(s"code$m")): _*)
+    val q = withD.filter(col("vec_id") < 10).select(
+      (col("vec_id").as("query_id") +: queryExtra) ++
+        (0 until nSub).map(m => col(s"d$m").as(s"t$m")): _*)
+    val adc = (0 until nSub).foldLeft(lit(0.0)) { (acc, m) =>
+      acc + element_at(col(s"t$m"), col(s"code$m"))
+    }
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    pair(corpus, q)
+      .withColumn("adc", round(adc, 6))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= 50)
+      .select("query_id", "neighbor_id")
+  }
+
   /** Exact-cosine re-rank of a tiny (query_id, neighbor_id) shortlist:
     * the shortlist broadcasts onto the corpus (never a vector shuffle),
     * query vectors broadcast, top-5 per query by (cos desc, id). */
@@ -305,26 +336,10 @@ object SimilarityQueries {
     "sim_ann_pq" -> ((s, dir) => {
       val vs = vectors(s, dir)
       val (prepped, dists) = pqDistTables(s, dir, vs, subDim = 8, k = 16)
-      val nSub = dists.size
       val withD = prepped.select(
         col("vec_id") +: dists.zipWithIndex.map { case (d, m) => d.as(s"d$m") }: _*)
-      val corpus = withD.select(
-        col("vec_id").as("neighbor_id") +:
-          (0 until nSub).map(m =>
-            array_position(col(s"d$m"), array_min(col(s"d$m"))).cast("int").as(s"code$m")): _*)
-      val q = withD.filter(col("vec_id") < 10).select(
-        col("vec_id").as("query_id") +:
-          (0 until nSub).map(m => col(s"d$m").as(s"t$m")): _*)
-      val adc = (0 until nSub).foldLeft(lit(0.0)) { (acc, m) =>
-        acc + element_at(col(s"t$m"), col(s"code$m"))
-      }
-      val wAdc = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc").asc, col("neighbor_id"))
-      val short = corpus.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-        .withColumn("adc", round(adc, 6))
-        .withColumn("arank", row_number().over(wAdc))
-        .filter(col("arank") <= 50)
-        .select("query_id", "neighbor_id")
+      val short = adcShortlist(withD, dists.size,
+        pair = (c, q) => c.join(broadcast(q), col("query_id") =!= col("neighbor_id")))
       exactRerank(vs, short)
     }),
 
@@ -340,30 +355,14 @@ object SimilarityQueries {
       val (withScores, assign, probes) = ivfParts(s, dir, k = 16, nprobe = 4)
       val vs = vectors(s, dir)
       val (prepped, dists) = pqDistTables(s, dir, withScores, subDim = 8, k = 16)
-      val nSub = dists.size
-      // materialize the K-wide distance arrays once; argmin/dtab both
-      // read the attribute, not a re-expanded expression
       val withD = prepped.select(
         col("vec_id") +: col("cscores") +: col("cthr") +:
           dists.zipWithIndex.map { case (d, m) => d.as(s"d$m") }: _*)
-      val corpus = withD.select(
-        col("vec_id").as("neighbor_id") +: assign.as("bucket") +:
-          (0 until nSub).map(m =>
-            array_position(col(s"d$m"), array_min(col(s"d$m"))).cast("int").as(s"code$m")): _*)
-      val q = withD.filter(col("vec_id") < 10).select(
-        col("vec_id").as("query_id") +: explode(probes).as("bucket") +:
-          (0 until nSub).map(m => col(s"d$m").as(s"t$m")): _*)
-      val adc = (0 until nSub).foldLeft(lit(0.0)) { (acc, m) =>
-        acc + element_at(col(s"t$m"), col(s"code$m"))
-      }
-      val wAdc = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc").asc, col("neighbor_id"))
-      val short = corpus.join(broadcast(q), Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("adc", round(adc, 6))
-        .withColumn("arank", row_number().over(wAdc))
-        .filter(col("arank") <= 50)
-        .select("query_id", "neighbor_id")
+      val short = adcShortlist(withD, dists.size,
+        corpusExtra = Seq(assign.as("bucket")),
+        queryExtra = Seq(explode(probes).as("bucket")),
+        pair = (c, q) => c.join(broadcast(q), Seq("bucket"))
+          .filter(col("query_id") =!= col("neighbor_id")))
       exactRerank(vs, short)
     }),
 
@@ -514,15 +513,22 @@ object SimilarityQueries {
     * smallest centroid score — a multiset position, invariant to tie
     * order. Every arithmetic step mirrors the Spark plan's fold order.
     */
+  /** nprobe threshold + probe set for k=16, nprobe=4 — position 13 is
+    * k − nprobe + 1, the (k−nprobe+1)-th SMALLEST centroid score.
+    * Shared by the ivf and ivfpq oracles so the probe rule cannot
+    * drift between them. Expects `sc` (vec_id, cent_id, score). */
+  private val ivfProbeCtes: String =
+    """thr AS (
+      |  SELECT vec_id, score AS cthr FROM sc
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cent_id ASC) = 13),
+      |probes AS (
+      |  SELECT sc.vec_id, sc.cent_id AS bucket
+      |  FROM sc JOIN thr ON sc.vec_id = thr.vec_id
+      |  WHERE sc.score >= thr.cthr)""".stripMargin
+
   private val ivfOracle: String =
     s"""WITH $ivfAssignCtes,
-       |thr AS (
-       |  SELECT vec_id, score AS cthr FROM sc
-       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cent_id ASC) = 13),
-       |probes AS (
-       |  SELECT sc.vec_id, sc.cent_id AS bucket
-       |  FROM sc JOIN thr ON sc.vec_id = thr.vec_id
-       |  WHERE sc.score >= thr.cthr),
+       |$ivfProbeCtes,
        |pr AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |         round(list_reduce(list_prepend(0.0,
@@ -577,13 +583,7 @@ object SimilarityQueries {
     // its two parents.
     "sim_ann_ivfpq" ->
       s"""WITH $ivfAssignCtes,
-         |thr AS (
-         |  SELECT vec_id, score AS cthr FROM sc
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score ASC, cent_id ASC) = 13),
-         |probes AS (
-         |  SELECT sc.vec_id, sc.cent_id AS bucket
-         |  FROM sc JOIN thr ON sc.vec_id = thr.vec_id
-         |  WHERE sc.score >= thr.cthr),
+         |$ivfProbeCtes,
          |cand AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
          |  FROM assign c JOIN probes q ON c.bucket = q.bucket

@@ -381,6 +381,11 @@ object StreamingJobs {
       val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
         org.apache.spark.unsafe.types.UTF8String.fromString(d))
       require(iv.months == 0, s"evictIdleAfter must be day-time, got: $d")
+      // a negative retention would place the timeout before maxSeen +
+      // frame: at best an IllegalArgumentException mid-stream, at worst
+      // silent eviction of buffers still inside future events' frames
+      require(iv.days >= 0 && iv.microseconds >= 0,
+        s"evictIdleAfter must be non-negative, got: $d")
       frameSeconds * 1000L + iv.days * 86400000L + iv.microseconds / 1000L
     }
     val timeoutConf =
