@@ -143,6 +143,16 @@ object RelationalQueries {
         .rollup("l_returnflag", "l_linestatus")
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))),
 
+    // CUBE — all 2^n grouping combinations, completing the multi-
+    // dimensional aggregate family (rollup / grouping sets / cube).
+    // Same single Expand + hash-aggregate plan as the other two: the
+    // shuffle carries one pre-aggregated row per (grouping id, keys),
+    // never the fact table times 2^n.
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))),
+
     // SCD2 / temporal-table build: a keyed changelog becomes validity
     // intervals — each version is valid from its own date until the
     // next version's date (NULL = still current). One per-key window
@@ -515,6 +525,12 @@ object RelationalQueries {
         |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
         |       CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_mode_quantity" ->
       """WITH f AS (

@@ -36,6 +36,30 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Simpson token-diversity quality screen: Σ(c_w/n)² — the
+    // collision probability of two random token draws. High values
+    // flag keyword-stuffed / low-diversity documents the repetition
+    // screen (max run length) misses when the repeats are scattered.
+    // Both reported ratios are single divisions of EXACT integer
+    // aggregates (Σc², Σc, |W| — summed as longs, order-insensitive),
+    // so the result is bit-deterministic on any engine and any
+    // partitioning — no floating-point summation order to reconcile.
+    // Two keyed hash aggregates ((doc, token) then doc) with map-side
+    // partials; at 100 TB this is the same shuffle profile as tf-idf's
+    // term-count pass.
+    "text_simpson_diversity" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("s2").cast("double") / (col("n_tokens") * col("n_tokens")).cast("double"), 6)
+            .as("simpson"),
+          round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("distinct_ratio"))),
+
     // per-document quality stats
     "text_stats" -> ((s, dir) => {
       val toks = tokens(col("text"))
@@ -206,6 +230,24 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer aggregates, single rounded divisions — order-insensitive,
+    // so no float-summation caveats; CAST(n*n) multiplies as BIGINT
+    // exactly like Spark's long*long before the double cast
+    "text_simpson_diversity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_distinct,
+        |         CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       round(CAST(s2 AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE), 6) AS simpson,
+        |       round(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS distinct_ratio
+        |FROM a""".stripMargin,
+
     "text_stats" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

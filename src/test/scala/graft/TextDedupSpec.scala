@@ -127,6 +127,21 @@ class TextDedupSpec extends SparkSpec {
     assert(joined.map(_.getLong(2)).sum > 0)
   }
 
+  test("simpson diversity: bounds hold and repeated-token docs score higher") {
+    val out = graft.queries.TextQueries.queries("text_simpson_diversity")(spark, sf0001)
+      .collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (n, d) = (r.getLong(1), r.getLong(2))
+      val (simpson, ratio) = (r.getDouble(3), r.getDouble(4))
+      // Σ(c/n)² ∈ [1/|W|, 1] and |W|/n ∈ (0, 1]; equalities at the
+      // uniform / single-token extremes; 1e-6 absorbs the 6-dp output
+      // rounding
+      assert(simpson >= 1.0 / d - 1e-6 && simpson <= 1.0 + 1e-6, r)
+      assert(ratio > 0.0 && ratio <= 1.0 && d <= n, r)
+    }
+  }
+
   test("DotProduct throws on dimension mismatch instead of truncating") {
     import graft.functions.KernelExpressions.dot
     val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
