@@ -200,6 +200,48 @@ object DedupQueries {
     // shingle (boilerplate) appears in most of the corpus.
     "dedup_ngram_jaccard" -> ((s, dir) => ngramJaccardPairs(s, dir)),
 
+    // asymmetric shingle CONTAINMENT at τ = 0.9: cont(A→B) =
+    // |A∩B| / |A| — detects quotes, excerpts, and boilerplate-wrapped
+    // copies where the container B is much larger than A, which
+    // symmetric Jaccard structurally misses (jac ≤ |A|/|B| no matter
+    // how completely A is contained). Directed output (doc_a contained
+    // in doc_b). Candidate generation keeps the PPJoin economics on the
+    // contained side: cont ≥ τ ⇒ |A∩B| ≥ ⌈τ|A|⌉, and α shared elements
+    // cannot all sit in A's last α−1 positions of the global
+    // (df asc, shingle) order, so A's (|A|−⌈τ|A|⌉+1)-prefix must hit B
+    // — joining A-prefixes against B's FULL inverted index is
+    // recall-lossless (no length filter exists for containment: B may
+    // be arbitrarily large). Join volume is Σ_s prefixFreq(s)·df(s);
+    // hot boilerplate shingles have maximal df, sort last, and so
+    // almost never enter a prefix — the same planted-hot-shingle bound
+    // as the Jaccard join. Verification is one sorted-merge
+    // intersection per candidate; the integer threshold (10·inter ≥
+    // 9·|A|) decides exactly, and the reported ratio is a single IEEE
+    // division — engine-exact.
+    "dedup_containment" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val ex = sh.filter(size(col("g")) > 0)
+        .select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("sgl"))
+      val freq = ex.groupBy("sgl").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sgl"))
+      val aPrefix = ex.join(freq, "sgl")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("n") - floor((col("n") * 9 + 9) / 10) + 1)
+        .select(col("sgl"), col("doc_id").as("doc_a"))
+      val bFull = ex.select(col("sgl"), col("doc_id").as("doc_b"))
+      val cand = aPrefix.join(bFull, Seq("sgl"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+        .withColumn("inter",
+          graft.functions.KernelExpressions.sortedIntersectCount(col("ga"), col("gb")).cast("long"))
+        .filter(col("inter") * 10 >= size(col("ga")).cast("long") * 9)
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") / size(col("ga")).cast("double")).as("containment"))
+    }),
+
     // SimHash near-dup: 31-bit signatures, pairs within Hamming ≤ 3.
     //
     // Two-level plan, because the signature space saturates (sf0.1:
@@ -428,6 +470,20 @@ object DedupQueries {
 
     "dedup_minhash_lsh" -> bruteForceJaccardSql,
     "dedup_ngram_jaccard" -> bruteForceJaccardSql,
+
+    // brute-force directed containment — same trigram construction,
+    // same integer threshold, same single-division ratio as the plan
+    "dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
+        |         / CAST(len(a.g) AS DOUBLE) AS containment
+        |FROM t a JOIN t b ON a.doc_id <> b.doc_id
+        |WHERE len(a.g) > 0
+        |  AND len(list_filter(a.g, x -> list_contains(b.g, x))) * 10 >= len(a.g) * 9""".stripMargin,
 
     "dedup_survivors" -> survivorsSql,
     // LSH-edged survivors == brute-force-edged survivors at τ=0.8

@@ -253,6 +253,47 @@ object PipelineQueries {
         .select(col("score"),
           least(lit(9L), expr("(below * 10) div total")).as("decile"))
       d.join(broadcast(buckets), "score").select("doc_id", "score", "decile")
+    }),
+
+    // deterministic epoch shuffle — the global training order for one
+    // epoch, with NO random() and NO single-partition sort. Each doc's
+    // order key is a Lehmer/LCG step mod the prime 2^31-1:
+    // h = ((doc_id mod M + 1) · 1103515245 + epoch) mod M — a BIJECTION
+    // on [0, M) (multiplier coprime to the prime), i.e. a genuine
+    // tie-free permutation, reproducible from ids alone; the epoch
+    // number is the additive seed (epoch 2 is a different but equally
+    // reproducible permutation). The polynomial string hash the other
+    // pipeline ops use would NOT work here: it is order-preserving on
+    // equal-length decimal ids (too few mod wraps), which is fine for
+    // split/sample membership but not for an order key. The pre-mod on
+    // doc_id bounds the product below 2^62 — no ANSI overflow even at
+    // 10^12-doc corpora (ids beyond M collide across M-strata only,
+    // tie-broken by doc_id). Global position = rank in (h, doc_id)
+    // order, computed scale-safely: the key space is cut into 64 fixed
+    // ranges (uniform permutation ⇒ balanced buckets), each bucket
+    // ranks locally (row_number within its partition), and bucket
+    // offsets come from a cumulative window over the 64-row count
+    // frame — the same histogram-offset shape as curriculum_deciles. A
+    // 1000-executor job writes each bucket's rows in local order and
+    // the concatenation IS the shuffled epoch; nothing global ever
+    // sorts on one node.
+    "pipeline_epoch_shuffle" -> ((s, dir) => {
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("h", "doc_id")
+      val wBuckets = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val m = lit(2147483647L)
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod((pmod(col("doc_id"), m) + 1L) * 1103515245L + 1L, m).as("h"))
+        .withColumn("bucket", expr("h div 33554432")) // ceil((2^31-1)/64)
+      val offsets = d.groupBy("bucket").agg(count(lit(1)).as("c"))
+        .withColumn("offset", coalesce(sum(col("c")).over(wBuckets), lit(0L)))
+        .select("bucket", "offset")
+      d.withColumn("local_pos", row_number().over(wLocal).cast("long"))
+        .join(broadcast(offsets), "bucket")
+        .select(col("doc_id"), col("h"),
+          (col("offset") + col("local_pos")).as("pos"))
     })
   )
 
@@ -445,6 +486,17 @@ object PipelineQueries {
         |  FROM h)
         |SELECT t.doc_id, t.score,
         |       CAST(least(9, b.below * 10 // b.total) AS BIGINT) AS decile
-        |FROM t JOIN b ON t.score = b.score""".stripMargin
+        |FROM t JOIN b ON t.score = b.score""".stripMargin,
+
+    // same epoch-seeded LCG permutation; the oracle ranks globally —
+    // bucketed local ranks + offsets must agree with it exactly
+    "pipeline_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ((doc_id % 2147483647 + 1) * 1103515245 + 1) % 2147483647 AS h
+        |  FROM documents)
+        |SELECT doc_id, h,
+        |       CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin
   )
 }

@@ -407,6 +407,33 @@ object SimilarityQueries {
           round(col("max_abs") / 127d, 6).as("scale"),
           expr("aggregate(qv, 0L, (a, x) -> a + x)").as("sum_q"),
           expr("size(filter(qv, x -> abs(x) = 127))").cast("long").as("n_sat"))
+    }),
+
+    // index-quality audit — recall@5 of every ANN index against the
+    // exact brute-force ranking, in ONE query: the go/no-go measurement
+    // run before trusting an index at scale (silent recall decay as
+    // the corpus drifts is THE production failure mode of approximate
+    // retrieval). Hit counting is an integer-exact equi-join of
+    // already-oracled pair sets; recall is a single rounded division,
+    // so the audit itself is hash-checkable — not just bounded — and
+    // the global aggregate guarantees a row per method even at zero
+    // hits. The brute-force frame is computed once, persisted, and
+    // reused by all four methods; each method's pipeline reuses the
+    // shared normalized-vector cache, so the audit costs roughly the
+    // sum of the index probes, not 4× the corpus scans.
+    "sim_recall_eval" -> ((s, dir) => {
+      val bf = queries("sim_topk_bruteforce")(s, dir)
+        .select("query_id", "neighbor_id").persist()
+      val total = bf.agg(count(lit(1)).as("total"))
+      Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "sim_ann_ivfpq").map { m =>
+        queries(m)(s, dir).select("query_id", "neighbor_id")
+          .join(bf, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(m).as("method"), col("hits"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(total)) // 4 rows × 1 scalar row
+        .withColumn("recall",
+          round(col("hits").cast("double") / col("total").cast("double"), 6))
     })
   )
 
@@ -563,19 +590,58 @@ object SimilarityQueries {
        |FROM pr
        |QUALIFY rank <= 5""".stripMargin
 
+  private lazy val bruteforceOracle: String =
+    s"""WITH $vectorCtes,
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         round(list_reduce(list_prepend(0.0,
+      |                 list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (x, y) -> x + y)
+      |               / (q.nrm * c.nrm), 6) AS cos
+      |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |SELECT query_id, neighbor_id, cos,
+      |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      |FROM p
+      |QUALIFY rank <= 5""".stripMargin
+
+  // deterministic end-to-end like the IVF oracle: codebooks are the
+  // first 16 vectors' subvectors, encode is first-min argmin
+  // (row_number ORDER BY dist ASC, cent_id ASC), every per-subspace
+  // distance is the same ascending-index 0-seeded fold as the Spark
+  // kernel, and the final ADC sum folds in subspace order (list(dist
+  // ORDER BY m)) to mirror the plan's left-fold exactly
+  private lazy val pqOracle: String =
+    s"""WITH $vectorCtes,
+       |$pqCtes,
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.m, q.dist
+       |  FROM penc c JOIN psub q ON q.m = c.m AND q.cent_id = c.code
+       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |$adcRerankCtes
+       |$rankedTop5""".stripMargin
+
+  // IVF-PQ — the composed production ANN: the coarse quantizer's
+  // probe join prunes candidates (same CTEs as the sim_ann_ivf
+  // oracle), PQ ADC prices only those candidates, exact cosine
+  // re-ranks the shortlist. Deterministic for the same reasons as
+  // its two parents.
+  private lazy val ivfpqOracle: String =
+    s"""WITH $ivfAssignCtes,
+       |$ivfProbeCtes,
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM assign c JOIN probes q ON c.bucket = q.bucket
+       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |$pqCtes,
+       |pairs AS (
+       |  SELECT cand.query_id, cand.neighbor_id, qd.m, qd.dist
+       |  FROM cand
+       |  JOIN penc ce ON ce.vec_id = cand.neighbor_id
+       |  JOIN psub qd ON qd.vec_id = cand.query_id AND qd.m = ce.m AND qd.cent_id = ce.code),
+       |$adcRerankCtes
+       |$rankedTop5""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "sim_topk_bruteforce" ->
-      s"""WITH $vectorCtes,
-        |p AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         round(list_reduce(list_prepend(0.0,
-        |                 list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (x, y) -> x + y)
-        |               / (q.nrm * c.nrm), 6) AS cos
-        |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
-        |SELECT query_id, neighbor_id, cos,
-        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-        |FROM p
-        |QUALIFY rank <= 5""".stripMargin,
+    "sim_topk_bruteforce" -> bruteforceOracle,
 
     // same brute-force shape over the 16-dim prefix (v[1:16], norms and
     // folds over range(1, 17)) — slicing precedes normalization on both
@@ -601,42 +667,33 @@ object SimilarityQueries {
     "sim_ann_lsh" -> lshOracle,
     "sim_ann_ivf" -> ivfOracle,
 
-    // deterministic end-to-end like the IVF oracle: codebooks are the
-    // first 16 vectors' subvectors, encode is first-min argmin
-    // (row_number ORDER BY dist ASC, cent_id ASC), every per-subspace
-    // distance is the same ascending-index 0-seeded fold as the Spark
-    // kernel, and the final ADC sum folds in subspace order (list(dist
-    // ORDER BY m)) to mirror the plan's left-fold exactly
-    "sim_ann_pq" ->
-      s"""WITH $vectorCtes,
-         |$pqCtes,
-         |pairs AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.m, q.dist
-         |  FROM penc c JOIN psub q ON q.m = c.m AND q.cent_id = c.code
-         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
-         |$adcRerankCtes
-         |$rankedTop5""".stripMargin,
+    "sim_ann_pq" -> pqOracle,
+    "sim_ann_ivfpq" -> ivfpqOracle,
 
-    // IVF-PQ — the composed production ANN: the coarse quantizer's
-    // probe join prunes candidates (same CTEs as the sim_ann_ivf
-    // oracle), PQ ADC prices only those candidates, exact cosine
-    // re-ranks the shortlist. Deterministic for the same reasons as
-    // its two parents.
-    "sim_ann_ivfpq" ->
-      s"""WITH $ivfAssignCtes,
-         |$ivfProbeCtes,
-         |cand AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         |  FROM assign c JOIN probes q ON c.bucket = q.bucket
-         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
-         |$pqCtes,
-         |pairs AS (
-         |  SELECT cand.query_id, cand.neighbor_id, qd.m, qd.dist
-         |  FROM cand
-         |  JOIN penc ce ON ce.vec_id = cand.neighbor_id
-         |  JOIN psub qd ON qd.vec_id = cand.query_id AND qd.m = ce.m AND qd.cent_id = ce.code),
-         |$adcRerankCtes
-         |$rankedTop5""".stripMargin,
+    // each method's full oracle runs in its own WITH scope (no CTE-name
+    // collisions); hits/total are integer-exact, recall one rounded
+    // division. The VALUES scaffold keeps a row per method even if an
+    // index ever returned nothing, mirroring Spark's global aggregate.
+    "sim_recall_eval" ->
+      s"""WITH bf AS (SELECT query_id, neighbor_id FROM ($bruteforceOracle)),
+         |u AS (
+         |  SELECT 'sim_ann_lsh' AS method, query_id, neighbor_id FROM ($lshOracle)
+         |  UNION ALL
+         |  SELECT 'sim_ann_ivf', query_id, neighbor_id FROM ($ivfOracle)
+         |  UNION ALL
+         |  SELECT 'sim_ann_pq', query_id, neighbor_id FROM ($pqOracle)
+         |  UNION ALL
+         |  SELECT 'sim_ann_ivfpq', query_id, neighbor_id FROM ($ivfpqOracle)),
+         |ms AS (SELECT * FROM (VALUES ('sim_ann_lsh'), ('sim_ann_ivf'),
+         |                             ('sim_ann_pq'), ('sim_ann_ivfpq')) v(method)),
+         |h AS (
+         |  SELECT method, CAST(count(*) AS BIGINT) AS hits
+         |  FROM u JOIN bf ON u.query_id = bf.query_id AND u.neighbor_id = bf.neighbor_id
+         |  GROUP BY method),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM bf)
+         |SELECT ms.method, COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits, t.total,
+         |       round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS recall
+         |FROM ms LEFT JOIN h ON ms.method = h.method CROSS JOIN t""".stripMargin,
 
     // same per-dim interpolated median (quantile_cont == Spark's exact
     // percentile at p·(n−1)), same ascending-dim centroid list, same

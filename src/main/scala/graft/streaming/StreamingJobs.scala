@@ -316,9 +316,18 @@ object StreamingJobs {
     * by frame width × arrival rate, the same guarantee the batch
     * bucketing gives for shuffle volume. The join itself shuffles on
     * the equi-key (user), exactly like a keyed window aggregation.
+    *
+    * `joinType = "left_outer"` adds the reconciliation form: purchases
+    * with NO click in the frame still emit, null-padded — but only
+    * once the click watermark proves no match can still arrive (the
+    * engine's outer-null emission is watermark-gated, which is what
+    * makes the result deterministic under disorder). The state bound
+    * is unchanged: outer rows hold no extra state, they simply leave
+    * the buffer as a null emission instead of silently.
     */
   def intervalJoinStreaming(
-      purchases: DataFrame, clicks: DataFrame, frameSeconds: Long = 1800L): DataFrame = {
+      purchases: DataFrame, clicks: DataFrame, frameSeconds: Long = 1800L,
+      joinType: String = "inner"): DataFrame = {
     val p = purchases.select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "0 seconds")
     val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
@@ -326,7 +335,8 @@ object StreamingJobs {
     p.join(c,
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr(s"INTERVAL $frameSeconds SECONDS") &&
-          col("c_ts") < col("p_ts"))
+          col("c_ts") < col("p_ts"),
+        joinType)
       .select(col("event_id"), col("p_user").as("user_id"), col("p_ts"), col("c_ts"))
   }
 

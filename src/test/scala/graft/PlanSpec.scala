@@ -277,4 +277,17 @@ class PlanSpec extends SparkSpec {
     val aggIdx = p.lastIndexOf("HashAggregate")
     assert(spIdx >= 0 && aggIdx > spIdx, p)
   }
+
+  test("epoch shuffle: corpus ranks inside hash-range buckets; only the 64-row offset frame is single-partition") {
+    val p = plan("pipeline_epoch_shuffle")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the one SinglePartition exchange feeds the bucket-count offsets
+    // (sits above the count aggregate in the top-down print); the
+    // corpus-side row_number window partitions by bucket, never global
+    val spIdx = p.indexOf("SinglePartition")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(spIdx >= 0 && aggIdx > spIdx, p)
+    assert(p.contains("hashpartitioning(bucket"), p)
+  }
 }

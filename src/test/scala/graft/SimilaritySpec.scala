@@ -67,6 +67,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.0 && recall <= 1.0)
   }
 
+  test("recall audit: one row per index, hits bounded by total, recall = hits/total") {
+    val out = SimilarityQueries.queries("sim_recall_eval")(spark, sf0001).collect()
+    assert(out.map(_.getString(0)).sorted.toSeq ==
+      Seq("sim_ann_ivf", "sim_ann_ivfpq", "sim_ann_lsh", "sim_ann_pq"))
+    out.foreach { r =>
+      val (hits, total, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(total == 50L, r)
+      assert(hits >= 0L && hits <= total, r)
+      assert(math.abs(recall - hits.toDouble / total.toDouble) < 1e-6, r)
+    }
+    // the audit must agree with the per-index recall the other specs
+    // already bound: PQ and IVF are tuned to ≥ 0.8 on this corpus
+    val byM = out.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(byM("sim_ann_pq") >= 0.8 && byM("sim_ann_ivf") >= 0.8, byM)
+  }
+
   test("hyperplane LSH: deterministic planes, candidates share buckets") {
     val p1 = SimilarityQueries.hyperplanes(8, 64)
     val p2 = SimilarityQueries.hyperplanes(8, 64)

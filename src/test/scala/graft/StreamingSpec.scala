@@ -463,6 +463,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: null-pads unmatched purchases at watermark") {
+    implicit val sql = spark.sqlContext
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+      .as[(Long, Long, Timestamp, String)].collect()
+    val purchases = ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3)).sortBy(_._3.getTime)
+    val clicks = ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3)).sortBy(_._3.getTime)
+    val maxTs = ev.map(_._3.getTime).max
+
+    val pIn = MemoryStream[(Long, Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    val q = intervalJoinStreaming(
+        pIn.toDF().toDF("event_id", "user_id", "ts"),
+        cIn.toDF().toDF("event_id", "user_id", "ts").drop("event_id"),
+        frameSeconds = 1800L, joinType = "left_outer")
+      .writeStream.outputMode("append").format("memory").queryName("ivjlo_out").start()
+    try {
+      pIn.addData(purchases.toSeq); cIn.addData(clicks.toSeq); q.processAllAvailable()
+      // sentinels on BOTH inputs (matching no user) push the GLOBAL
+      // watermark — min of the two sides — strictly past every real
+      // purchase, so each unmatched row's null emission is PROVEN due;
+      // one more batch flushes it. The sentinel purchase itself stays
+      // unproven (nothing advances past it) and is filtered below.
+      pIn.addData(Seq((-10L, -1L, new Timestamp(maxTs + 7200 * 1000L))))
+      cIn.addData(Seq((-1L, -1L, new Timestamp(maxTs + 7200 * 1000L)))); q.processAllAvailable()
+      cIn.addData(Seq((-2L, -1L, new Timestamp(maxTs + 7300 * 1000L)))); q.processAllAvailable()
+      val out = spark.table("ivjlo_out").filter($"event_id" >= 0)
+      val gotMatched = out.filter($"c_ts".isNotNull)
+        .select("event_id", "c_ts").as[(Long, Timestamp)].collect()
+        .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val gotNull = out.filter($"c_ts".isNull).select("event_id").as[Long].collect().toSet
+      val batch = graft.queries.RelationalQueries.queries("q_interval_join")(spark, sf0001)
+        .select("event_id", "n_clicks_30m").as[(Long, Long)].collect()
+      assert(gotMatched == batch.filter(_._2 > 0).toMap)
+      assert(gotNull == batch.filter(_._2 == 0).map(_._1).toSet && gotNull.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert is idempotent under replay (X3 parity)") {
     val tumbled = Windows.tumblingCount(
       Tables.load(spark, sf0001, "events"), $"ts", $"event_type", "1 minute")

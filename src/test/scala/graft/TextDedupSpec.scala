@@ -127,6 +127,34 @@ class TextDedupSpec extends SparkSpec {
     assert(joined.map(_.getLong(2)).sum > 0)
   }
 
+  test("containment: prefix-filtered directed pairs == brute force at τ=0.9") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.DedupQueries.queries("dedup_containment")(spark, sf0001)
+    val d = graft.model.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        graft.functions.KernelExpressions.sortedNgramSet(split(col("text"), " "), 3).as("g"))
+    val a = d.select(col("doc_id").as("doc_a"), col("g").as("ga")).filter(size(col("ga")) > 0)
+    val b = d.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    val bf = a.join(b, col("doc_a") =!= col("doc_b")) // BNLJ fine at test scale
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .filter(col("inter") * 10 >= size(col("ga")).cast("long") * 9)
+      .select("doc_a", "doc_b")
+    val got = out.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(out.filter(col("containment") < 0.9 || col("containment") > 1.0).isEmpty)
+  }
+
+  test("epoch shuffle: positions are an exact permutation that actually permutes") {
+    val out = graft.queries.PipelineQueries.queries("pipeline_epoch_shuffle")(spark, sf0001)
+      .collect()
+    assert(out.length == 500)
+    assert(out.map(_.getLong(2)).sorted.toSeq == (1L to 500L).toSeq)
+    // the hash order must not degenerate to id order (it's a shuffle)
+    val byPos = out.sortBy(_.getLong(2)).map(_.getLong(0))
+    assert(!byPos.sameElements(byPos.sorted))
+  }
+
   test("simpson diversity: bounds hold and repeated-token docs score higher") {
     val out = graft.queries.TextQueries.queries("text_simpson_diversity")(spark, sf0001)
       .collect()
