@@ -146,6 +146,36 @@ object Multimodal {
         ResizedMedia(r.media_id, w, h, if (n == 0) 0L else out.toLong, fp)
       }
     }
+
+    /** Average-hash perceptual signature: resample the payload to
+      * `samples` bytes (the same nearest-neighbor grid as
+      * [[resizeBatch]]), then set bit i iff sample i is strictly above
+      * the resampled mean — compared as `samples·vᵢ > Σv`, pure integer
+      * arithmetic, no division. `samples` ≤ 62 keeps the signature in a
+      * positive signed long. Empty payloads have no signal and are
+      * skipped. A real build computes this over decoded pixels; the
+      * signature→near-dup plumbing downstream is codec-independent.
+      */
+    def ahashBatch(batch: Seq[MediaRecord], samples: Int): Seq[MediaHash] = {
+      require(samples > 0 && samples <= 62, s"samples must be in [1, 62]: $samples")
+      batchCalls.incrementAndGet()
+      batch.flatMap { r =>
+        val bs = r.data
+        val n = bs.length
+        if (n == 0) None
+        else {
+          val v = Array.tabulate(samples)(i => java.lang.Byte.toUnsignedLong(bs((i.toLong * n / samples).toInt)))
+          val total = v.sum
+          var sig = 0L
+          var i = 0
+          while (i < samples) {
+            if (samples * v(i) > total) sig |= (1L << i)
+            i += 1
+          }
+          Some(MediaHash(r.media_id, sig))
+        }
+      }
+    }
   }
 
   object MediaPipeline {
@@ -204,7 +234,22 @@ object Multimodal {
         it.grouped(BatchSize).flatMap(g => FakeCodec.audioFeatureBatch(g, bias))
       }
     }
+
+    /** End-to-end: documents → media records → batched average-hash
+      * signatures (empty payloads dropped — no signal to hash). */
+    def perceptualHashes(spark: SparkSession, docs: DataFrame, samples: Int): Dataset[MediaHash] = {
+      import spark.implicits._
+      val media = mediaFromDocuments(docs).as[MediaRecord]
+      media.mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(g => FakeCodec.ahashBatch(g, samples))
+      }
+    }
   }
+
+  /** One media record's average-hash perceptual signature. */
+  case class MediaHash(
+      media_id: Long,
+      ahash: Long)
 
   /** One resized record: target dims + resampled payload summary. */
   case class ResizedMedia(

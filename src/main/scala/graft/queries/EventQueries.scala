@@ -179,6 +179,37 @@ object EventQueries {
       counts.withColumn("rnk", row_number().over(wn)).filter(col("rnk") <= 3)
     }),
 
+    // distribution-rank window functions (NTILE / PERCENT_RANK /
+    // CUME_DIST) — the remaining corner of the OVER surface next to
+    // rank (q_rank_suppliers) and lag (q_lag_gap). Per event type the
+    // values are quartiled on a TOTAL order (value, event_id — ties
+    // broken by the unique id, so every rank function is
+    // deterministic), then compressed to one row per (type, quartile)
+    // with the bucket's count, value range, and boundary ranks.
+    // percent_rank = (rank−1)/(N−1) and cume_dist = rank_cum/N are
+    // single IEEE divisions of exact integers — engine-identical with
+    // no rounding. Plan: one hash exchange on event_type + per-key
+    // sort (WindowExec), then a tiny hash aggregate; 5 keys × 60k rows
+    // here. At 100 TB a 5-key partitionBy is a skew trap — the scale
+    // path for global quantiles is the sort-free bucketed form
+    // (pipeline_curriculum_deciles); THIS query pins the exact window-
+    // function semantics that form must reproduce.
+    "q_value_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      events(s, dir)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy(col("event_type"), col("quartile"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          max(col("pr")).as("max_percent_rank"),
+          max(col("cd")).as("max_cume_dist"))
+    }),
+
     // funnel analysis: how many users progress view → click →
     // purchase, each stage STRICTLY AFTER the previous one (an
     // out-of-order click doesn't count). Stage frames are conditional
@@ -280,6 +311,21 @@ object EventQueries {
         |       CAST(row_number() OVER (PARTITION BY window_start ORDER BY cnt DESC, user_id) AS INTEGER) AS rnk
         |FROM c
         |QUALIFY rnk <= 3""".stripMargin,
+
+    // ntile returns BIGINT in DuckDB, INTEGER in Spark — cast to match;
+    // percent_rank/cume_dist are exact-integer divisions, no rounding
+    "q_value_ntile" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |         percent_rank() OVER w AS pr,
+        |         cume_dist() OVER w AS cd
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+        |SELECT event_type, quartile, CAST(count(*) AS BIGINT) AS cnt,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       max(pr) AS max_percent_rank, max(cd) AS max_cume_dist
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     // each event lands in every expanding window of its 4-minute bucket
     // whose end is past the event; 2000-01-03 (DuckDB's time_bucket

@@ -34,7 +34,56 @@ object MultimodalQueries {
     // biased at 64 (ASCII: spaces/digits negative, letters positive);
     // amplitude sums, peak, and zero-crossings are integer-exact
     "multimodal_audio_features" -> ((s, dir) =>
-      Multimodal.MediaPipeline.audioFeatures(s, Tables.load(s, dir, "documents"), bias = 64).toDF())
+      Multimodal.MediaPipeline.audioFeatures(s, Tables.load(s, dir, "documents"), bias = 64).toDF()),
+
+    // perceptual near-dup over media payloads: average-hash signature
+    // (56 resampled bytes, bit = above-mean; FakeCodec.ahashBatch) →
+    // pairs within Hamming distance 3 — the image-dedup stage of a
+    // multimodal pipeline (re-encoded/resized copies keep their aHash;
+    // exact dedup on bytes structurally cannot see them). Candidate
+    // generation is the SAME scale-safe shape as dedup_simhash:
+    // pigeonhole banding over DISTINCT signatures (ham ≤ 3 ⇒ at least
+    // one of 4 14-bit blocks equal — exact, not probabilistic), 4
+    // equi-joins, each surviving pair kept only at its first equal
+    // block (no distinct() shuffle), xor+popcount verify, then pure
+    // materialization back to media ids. No all-pairs stage exists at
+    // any scale.
+    "multimodal_ahash_dedup" -> ((s, dir) => {
+      def blockBits(c: org.apache.spark.sql.Column, i: Int) =
+        shiftrightunsigned(c, i * 14).bitwiseAND(lit((1L << 14) - 1))
+      val d = Multimodal.MediaPipeline
+        .perceptualHashes(s, Tables.load(s, dir, "documents"), samples = 56)
+        .toDF()
+      val sigs = d.select("ahash").distinct()
+      val blocks = array((0 until 4).map { i =>
+        struct(lit(i).as("blk"), blockBits(col("ahash"), i).as("bits"))
+      }: _*)
+      val banded = sigs
+        .select(col("ahash"), explode(blocks).as("b"))
+        .select(col("ahash"), col("b.blk").as("blk"), col("b.bits").as("bits"))
+      val a = banded.select(col("blk"), col("bits"), col("ahash").as("sha"))
+      val b = banded.select(col("blk"), col("bits"), col("ahash").as("shb"))
+      val firstEqualBlock = (0 until 4).foldRight(lit(-1)) { (i, acc) =>
+        when(blockBits(col("sha"), i) === blockBits(col("shb"), i), lit(i)).otherwise(acc)
+      }
+      val sigPairs = a.join(b, Seq("blk", "bits"))
+        .filter(col("sha") < col("shb"))
+        .filter(col("blk") === firstEqualBlock)
+        .withColumn("ham", graft.functions.TextFunctions.hamming(col("sha"), col("shb")))
+        .filter(col("ham") <= 3)
+        .select("sha", "shb", "ham")
+      val da = d.select(col("media_id").as("ida"), col("ahash").as("sha"))
+      val db = d.select(col("media_id").as("idb"), col("ahash").as("shb"))
+      val cross = sigPairs
+        .join(da, "sha").join(db, "shb")
+        .select(least(col("ida"), col("idb")).as("media_a"),
+          greatest(col("ida"), col("idb")).as("media_b"), col("ham"))
+      val same = d.select(col("media_id").as("ida"), col("ahash"))
+        .join(d.select(col("media_id").as("idb"), col("ahash")), "ahash")
+        .filter(col("ida") < col("idb"))
+        .select(col("ida").as("media_a"), col("idb").as("media_b"), lit(0L).as("ham"))
+      cross.unionByName(same)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -89,6 +138,36 @@ object MultimodalQueries {
         |         (a,b) -> greatest(a,b)) AS BIGINT) AS peak_amp,
         |       CAST(len(list_filter(range(1, length(text)),
         |         i -> (ascii(substring(text, CAST(i AS INTEGER), 1)) - 64) * (ascii(substring(text, CAST(i+1 AS INTEGER), 1)) - 64) < 0)) AS BIGINT) AS zero_crossings
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // signature replicated byte-for-byte: sample i of 56 reads byte
+    // ⌊i·n/56⌋ (= 1-based character i·n//56 + 1), bit set iff
+    // 56·sample > Σsamples (strict, integer); pow(2,i) is a power of
+    // two, exactly representable as DOUBLE for all i < 63. Brute-force
+    // pairing is fine at oracle scale; the engine's banding is
+    // recall-exact by pigeonhole so the outputs coincide.
+    "multimodal_ahash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |v AS (
+        |  SELECT media_id,
+        |         list_transform(range(0, 56),
+        |           i -> CAST(ascii(substring(text, CAST(i * n // 56 AS INTEGER) + 1, 1)) AS BIGINT)) AS vs
+        |  FROM d),
+        |sg AS (
+        |  SELECT media_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(0, 56), i ->
+        |             CASE WHEN 56 * vs[CAST(i AS INTEGER) + 1]
+        |                       > list_reduce(vs, (a, b) -> a + b)
+        |                  THEN CAST(pow(2, i) AS BIGINT)
+        |                  ELSE CAST(0 AS BIGINT) END)),
+        |           (x, y) -> x + y) AS sig
+        |  FROM v)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS ham
+        |FROM sg a JOIN sg b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
   )
 }

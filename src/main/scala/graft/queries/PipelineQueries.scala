@@ -204,6 +204,36 @@ object PipelineQueries {
         .select("source", "n_docs", "src_tokens", "token_share", "mix_weight")
     }),
 
+    // temperature-scaled sampling mix (α = 0.5): the standard
+    // multilingual/multi-source rebalance p_s ∝ n_s^α — α = 1 keeps the
+    // natural mix, α = 0 is uniform, √n in between up-samples the tail
+    // without flattening the head. Determinism trick: the raw weights
+    // √n are IEEE-exact per row (sqrt is correctly rounded everywhere)
+    // but their SUM is order-dependent — so each weight is first scaled
+    // to an integer (⌊√n · 10⁶⌋) and the normalizer is an exact LONG
+    // sum, making every ratio a single division of two engine-identical
+    // operands. Plan: one count per source (map-side combined),
+    // broadcast of the ≤ #sources-row totals frame — nothing scales
+    // with corpus size except the first aggregate's scan.
+    "pipeline_temperature_mix" -> ((s, dir) => {
+      val perSrc = Tables.load(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_scaled",
+          floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
+      val totals = perSrc.agg(
+        sum(col("w_scaled")).as("w_total"),
+        sum(col("n_docs")).as("corpus_docs"))
+      perSrc.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_docs"),
+          (col("n_docs").cast("double") / col("corpus_docs").cast("double"))
+            .as("natural_share"),
+          (col("w_scaled").cast("double") / col("w_total").cast("double"))
+            .as("alpha_share"),
+          floor((col("w_scaled").cast("double") / col("w_total").cast("double"))
+            * col("corpus_docs").cast("double")).cast("long")
+            .as("expected_docs"))
+    }),
+
     // near-dup contamination audit — per-source duplication rate, the
     // health metric a corpus curator watches per ingest batch (a source
     // whose dup_rate jumps is re-crawling itself or mirroring another).
@@ -449,6 +479,26 @@ object PipelineQueries {
         |         / (CAST(count(*) OVER () AS DOUBLE)
         |            * CAST(src_tokens AS DOUBLE)) AS mix_weight
         |FROM a""".stripMargin,
+
+    // ⌊√n·10⁶⌋ scaling makes the normalizer an exact integer sum, so
+    // every ratio divides two engine-identical operands (see scaladoc)
+    "pipeline_temperature_mix" ->
+      """WITH s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n_docs,
+        |         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS w_scaled
+        |  FROM s),
+        |t AS (
+        |  SELECT CAST(sum(w_scaled) AS BIGINT) AS w_total,
+        |         CAST(sum(n_docs) AS BIGINT) AS corpus_docs
+        |  FROM w)
+        |SELECT source, n_docs,
+        |       CAST(n_docs AS DOUBLE) / CAST(corpus_docs AS DOUBLE) AS natural_share,
+        |       CAST(w_scaled AS DOUBLE) / CAST(w_total AS DOUBLE) AS alpha_share,
+        |       CAST(floor(CAST(w_scaled AS DOUBLE) / CAST(w_total AS DOUBLE)
+        |                  * CAST(corpus_docs AS DOUBLE)) AS BIGINT) AS expected_docs
+        |FROM w, t""".stripMargin,
 
     // the pair CTE mirrors the validated dedup_ngram_jaccard oracle;
     // a doc is near-dup iff it appears on either side of a pair

@@ -386,6 +386,41 @@ object SimilarityQueries {
       exactRerank(vs, short)
     }),
 
+    // sign-bit binary quantization ANN — the 4th embedding-compression
+    // point next to int8 (4×), PQ codes (16×) and prefix truncation:
+    // 1 bit/dim = 64× over float32, two longs per vector. bit d =
+    // (v[d] ≥ 0); for unit-ish random vectors Hamming distance on sign
+    // patterns is a monotone proxy for angular distance (Charikar's
+    // SimHash bound: P[bit differs] = θ/π per dim). Shortlist-50 per
+    // query by (Hamming asc, id) — corpus signatures stream past the
+    // broadcast 10-query signature set map-side, the xor+popcount
+    // kernel is codegen'd, and only the shortlist re-reads full
+    // vectors for the exact cosine top-5. At 100 TB the signature
+    // column is the 16-byte sidecar you scan INSTEAD of the 256-byte
+    // vector — candidate generation never touches raw floats.
+    "sim_ann_binary" -> ((s, dir) => {
+      val vs = vectors(s, dir)
+      def signBits(lo: Int, hi: Int): Column =
+        (lo until hi).map { d =>
+          when(element_at(col("v"), d + 1) >= 0d, lit(1L << (d - lo))).otherwise(lit(0L))
+        }.reduce(_ + _)
+      val sig = vs.select(col("vec_id"),
+        signBits(0, 32).as("sig_lo"), signBits(32, 64).as("sig_hi"))
+      val q = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("sig_lo").as("qlo"), col("sig_hi").as("qhi"))
+      val ham = graft.functions.TextFunctions.hamming(col("sig_lo"), col("qlo")) +
+        graft.functions.TextFunctions.hamming(col("sig_hi"), col("qhi"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("ham").asc, col("neighbor_id"))
+      val short = sig.select(col("vec_id").as("neighbor_id"), col("sig_lo"), col("sig_hi"))
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("ham", ham)
+        .withColumn("hrank", row_number().over(w))
+        .filter(col("hrank") <= 50)
+        .select("query_id", "neighbor_id")
+      exactRerank(vs, short)
+    }),
+
     // symmetric int8 quantization — the vector-store compression step
     // (4× over float32): per-vector scale = max|x|/127, qᵢ = round(xᵢ/
     // scale). Entirely map-side higher-order functions in codegen —
@@ -425,7 +460,8 @@ object SimilarityQueries {
       val bf = queries("sim_topk_bruteforce")(s, dir)
         .select("query_id", "neighbor_id").persist()
       val total = bf.agg(count(lit(1)).as("total"))
-      Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "sim_ann_ivfpq").map { m =>
+      Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "sim_ann_ivfpq",
+        "sim_ann_binary").map { m =>
         queries(m)(s, dir).select("query_id", "neighbor_id")
           .join(bf, Seq("query_id", "neighbor_id"))
           .agg(count(lit(1)).as("hits"))
@@ -640,8 +676,45 @@ object SimilarityQueries {
        |$adcRerankCtes
        |$rankedTop5""".stripMargin
 
+  /** sim_ann_binary is fully deterministic (sign bits of the same raw
+    * doubles, exact-integer Hamming, unique-id tie-breaks), so the
+    * whole shortlist + re-rank path replicates exactly; pow(2, d) is a
+    * power of two — exactly representable as DOUBLE for all d < 63. */
+  private lazy val binaryOracle: String =
+    s"""WITH $vectorCtes,
+       |sig AS (
+       |  SELECT vec_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(0, 32), d ->
+       |             CASE WHEN v[CAST(d AS INTEGER) + 1] >= 0
+       |                  THEN CAST(pow(2, d) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |           (x, y) -> x + y) AS lo,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(32, 64), d ->
+       |             CASE WHEN v[CAST(d AS INTEGER) + 1] >= 0
+       |                  THEN CAST(pow(2, d - 32) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |           (x, y) -> x + y) AS hi
+       |  FROM n),
+       |hm AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS ham
+       |  FROM sig q JOIN sig c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM hm
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ham ASC, neighbor_id) <= 50),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round(list_reduce(list_prepend(0.0,
+       |                 list_transform(range(1, 65), i -> qn.v[i] * cn.v[i])), (x, y) -> x + y)
+       |               / (qn.nrm * cn.nrm), 6) AS cos
+       |  FROM short s
+       |  JOIN n qn ON qn.vec_id = s.query_id
+       |  JOIN n cn ON cn.vec_id = s.neighbor_id)
+       |$rankedTop5""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> bruteforceOracle,
+    "sim_ann_binary" -> binaryOracle,
 
     // same brute-force shape over the 16-dim prefix (v[1:16], norms and
     // folds over range(1, 17)) — slicing precedes normalization on both
@@ -683,9 +756,12 @@ object SimilarityQueries {
          |  UNION ALL
          |  SELECT 'sim_ann_pq', query_id, neighbor_id FROM ($pqOracle)
          |  UNION ALL
-         |  SELECT 'sim_ann_ivfpq', query_id, neighbor_id FROM ($ivfpqOracle)),
+         |  SELECT 'sim_ann_ivfpq', query_id, neighbor_id FROM ($ivfpqOracle)
+         |  UNION ALL
+         |  SELECT 'sim_ann_binary', query_id, neighbor_id FROM ($binaryOracle)),
          |ms AS (SELECT * FROM (VALUES ('sim_ann_lsh'), ('sim_ann_ivf'),
-         |                             ('sim_ann_pq'), ('sim_ann_ivfpq')) v(method)),
+         |                             ('sim_ann_pq'), ('sim_ann_ivfpq'),
+         |                             ('sim_ann_binary')) v(method)),
          |h AS (
          |  SELECT method, CAST(count(*) AS BIGINT) AS hits
          |  FROM u JOIN bf ON u.query_id = bf.query_id AND u.neighbor_id = bf.neighbor_id

@@ -80,4 +80,37 @@ class MultimodalSpec extends SparkSpec {
       assert(a.zero_crossings == vs.sliding(2).count(p => p.length == 2 && p(0) * p(1) < 0).toLong)
     }
   }
+
+  test("average-hash: identical payloads collide, a local edit stays within Hamming 3") {
+    import spark.implicits._
+    // the image-duplicate model: a byte-identical copy, a copy with a
+    // single local byte edit (same length — re-encode artifacts), and
+    // an unrelated payload
+    val base = "A" * 18 + "q" * 20 + "B" * 18
+    val edited = base.updated(28, 'Q').toString
+    val docs = Seq((1L, base), (2L, base), (3L, edited), (4L, "z9" * 28))
+      .toDF("doc_id", "text")
+      .withColumn(
+        "n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val sig = MediaPipeline.perceptualHashes(spark, docs, samples = 56)
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    assert(sig(1L) == sig(2L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) <= 3,
+      s"local edit moved ${java.lang.Long.bitCount(sig(1L) ^ sig(3L))} bits")
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(4L)) > 3)
+    // empty payloads carry no signal and are dropped, not hashed to 0
+    assert(FakeCodec.ahashBatch(Seq(MediaRecord(9L, "image", Array.emptyByteArray, "m", 1, 1)), 56).isEmpty)
+  }
+
+  test("ahash near-dup query equals brute force over signatures (pigeonhole recall-exact)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val sigs = MediaPipeline.perceptualHashes(spark, docs, samples = 56).collect()
+    val brute = (for {
+      a <- sigs; b <- sigs if a.media_id < b.media_id
+      h = java.lang.Long.bitCount(a.ahash ^ b.ahash) if h <= 3
+    } yield (a.media_id, b.media_id, h.toLong)).toSet
+    val got = graft.queries.MultimodalQueries.queries("multimodal_ahash_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"banding candidates ${got.size} != brute ${brute.size}")
+  }
 }

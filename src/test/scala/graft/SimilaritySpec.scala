@@ -67,10 +67,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.0 && recall <= 1.0)
   }
 
+  test("binary-sign ANN: full contract, exact re-rank cosine, recall ≥ 0.5") {
+    val out = SimilarityQueries.queries("sim_ann_binary")(spark, sf0001)
+    val perQuery = out.groupBy("query_id").agg(
+      count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi")).collect()
+    assert(perQuery.length == 10)
+    assert(perQuery.forall(r => r.getLong(1) == 5L && r.getInt(2) == 1 && r.getInt(3) == 5))
+    // re-rank computes the same exact cosine as brute force on shared pairs
+    val bf = SimilarityQueries.queries("sim_topk_bruteforce")(spark, sf0001)
+      .select("query_id", "neighbor_id", "cos")
+    assert(out.select("query_id", "neighbor_id", "cos")
+      .join(bf, Seq("query_id", "neighbor_id"))
+      .filter(out("cos") =!= bf("cos")).isEmpty)
+    // 1 bit/dim Hamming is a true angular proxy (unlike untrained
+    // prefixes), so a real floor holds even on isotropic vectors
+    val recall = pairs("sim_topk_bruteforce").intersect(pairs("sim_ann_binary")).count() / 50.0
+    assert(recall >= 0.5, s"binary-sign recall $recall")
+  }
+
   test("recall audit: one row per index, hits bounded by total, recall = hits/total") {
     val out = SimilarityQueries.queries("sim_recall_eval")(spark, sf0001).collect()
     assert(out.map(_.getString(0)).sorted.toSeq ==
-      Seq("sim_ann_ivf", "sim_ann_ivfpq", "sim_ann_lsh", "sim_ann_pq"))
+      Seq("sim_ann_binary", "sim_ann_ivf", "sim_ann_ivfpq", "sim_ann_lsh", "sim_ann_pq"))
     out.foreach { r =>
       val (hits, total, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
       assert(total == 50L, r)

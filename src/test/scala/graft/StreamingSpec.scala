@@ -168,13 +168,17 @@ class StreamingSpec extends SparkSpec {
 
   test("observe metric reports emitted rows per batch (P6 logging parity)") {
     implicit val sql = spark.sqlContext
-    @volatile var observed = -1L
+    // progress events are dispatched asynchronously on the listener bus
+    // AFTER processAllAvailable() returns (and no-data batches may
+    // report 0 later), so collect every reported value and poll for the
+    // expected one instead of asserting on a single racy snapshot
+    val observed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
         val m = e.progress.observedMetrics
-        if (m.containsKey("graft_sink")) observed = m.get("graft_sink").getAs[Long]("rows_emitted")
+        if (m.containsKey("graft_sink")) observed.add(m.get("graft_sink").getAs[Long]("rows_emitted"))
       }
     }
     spark.streams.addListener(listener)
@@ -186,7 +190,10 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(("a", ts("2024-01-01 00:05:00"))) // closes the 00:00 windows
       q.processAllAvailable()
-      assert(observed == 2L, s"expected 2 emitted window rows, saw $observed")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!observed.contains(2L) && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(observed.contains(2L),
+        s"expected some batch to report 2 emitted window rows, saw $observed")
     } finally {
       q.stop()
       spark.streams.removeListener(listener)
