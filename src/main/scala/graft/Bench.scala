@@ -112,9 +112,18 @@ object Bench {
       results.map { case r @ (k, _, _) => "\"" + k + "\":" + sel(r) }
         .mkString("{", ",", "}")
     val detailPath = "BENCH_DETAIL.json"
+    // the direct like-for-like number against BASELINE.md's 41.4 s:
+    // warm sum over exactly its 44 per-query comparison targets
+    // (the full-suite totals span 2× more queries than the baseline
+    // measured, so ratios on them are not apples-to-apples)
+    val baseline44Warm =
+      if (failed) -1.0
+      else results.filter(r => baselineSet.contains(r._1)).map(_._3).sum
+
     val detailJson = (s"""{"metric":"total","value":$totalCold,"unit":"sec""""
       + s""","queries":${fullMap(_._3)},"queries_cold":${fullMap(_._2)}"""
-      + s""","total_warm":$totalWarm,"n":${results.size},"sf":"$sfDir""""
+      + s""","total_warm":$totalWarm,"baseline44_warm":$baseline44Warm"""
+      + s""","n":${results.size},"sf":"$sfDir""""
       + s""","run_policy":"value=cold total (each one-time shared cost paid exactly once, in family order); queries=best-of-2 steady state; caches released after the dedup/pipeline/sim block"}""")
     // the stdout line is the artifact of record — a failed detail write
     // (read-only cwd, full disk) must never discard the whole run
@@ -132,7 +141,8 @@ object Bench {
         .map { case (k, _, w) => "\"" + k + "\":" + f3(w) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(totalCold)},"unit":"sec"""" +
-        s""","queries":$m,"total_warm":${f3(totalWarm)},"n":${results.size}""" +
+        s""","queries":$m,"total_warm":${f3(totalWarm)}""" +
+        s""","baseline44_warm":${f3(baseline44Warm)},"n":${results.size}""" +
         s""","sf":"$sfDir","detail":"$detailPath"}"""
     }
     val slowExtras = results.filter(r => !baselineSet.contains(r._1) && r._3 >= 1.0)

@@ -174,10 +174,18 @@ object SimilarityQueries {
       withD: DataFrame, nSub: Int,
       corpusExtra: Seq[Column] = Nil, queryExtra: Seq[Column] = Nil,
       pair: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    // the encoded corpus IS the index artifact (vec_id + M 4-bit codes
+    // [+ bucket] ≈ 16 bytes/vector) — persist it, exactly as a vector
+    // store materializes codes once at build time. This also keeps the
+    // encode projection (8 × 16 kernel-dot distance arrays + argmin,
+    // plus the IVF argmax when composed) in its OWN codegen stage: fused
+    // into the shortlist's window sort it overflows janino's method
+    // limit and drops the whole sort stage to interpreted eval.
     val corpus = withD.select(
       (col("vec_id").as("neighbor_id") +: corpusExtra) ++
         (0 until nSub).map(m =>
           array_position(col(s"d$m"), array_min(col(s"d$m"))).cast("int").as(s"code$m")): _*)
+      .persist()
     val q = withD.filter(col("vec_id") < 10).select(
       (col("vec_id").as("query_id") +: queryExtra) ++
         (0 until nSub).map(m => col(s"d$m").as(s"t$m")): _*)

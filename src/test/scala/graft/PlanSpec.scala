@@ -290,4 +290,18 @@ class PlanSpec extends SparkSpec {
     assert(spIdx >= 0 && aggIdx > spIdx, p)
     assert(p.contains("hashpartitioning(bucket"), p)
   }
+
+  test("ahash near-dup candidates come from block-banded equi-joins — no all-pairs plan") {
+    val p = plan("multimodal_ahash_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("binary-sign ANN: signature scan joins the broadcast query set — no shuffle join") {
+    val p = plan("sim_ann_binary")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the Hamming pass and the re-rank both broadcast the tiny side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }
