@@ -343,6 +343,33 @@ object RelationalQueries {
           3).as("median_price"))
     }),
 
+    // exact quantile VECTOR (p25/p50/p75/p90/p99) per group — the
+    // histogram-median pattern generalized: one hash aggregate builds
+    // the (group, value) histogram, windows run over the histogram
+    // ONLY (≤ distinct-values rows per group, never the raw table),
+    // and each quantile is "the value at rank ⌈p·n/100⌉" picked by a
+    // cumulative-count range test. No per-group row sort exists at any
+    // scale; rank arithmetic is integer-exact ((n·p+99) floor-div 100,
+    // exact in double for n·p ≪ 2⁵²) so the result is engine-identical
+    // with no interpolation to reconcile.
+    "q_quantiles_exact" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy("v")
+      val wAll = Window.partitionBy("l_returnflag")
+      val d = counts
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(wAll))
+      def at(p: Int, name: String) = {
+        val rp = ((col("n") * p + 99) / 100).cast("long")
+        max(when(col("cum") >= rp && col("cum") - col("c") < rp, col("v"))).as(name)
+      }
+      val aggs = Seq(at(25, "p25"), at(50, "p50"), at(75, "p75"),
+        at(90, "p90"), at(99, "p99"), max(col("n")).as("n_rows"))
+      d.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+    }),
+
     // changelog → snapshot compaction: latest order per customer, via
     // the native argmax aggregate (graft.functions.ArgMax). The window
     // formulation (row_number ... = 1) would sort every customer's
@@ -655,6 +682,28 @@ object RelationalQueries {
         |FROM pos
         |WHERE (cum >= lo AND cum - c < lo) OR (cum >= hi AND cum - c < hi)
         |GROUP BY 1""".stripMargin,
+
+    // rank ⌈p·n/100⌉ as (n·p+99)//100 — same floor-division arithmetic
+    // as the engine; cum/n stay in predicates so HUGEINT sums never
+    // reach the output schema
+    "q_quantiles_exact" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, l_quantity AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, v, c,
+        |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM counts)
+        |SELECT l_returnflag,
+        |       max(CASE WHEN cum >= (n*25+99)//100 AND cum - c < (n*25+99)//100 THEN v END) AS p25,
+        |       max(CASE WHEN cum >= (n*50+99)//100 AND cum - c < (n*50+99)//100 THEN v END) AS p50,
+        |       max(CASE WHEN cum >= (n*75+99)//100 AND cum - c < (n*75+99)//100 THEN v END) AS p75,
+        |       max(CASE WHEN cum >= (n*90+99)//100 AND cum - c < (n*90+99)//100 THEN v END) AS p90,
+        |       max(CASE WHEN cum >= (n*99+99)//100 AND cum - c < (n*99+99)//100 THEN v END) AS p99,
+        |       CAST(max(n) AS BIGINT) AS n_rows
+        |FROM cum GROUP BY 1""".stripMargin,
 
     "q_latest_snapshot" ->
       """SELECT o_custkey, o_orderkey AS last_orderkey, o_orderdate AS last_orderdate,

@@ -429,6 +429,40 @@ object SimilarityQueries {
       exactRerank(vs, short)
     }),
 
+    // int8 ANN — searching WITH the sim_quantize_int8 codes instead of
+    // merely storing them: approx cosine = s_q·s_c·(q⃗_q · q⃗_c)/(‖v_q‖
+    // ‖v_c‖), where the integer dot is EXACT (|q| ≤ 127, 64 dims →
+    // ≤ 2²⁰ per term, fold stays far under 2⁵³), so unlike PQ's ADC
+    // the shortlist ordering has no quantizer-table approximation on
+    // top of the rounding itself — and a real engine runs the integer
+    // dot in SIMD at 4× float32 density. Same shape as the other ANN
+    // paths: corpus codes stream past the broadcast 10-query side
+    // map-side, shortlist-50 by (approx desc, id), exact re-rank.
+    "sim_ann_int8" -> ((s, dir) => {
+      val vs = vectors(s, dir)
+      val q8 = vs
+        .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+        // quantized values kept as exact small-integer doubles so the
+        // codegen'd dot kernel applies unchanged
+        .withColumn("qv", expr("transform(v, x -> cast(round(x * 127 / max_abs) as double))"))
+        .withColumn("qscale", col("max_abs") / lit(127d))
+      val q = q8.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+          col("qscale").as("sq"), col("nrm").as("nq"))
+      val c = q8.select(col("vec_id").as("neighbor_id"), col("qv").as("qc"),
+        col("qscale").as("sc"), col("nrm").as("nc"))
+      val approx = round(
+        dot(col("qq"), col("qc")) * col("sq") * col("sc") / (col("nq") * col("nc")), 6)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx").desc, col("neighbor_id"))
+      val short = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("approx", approx)
+        .withColumn("arank", row_number().over(w))
+        .filter(col("arank") <= 50)
+        .select("query_id", "neighbor_id")
+      exactRerank(vs, short)
+    }),
+
     // symmetric int8 quantization — the vector-store compression step
     // (4× over float32): per-vector scale = max|x|/127, qᵢ = round(xᵢ/
     // scale). Entirely map-side higher-order functions in codegen —
@@ -469,7 +503,7 @@ object SimilarityQueries {
         .select("query_id", "neighbor_id").persist()
       val total = bf.agg(count(lit(1)).as("total"))
       Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "sim_ann_ivfpq",
-        "sim_ann_binary").map { m =>
+        "sim_ann_binary", "sim_ann_int8").map { m =>
         queries(m)(s, dir).select("query_id", "neighbor_id")
           .join(bf, Seq("query_id", "neighbor_id"))
           .agg(count(lit(1)).as("hits"))
@@ -720,9 +754,43 @@ object SimilarityQueries {
        |  JOIN n cn ON cn.vec_id = s.neighbor_id)
        |$rankedTop5""".stripMargin
 
+  /** sim_ann_int8's shortlist score is a product/quotient of exactly
+    * reproducible operands (integer dot as exact doubles, scale =
+    * max_abs/127, the same norms), associated identically left-to-
+    * right in both engines, so the whole path replicates. */
+  private lazy val int8Oracle: String =
+    s"""WITH $vectorCtes,
+       |q8 AS (
+       |  SELECT vec_id, nrm, v,
+       |         list_max(list_transform(v, x -> abs(x))) AS max_abs
+       |  FROM n),
+       |qq AS (
+       |  SELECT vec_id, nrm, max_abs / 127 AS qscale,
+       |         list_transform(v, x -> CAST(round(x * 127 / max_abs) AS DOUBLE)) AS qv
+       |  FROM q8),
+       |pr AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         round(list_reduce(list_prepend(0.0,
+       |                 list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])), (x, y) -> x + y)
+       |               * a.qscale * b.qscale / (a.nrm * b.nrm), 6) AS approx
+       |  FROM qq a JOIN qq b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM pr
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) <= 50),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         round(list_reduce(list_prepend(0.0,
+       |                 list_transform(range(1, 65), i -> qn.v[i] * cn.v[i])), (x, y) -> x + y)
+       |               / (qn.nrm * cn.nrm), 6) AS cos
+       |  FROM short s
+       |  JOIN n qn ON qn.vec_id = s.query_id
+       |  JOIN n cn ON cn.vec_id = s.neighbor_id)
+       |$rankedTop5""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> bruteforceOracle,
     "sim_ann_binary" -> binaryOracle,
+    "sim_ann_int8" -> int8Oracle,
 
     // same brute-force shape over the 16-dim prefix (v[1:16], norms and
     // folds over range(1, 17)) — slicing precedes normalization on both
@@ -766,10 +834,12 @@ object SimilarityQueries {
          |  UNION ALL
          |  SELECT 'sim_ann_ivfpq', query_id, neighbor_id FROM ($ivfpqOracle)
          |  UNION ALL
-         |  SELECT 'sim_ann_binary', query_id, neighbor_id FROM ($binaryOracle)),
+         |  SELECT 'sim_ann_binary', query_id, neighbor_id FROM ($binaryOracle)
+         |  UNION ALL
+         |  SELECT 'sim_ann_int8', query_id, neighbor_id FROM ($int8Oracle)),
          |ms AS (SELECT * FROM (VALUES ('sim_ann_lsh'), ('sim_ann_ivf'),
          |                             ('sim_ann_pq'), ('sim_ann_ivfpq'),
-         |                             ('sim_ann_binary')) v(method)),
+         |                             ('sim_ann_binary'), ('sim_ann_int8')) v(method)),
          |h AS (
          |  SELECT method, CAST(count(*) AS BIGINT) AS hits
          |  FROM u JOIN bf ON u.query_id = bf.query_id AND u.neighbor_id = bf.neighbor_id

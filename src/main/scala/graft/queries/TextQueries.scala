@@ -214,6 +214,25 @@ object TextQueries {
           col("common_tokens").cast("double") / col("n_tokens").cast("double"))
     }),
 
+    // the first BPE merge step of tokenizer training: count every
+    // ADJACENT token pair across the corpus (with multiplicity —
+    // unlike the distinct n-gram sets dedup uses) and rank the top
+    // merge candidates. Pair construction is a map-side zip of the
+    // token array against itself shifted by one; the aggregate is the
+    // classic word-count shuffle + TakeOrderedAndProject. At 100 TB
+    // this is exactly one pass per merge round, the dominant cost
+    // structure of corpus-scale BPE training.
+    "text_bigram_merges" -> ((s, dir) =>
+      docs(s, dir)
+        .select(tokens(col("text")).as("toks"))
+        .select(explode(expr(
+          """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+            |         slice(toks, 2, greatest(size(toks) - 1, 0)),
+            |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(20)),
+
     // corpus length distribution: documents histogrammed by token count
     // in width-10 buckets — the first diagnostic run on any training
     // corpus (truncation/padding budgets, outlier screens). Bucketing
@@ -287,6 +306,18 @@ object TextQueries {
       """SELECT token, CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    // range(1, len) enumerates 1..len−1 → (tokᵢ, tokᵢ₊₁) with
+    // multiplicity; the (freq DESC, pair) order is total so the
+    // LIMIT-20 cut is tie-stable on both engines
+    "text_bigram_merges" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |prs AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1])) AS pair
+        |  FROM tok)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS freq
+        |FROM prs GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

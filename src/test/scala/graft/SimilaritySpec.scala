@@ -85,10 +85,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"binary-sign recall $recall")
   }
 
+  test("int8 ANN: full contract, exact re-rank cosine, recall ≥ 0.9 (rounding-only error)") {
+    val out = SimilarityQueries.queries("sim_ann_int8")(spark, sf0001)
+    val perQuery = out.groupBy("query_id").agg(
+      count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi")).collect()
+    assert(perQuery.length == 10)
+    assert(perQuery.forall(r => r.getLong(1) == 5L && r.getInt(2) == 1 && r.getInt(3) == 5))
+    val bf = SimilarityQueries.queries("sim_topk_bruteforce")(spark, sf0001)
+      .select("query_id", "neighbor_id", "cos")
+    assert(out.select("query_id", "neighbor_id", "cos")
+      .join(bf, Seq("query_id", "neighbor_id"))
+      .filter(out("cos") =!= bf("cos")).isEmpty)
+    // int8's only error source is the per-dim rounding (~0.4% of
+    // max|x|) and the shortlist is 10× the final k, so recall should
+    // be near-perfect — a real drop means the quantizer broke
+    val recall = pairs("sim_topk_bruteforce").intersect(pairs("sim_ann_int8")).count() / 50.0
+    assert(recall >= 0.9, s"int8 recall $recall")
+  }
+
   test("recall audit: one row per index, hits bounded by total, recall = hits/total") {
     val out = SimilarityQueries.queries("sim_recall_eval")(spark, sf0001).collect()
     assert(out.map(_.getString(0)).sorted.toSeq ==
-      Seq("sim_ann_binary", "sim_ann_ivf", "sim_ann_ivfpq", "sim_ann_lsh", "sim_ann_pq"))
+      Seq("sim_ann_binary", "sim_ann_int8", "sim_ann_ivf", "sim_ann_ivfpq",
+        "sim_ann_lsh", "sim_ann_pq"))
     out.foreach { r =>
       val (hits, total, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
       assert(total == 50L, r)
