@@ -83,6 +83,29 @@ object MultimodalQueries {
         .filter(col("ida") < col("idb"))
         .select(col("ida").as("media_a"), col("idb").as("media_b"), lit(0L).as("ham"))
       cross.unionByName(same)
+    }),
+
+    // near-duplicate VIDEO detection: two payloads are near-dups when
+    // they share ≥ 2 identical sampled-frame fingerprints — clipped /
+    // re-muxed copies keep most frames bit-identical while the
+    // container bytes (and so exact dedup) differ. Same inverted-index
+    // shape as dedup_common_spans: explode frames, self-join per
+    // fingerprint (each fp's pair fan-out is its frequency², bounded
+    // by the hottest frame, never |corpus|²), count shared frames per
+    // pair. DISTINCT frames per video first — a frame repeated within
+    // one video must not inflate the pair's shared count.
+    "multimodal_video_neardup" -> ((s, dir) => {
+      val frames = Multimodal.MediaPipeline
+        .frameSamples(s, Tables.load(s, dir, "documents"), frameLen = 32, stride = 2)
+        .toDF()
+        .select(col("media_id"), col("frame_fp")).distinct()
+      val a = frames.select(col("media_id").as("media_a"), col("frame_fp"))
+      val b = frames.select(col("media_id").as("media_b"), col("frame_fp"))
+      a.join(b, Seq("frame_fp"))
+        .filter(col("media_a") < col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(count(lit(1)).as("shared_frames"))
+        .filter(col("shared_frames") >= 2)
     })
   )
 
@@ -168,6 +191,23 @@ object MultimodalQueries {
         |SELECT a.media_id AS media_a, b.media_id AS media_b,
         |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS ham
         |FROM sg a JOIN sg b ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+
+    // same frame grid + fingerprint arithmetic as multimodal_frame_sample,
+    // deduped per video before pairing
+    "multimodal_video_neardup" ->
+      """WITH fr AS (
+        |  SELECT DISTINCT doc_id AS media_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(substring(text, CAST(i*32+1 AS INTEGER), 32), ''),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h * 31 + c) % 2147483647) AS frame_fp
+        |  FROM documents, UNNEST(range(0, (length(text)+31)//32)) AS t(i)
+        |  WHERE i % 2 = 0)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |       CAST(count(*) AS BIGINT) AS shared_frames
+        |FROM fr a JOIN fr b ON a.frame_fp = b.frame_fp AND a.media_id < b.media_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin
   )
 }

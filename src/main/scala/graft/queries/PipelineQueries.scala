@@ -204,6 +204,23 @@ object PipelineQueries {
         .select("source", "n_docs", "src_tokens", "token_share", "mix_weight")
     }),
 
+    // k-anonymity audit (k = 5) — the release gate of the privacy
+    // stage: after pseudonymization (pipeline_pseudonymize) the
+    // remaining QUASI-identifiers (lang, source, generalized length
+    // bucket) must not isolate small groups, or joining any external
+    // dataset on those attributes re-identifies them. Emits every
+    // equivalence class below k; empty result = releasable. One
+    // map-side-combined hash aggregate + a < k filter — audit cost is
+    // one scan regardless of corpus size, and the generalization
+    // hierarchy (coarser buckets) is a one-constant change.
+    "pipeline_k_anonymity" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          (col("n_chars") - pmod(col("n_chars"), lit(100L))).as("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(count(lit(1)).as("group_size"))
+        .filter(col("group_size") < 5)),
+
     // temperature-scaled sampling mix (α = 0.5): the standard
     // multilingual/multi-source rebalance p_s ∝ n_s^α — α = 1 keeps the
     // natural mix, α = 0 is uniform, √n in between up-samples the tail
@@ -479,6 +496,13 @@ object PipelineQueries {
         |         / (CAST(count(*) OVER () AS DOUBLE)
         |            * CAST(src_tokens AS DOUBLE)) AS mix_weight
         |FROM a""".stripMargin,
+
+    "pipeline_k_anonymity" ->
+      """SELECT lang, source, n_chars - n_chars % 100 AS len_bucket,
+        |       CAST(count(*) AS BIGINT) AS group_size
+        |FROM documents
+        |GROUP BY 1, 2, 3
+        |HAVING count(*) < 5""".stripMargin,
 
     // ⌊√n·10⁶⌋ scaling makes the normalizer an exact integer sum, so
     // every ratio divides two engine-identical operands (see scaladoc)

@@ -277,6 +277,64 @@ object StreamingJobs {
       }
   }
 
+  /** One hour-bucketed valued event for the streaming median operator. */
+  case class MedianEvent(bucket: Timestamp, ts: Timestamp, value: Double)
+
+  /** One per-window exact-median row, emitted at window finalization. */
+  case class MedianRow(bucket: Timestamp, n: Long, median_value: Double)
+
+  /** Streaming EXACT median per tumbling window — the live form of the
+    * q_median_price histogram pattern. An exact median is not
+    * incrementally emittable under disorder (any late row can move
+    * it), so the operator keeps a value→count HISTOGRAM per open
+    * window and emits once, when the watermark passes the window end.
+    * State is the per-window distinct-value histogram — the same
+    * compression the batch plan gets from its (group, value)
+    * hash-aggregate, and exactly why this beats buffering raw rows:
+    * memory is distinct values, not event count. Median rule is the
+    * batch query's verbatim (lo/hi midpoint over the cumulative
+    * count), so streaming == batch bit-for-bit on a closed window.
+    * At scale, windows are the shuffle key (one histogram per
+    * partition-local map); for unbounded value domains the documented
+    * fallback is fixed-width value bucketing (the q_quantiles_exact
+    * histogram) — the rule is unchanged, the domain is capped.
+    */
+  def windowMedianStreaming(events: DataFrame, tsCol: String, valueCol: String,
+      lateness: String = "30 minutes"): Dataset[MedianRow] = {
+    import events.sparkSession.implicits._
+    events
+      .select(date_trunc("hour", col(tsCol)).as("bucket"),
+        col(tsCol).as("ts"), col(valueCol).cast("double").as("value"))
+      .withWatermark("ts", lateness)
+      .as[MedianEvent]
+      .groupByKey(_.bucket.getTime)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucketMs: Long, rows: Iterator[MedianEvent], state: GroupState[Map[Double, Long]]) =>
+          if (state.hasTimedOut) {
+            val hist = state.get
+            state.remove()
+            val n = hist.valuesIterator.sum
+            val lo = (n + 1) / 2
+            val hi = (n + 2) / 2
+            var cum = 0L
+            var vLo = Double.NaN
+            var vHi = Double.NaN
+            hist.toSeq.sortBy(_._1).foreach { case (v, c) =>
+              val prev = cum; cum += c
+              if (cum >= lo && prev < lo) vLo = v
+              if (cum >= hi && prev < hi) vHi = v
+            }
+            Iterator.single(MedianRow(new Timestamp(bucketMs), n, (vLo + vHi) / 2.0))
+          } else {
+            var m = state.getOption.getOrElse(Map.empty[Double, Long])
+            rows.foreach(r => m = m.updated(r.value, m.getOrElse(r.value, 0L) + 1L))
+            state.update(m)
+            state.setTimeoutTimestamp(bucketMs + 3600000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming AS-OF enrichment against a STATIC dimension: each
     * stream row picks up the latest dimension row (by `dimTs`, ties by
     * max `dimVal`) at or before its own event time. The dimension is

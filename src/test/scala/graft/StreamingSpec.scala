@@ -277,6 +277,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact window median finalizes at watermark == batch lo/hi midpoint rule") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val q = windowMedianStreaming(
+        in.toDF().toDF("t", "v"), "t", "v", lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("median_out").start()
+    try {
+      // hour 10 (out of order): {5.0, 1.0, 3.0, 3.0} → sorted {1,3,3,5}:
+      // lo=2→3.0, hi=3→3.0 → median 3.0. Batch-2 rows stay ABOVE the
+      // batch-1 watermark (10:30 − 10 min = 10:20; a row AT the
+      // watermark is dropped by the stateful operator)
+      in.addData((ts("2024-01-01 10:05:00"), 5.0), (ts("2024-01-01 10:30:00"), 1.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:35:00"), 3.0), (ts("2024-01-01 10:50:00"), 3.0))
+      q.processAllAvailable()
+      // hour 11: {2.0, 4.0} → even split across distinct values → 3.0
+      in.addData((ts("2024-01-01 11:10:00"), 2.0), (ts("2024-01-01 11:20:00"), 4.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 13:00:00"), 9.0)) // watermark closes 10 and 11
+      q.processAllAvailable()
+      val got = spark.table("median_out")
+        .select($"bucket", $"n", $"median_value").as[(Timestamp, Long, Double)]
+        .collect().toSet
+      assert(got == Set(
+        (ts("2024-01-01 10:00:00"), 4L, 3.0),
+        (ts("2024-01-01 11:00:00"), 2L, 3.0)), got)
+    } finally q.stop()
+  }
+
   test("sliding OVER evicts idle keys once the watermark passes frame + idle retention") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[KeyedEvent]
