@@ -115,7 +115,13 @@ object Bench {
     // the direct like-for-like number against BASELINE.md's 41.4 s:
     // warm sum over exactly its 44 per-query comparison targets
     // (the full-suite totals span 2× more queries than the baseline
-    // measured, so ratios on them are not apples-to-apples)
+    // measured, so ratios on them are not apples-to-apples). A rename
+    // in the registry must not silently shrink the sum and fake a
+    // speedup — surface the matched count next to the number.
+    val baseline44Matched = results.count(r => baselineSet.contains(r._1))
+    if (baseline44Matched != baselineSet.size)
+      System.err.println(
+        s"[bench] WARNING: only $baseline44Matched of ${baselineSet.size} baseline queries matched the registry")
     val baseline44Warm =
       if (failed) -1.0
       else results.filter(r => baselineSet.contains(r._1)).map(_._3).sum
@@ -123,6 +129,7 @@ object Bench {
     val detailJson = (s"""{"metric":"total","value":$totalCold,"unit":"sec""""
       + s""","queries":${fullMap(_._3)},"queries_cold":${fullMap(_._2)}"""
       + s""","total_warm":$totalWarm,"baseline44_warm":$baseline44Warm"""
+      + s""","baseline44_n":$baseline44Matched"""
       + s""","n":${results.size},"sf":"$sfDir""""
       + s""","run_policy":"value=cold total (each one-time shared cost paid exactly once, in family order); queries=best-of-2 steady state; caches released after the dedup/pipeline/sim block"}""")
     // the stdout line is the artifact of record — a failed detail write
@@ -142,7 +149,8 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(totalCold)},"unit":"sec"""" +
         s""","queries":$m,"total_warm":${f3(totalWarm)}""" +
-        s""","baseline44_warm":${f3(baseline44Warm)},"n":${results.size}""" +
+        s""","baseline44_warm":${f3(baseline44Warm)},"baseline44_n":$baseline44Matched""" +
+        s""","n":${results.size}""" +
         s""","sf":"$sfDir","detail":"$detailPath"}"""
     }
     val slowExtras = results.filter(r => !baselineSet.contains(r._1) && r._3 >= 1.0)

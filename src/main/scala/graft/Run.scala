@@ -11,7 +11,16 @@ object Run {
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
     val pos = args.filterNot(_.startsWith("--"))
+    if (pos.isEmpty) {
+      System.err.println("usage: runMain graft.Run <queryName> [sfDir] [--explain] [--show]")
+      sys.exit(2)
+    }
     val name = pos(0)
+    if (!SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'; registered: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val sfDir = if (pos.length > 1) pos(1) else "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -51,9 +51,14 @@ object MultimodalQueries {
     "multimodal_ahash_dedup" -> ((s, dir) => {
       def blockBits(c: org.apache.spark.sql.Column, i: Int) =
         shiftrightunsigned(c, i * 14).bitwiseAND(lit((1L << 14) - 1))
+      // six plan branches reference the signature frame (banding a/b,
+      // pair expansion ×2, same-sig ×2) — persist so the codec pass
+      // over the payloads runs once, not per branch (same reason the
+      // PQ code index persists in adcShortlist)
       val d = Multimodal.MediaPipeline
         .perceptualHashes(s, Tables.load(s, dir, "documents"), samples = 56)
         .toDF()
+        .persist()
       val sigs = d.select("ahash").distinct()
       val blocks = array((0 until 4).map { i =>
         struct(lit(i).as("blk"), blockBits(col("ahash"), i).as("bits"))

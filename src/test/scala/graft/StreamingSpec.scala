@@ -192,8 +192,11 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (!observed.contains(2L) && System.nanoTime() < deadline) Thread.sleep(50)
-      assert(observed.contains(2L),
-        s"expected some batch to report 2 emitted window rows, saw $observed")
+      // the SET of non-zero reports must be exactly {2}: an early or
+      // duplicate emission would add a second non-zero value and fail
+      val nonZero = observed.toArray(Array.empty[java.lang.Long]).filter(_ != 0L).toSet
+      assert(nonZero == Set(2L: java.lang.Long),
+        s"expected exactly one non-zero emission report of 2, saw $observed")
     } finally {
       q.stop()
       spark.streams.removeListener(listener)
