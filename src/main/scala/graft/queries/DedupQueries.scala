@@ -53,6 +53,11 @@ object DedupQueries {
       graft.ops.Graph.connectedComponents(
         lshVerifiedPairs(s, dir).select("doc_a", "doc_b")))
 
+  private[queries] def componentLabelsSimhash(s: SparkSession, dir: String): DataFrame =
+    ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "simhash"), _ =>
+      graft.ops.Graph.connectedComponents(
+        queries("dedup_simhash")(s, dir).select("doc_a", "doc_b")))
+
   /** doc_id + distinct 3-gram shingle set, SORTED so that candidate
     * verification is a linear merge ([[KernelExpressions.SortedIntersectCount]])
     * instead of a per-pair hash-set build. */
@@ -343,6 +348,18 @@ object DedupQueries {
     "dedup_survivors_lsh" -> ((s, dir) =>
       componentLabelsLsh(s, dir).select(col("node").as("doc_id"), col("rep"))),
 
+    // survivor selection over the SIMHASH edge set (ham ≤ 3) — the
+    // third edge source next to exact n-gram Jaccard and MinHash-LSH.
+    // Simhash edges are the cheapest of the three at scale (signature
+    // is one long per doc, candidate generation over DISTINCT
+    // signatures), at the price of Hamming-threshold semantics rather
+    // than a Jaccard threshold; this query makes the resulting
+    // component policy oracle-checkable so the trade is measurable,
+    // not asserted. Reuses the memoized CC machinery (one pointer-
+    // jumping run per session/dataset/edge-source).
+    "dedup_survivors_simhash" -> ((s, dir) =>
+      componentLabelsSimhash(s, dir).select(col("node").as("doc_id"), col("rep"))),
+
     // Embedding-cosine near-dup, EXACT at τ = 0.4, via triangle
     // block-partitioning instead of the round-1 BroadcastNestedLoopJoin.
     //
@@ -437,6 +454,28 @@ object DedupQueries {
   /** Brute-force τ=0.8 pair graph → recursive-CTE reachability → min id
     * per component. Shared by BOTH survivor queries: the exact-PPJoin
     * and LSH edge sources produce the same pair set at this threshold. */
+  /** Shared 31-bit simhash signature CTEs (token polynomial hashes →
+    * per-bit majority vote) — the single source both the pair oracle
+    * and the simhash-edged survivor oracle build on. */
+  private val simhashSigCtes =
+    """h AS (
+      |  SELECT doc_id, list_transform(string_split(text,' '),
+      |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT))),
+      |         (a, b) -> (a * 31 + b) % 2147483647)) th
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(0, 31), b ->
+      |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(th, hh ->
+      |               CASE WHEN (hh // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+      |                    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+      |           (x, y) -> x + y) > 0
+      |      THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |    (x, y) -> x + y) sh
+      |  FROM h)""".stripMargin
+
   private val survivorsSql =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
@@ -491,27 +530,27 @@ object DedupQueries {
     "dedup_survivors_lsh" -> survivorsSql,
 
     "dedup_simhash" ->
-      """WITH h AS (
-        |  SELECT doc_id, list_transform(string_split(text,' '),
-        |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |           list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT))),
-        |         (a, b) -> (a * 31 + b) % 2147483647)) th
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(0, 31), b ->
-        |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |             list_transform(th, hh ->
-        |               CASE WHEN (hh // CAST(pow(2, b) AS BIGINT)) % 2 = 1
-        |                    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
-        |           (x, y) -> x + y) > 0
-        |      THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-        |    (x, y) -> x + y) sh
-        |  FROM h)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+      s"""WITH $simhashSigCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    // same recursive-CTE survivor rule as survivorsSql, but the edge
+    // set is the simhash ham ≤ 3 pairs instead of Jaccard τ = 0.8
+    "dedup_survivors_simhash" ->
+      s"""WITH RECURSIVE $simhashSigCtes,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH e AS (

@@ -233,6 +233,44 @@ object TextQueries {
         .orderBy(col("freq").desc, col("pair"))
         .limit(20)),
 
+    // bigram-fluency quality score: the fraction of a document's
+    // adjacent token pairs that appear in the corpus's top-1000 bigram
+    // list — a cheap LM-free proxy for "reads like the corpus" that
+    // catches shuffled/generated word salad whose unigram stats look
+    // normal (every token common, no common pair). Corpus pass 1 is
+    // the bigram word-count + tie-stable top-1000 (broadcast as ONE
+    // array row); pass 2 scores map-side — same broadcast-vocabulary
+    // shape as text_common_token_ratio, scan-speed at 100 TB.
+    "text_bigram_fluency" -> ((s, dir) => {
+      val docPairs = expr(
+        """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |         slice(toks, 2, greatest(size(toks) - 1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)
+      val top = docs(s, dir)
+        .select(tokens(col("text")).as("toks"))
+        .select(explode(docPairs).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("pair")).limit(1000)
+        .select(col("pair"), lit(1L).as("hit"))
+      // membership via BROADCAST HASH JOIN, not a per-pair linear scan
+      // of a 1000-element array (O(1) lookup per bigram, and the probe
+      // side stays in whole-stage codegen); explode_outer keeps
+      // zero-bigram documents in the output
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("prs", docPairs)
+        .select(col("doc_id"), size(col("prs")).cast("long").as("n_bigrams"),
+          explode_outer(col("prs")).as("pair"))
+        .join(broadcast(top), Seq("pair"), "left")
+        .groupBy("doc_id")
+        .agg(max(col("n_bigrams")).as("n_bigrams"),
+          sum(coalesce(col("hit"), lit(0L))).as("common_bigrams"))
+        .select(col("doc_id"), col("common_bigrams"), col("n_bigrams"),
+          when(col("n_bigrams") === 0L, lit(0.0))
+            .otherwise(col("common_bigrams").cast("double") / col("n_bigrams").cast("double"))
+            .as("fluency"))
+    }),
+
     // corpus length distribution: documents histogrammed by token count
     // in width-10 buckets — the first diagnostic run on any training
     // corpus (truncation/padding budgets, outlier screens). Bucketing
@@ -318,6 +356,27 @@ object TextQueries {
         |  FROM tok)
         |SELECT pair, CAST(count(*) AS BIGINT) AS freq
         |FROM prs GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+
+    // same pair enumeration; the (freq DESC, pair) top-1000 cut is a
+    // total order, so the broadcast vocabulary is engine-identical and
+    // the score is one division of exact integer counts
+    "text_bigram_fluency" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dp AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks)),
+        |           i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1]) AS prs
+        |  FROM tok),
+        |top AS (
+        |  SELECT pair FROM (SELECT unnest(prs) AS pair FROM dp)
+        |  GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1000),
+        |tv AS (SELECT list(pair) AS vocab FROM top)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(prs, p -> list_contains(vocab, p))) AS BIGINT) AS common_bigrams,
+        |       CAST(len(prs) AS BIGINT) AS n_bigrams,
+        |       CASE WHEN len(prs) = 0 THEN 0.0
+        |            ELSE CAST(len(list_filter(prs, p -> list_contains(vocab, p))) AS DOUBLE)
+        |                 / CAST(len(prs) AS DOUBLE) END AS fluency
+        |FROM dp, tv""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
