@@ -509,7 +509,7 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("hits"))
           .select(lit(m).as("method"), col("hits"))
       }.reduce(_ unionByName _)
-        .crossJoin(broadcast(total)) // 4 rows × 1 scalar row
+        .crossJoin(broadcast(total)) // one row per method × 1 scalar row
         .withColumn("recall",
           round(col("hits").cast("double") / col("total").cast("double"), 6))
     })
