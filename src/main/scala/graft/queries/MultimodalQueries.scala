@@ -100,10 +100,13 @@ object MultimodalQueries {
     // pair. DISTINCT frames per video first — a frame repeated within
     // one video must not inflate the pair's shared count.
     "multimodal_video_neardup" -> ((s, dir) => {
+      // both sides of the self-join scan the frame index — persist so
+      // the codec pass and the distinct shuffle run once, not twice
       val frames = Multimodal.MediaPipeline
         .frameSamples(s, Tables.load(s, dir, "documents"), frameLen = 32, stride = 2)
         .toDF()
         .select(col("media_id"), col("frame_fp")).distinct()
+        .persist()
       val a = frames.select(col("media_id").as("media_a"), col("frame_fp"))
       val b = frames.select(col("media_id").as("media_b"), col("frame_fp"))
       a.join(b, Seq("frame_fp"))
