@@ -394,6 +394,36 @@ object SimilarityQueries {
       exactRerank(vs, short)
     }),
 
+    // metadata-FILTERED top-k ("hybrid search"): each query retrieves
+    // only among corpus vectors sharing its label — the
+    // filter-then-rank pattern every production vector store needs
+    // (tenant isolation, language routing, freshness windows). The
+    // predicate is not a post-filter on a top-k result (which silently
+    // under-fills k when the filter is selective); it is the JOIN KEY:
+    // candidates come from a label equi-join, so ranking only ever
+    // sees qualifying vectors and each query's k is exact. At 100 TB
+    // the label is the partition column — the equi-join becomes
+    // partition pruning and the scan touches 1/|labels| of the corpus.
+    "sim_topk_filtered" -> ((s, dir) => {
+      val vs = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val q = vs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label"),
+          col("v").as("vq"), col("nrm").as("nq"))
+      val c = vs.select(col("vec_id").as("neighbor_id"), col("label"),
+        col("v").as("vc"), col("nrm").as("nc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      c.join(broadcast(q), Seq("label"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", round(cosine(col("vq"), col("vc"), col("nq"), col("nc")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "label", "neighbor_id", "cos", "rank")
+    }),
+
     // sign-bit binary quantization ANN — the 4th embedding-compression
     // point next to int8 (4×), PQ codes (16×) and prefix truncation:
     // 1 bit/dim = 64× over float32, two longs per vector. bit d =
@@ -791,6 +821,25 @@ object SimilarityQueries {
     "sim_topk_bruteforce" -> bruteforceOracle,
     "sim_ann_binary" -> binaryOracle,
     "sim_ann_int8" -> int8Oracle,
+
+    // label carried through n (vectorCtes keeps only vec_id/v/nrm, so
+    // re-join the base table for it); same fold/tie-break as brute force
+    "sim_topk_filtered" ->
+      s"""WITH $vectorCtes,
+         |nl AS (
+         |  SELECT n.vec_id, n.v, n.nrm, e2.label
+         |  FROM n JOIN embeddings e2 ON e2.vec_id = n.vec_id),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+         |         round(list_reduce(list_prepend(0.0,
+         |                 list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (x, y) -> x + y)
+         |               / (q.nrm * c.nrm), 6) AS cos
+         |  FROM nl q JOIN nl c ON q.vec_id < 10 AND q.label = c.label
+         |                     AND q.vec_id <> c.vec_id)
+         |SELECT query_id, label, neighbor_id, cos,
+         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |FROM p
+         |QUALIFY rank <= 5""".stripMargin,
 
     // same brute-force shape over the 16-dim prefix (v[1:16], norms and
     // folds over range(1, 17)) — slicing precedes normalization on both

@@ -103,6 +103,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"int8 recall $recall")
   }
 
+  test("filtered top-k: 5 per query, every neighbor shares the query's label") {
+    val out = SimilarityQueries.queries("sim_topk_filtered")(spark, sf0001).collect()
+    val labels = graft.model.Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val perQ = out.groupBy(_.getLong(0))
+    assert(perQ.size == 10 && perQ.values.forall(_.length == 5))
+    out.foreach { r =>
+      val (q, lbl, n) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(labels(q) == lbl && labels(n) == lbl,
+        s"neighbor $n (label ${labels(n)}) leaked into query $q's label-$lbl result")
+    }
+  }
+
   test("recall audit: one row per index, hits bounded by total, recall = hits/total") {
     val out = SimilarityQueries.queries("sim_recall_eval")(spark, sf0001).collect()
     assert(out.map(_.getString(0)).sorted.toSeq ==
