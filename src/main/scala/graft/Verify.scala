@@ -16,13 +16,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,9 +28,33 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json is written BEFORE any query runs: the driver's
+    // compare needs it, and a wall-clock kill mid-dump must cost only
+    // the queries not yet dumped, never the whole round (round 4's
+    // CORRECTNESS artifact was {} because this file was written last
+    // and the JVM died first).
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Dump cheapest families first so a budget kill yields a mostly-full
+    // correctness file: relational/event + text are sub-second each at
+    // sf0.01; dedup/sim share one-time index builds; multimodal pays the
+    // codec pass and runs last.
+    val familyCost = Map(
+      "q" -> 0, "text" -> 1, "pipeline" -> 2, "sim" -> 3,
+      "dedup" -> 4, "multimodal" -> 5)
+    def family(name: String): String = name.takeWhile(_ != '_')
+    val ordered = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (familyCost.getOrElse(family(name), 9), name) }
+    ordered.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(s"[verify] $name ok")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     graft.model.Tables.clearCaches(spark) // release library-pinned frames/memos
     spark.stop()
   }
