@@ -201,6 +201,41 @@ object Multimodal {
       }
     }
 
+    /** Batched resize stage over an already-built media frame (lets
+      * callers share one persisted media-record pass across stages). */
+    def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(g => FakeCodec.resizeBatch(g, w, h))
+      }
+    }
+
+    /** Batched frame-sampling stage (one→many: output cardinality is
+      * Σ⌈frames/stride⌉, not |media|). */
+    def frameSample(media: Dataset[MediaRecord], frameLen: Int, stride: Int): Dataset[SampledFrame] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(g => FakeCodec.frameSampleBatch(g, frameLen, stride))
+      }
+    }
+
+    /** Batched audio-feature stage. */
+    def audio(media: Dataset[MediaRecord], bias: Int): Dataset[AudioFeatures] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(g => FakeCodec.audioFeatureBatch(g, bias))
+      }
+    }
+
+    /** Batched average-hash stage (empty payloads dropped — no signal
+      * to hash). */
+    def ahash(media: Dataset[MediaRecord], samples: Int): Dataset[MediaHash] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(g => FakeCodec.ahashBatch(g, samples))
+      }
+    }
+
     /** End-to-end: documents → media records → batched decode. */
     def features(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
       import spark.implicits._
@@ -210,39 +245,26 @@ object Multimodal {
     /** End-to-end: documents → media records → batched resize. */
     def resized(spark: SparkSession, docs: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
       import spark.implicits._
-      val media = mediaFromDocuments(docs).as[MediaRecord]
-      media.mapPartitions { it =>
-        it.grouped(BatchSize).flatMap(g => FakeCodec.resizeBatch(g, w, h))
-      }
+      resize(mediaFromDocuments(docs).as[MediaRecord], w, h)
     }
 
-    /** End-to-end: documents → media records → batched frame sampling
-      * (one→many: output cardinality is Σ⌈frames/stride⌉, not |docs|). */
+    /** End-to-end: documents → media records → batched frame sampling. */
     def frameSamples(spark: SparkSession, docs: DataFrame, frameLen: Int, stride: Int): Dataset[SampledFrame] = {
       import spark.implicits._
-      val media = mediaFromDocuments(docs).as[MediaRecord]
-      media.mapPartitions { it =>
-        it.grouped(BatchSize).flatMap(g => FakeCodec.frameSampleBatch(g, frameLen, stride))
-      }
+      frameSample(mediaFromDocuments(docs).as[MediaRecord], frameLen, stride)
     }
 
     /** End-to-end: documents → media records → batched audio features. */
     def audioFeatures(spark: SparkSession, docs: DataFrame, bias: Int): Dataset[AudioFeatures] = {
       import spark.implicits._
-      val media = mediaFromDocuments(docs).as[MediaRecord]
-      media.mapPartitions { it =>
-        it.grouped(BatchSize).flatMap(g => FakeCodec.audioFeatureBatch(g, bias))
-      }
+      audio(mediaFromDocuments(docs).as[MediaRecord], bias)
     }
 
     /** End-to-end: documents → media records → batched average-hash
-      * signatures (empty payloads dropped — no signal to hash). */
+      * signatures. */
     def perceptualHashes(spark: SparkSession, docs: DataFrame, samples: Int): Dataset[MediaHash] = {
       import spark.implicits._
-      val media = mediaFromDocuments(docs).as[MediaRecord]
-      media.mapPartitions { it =>
-        it.grouped(BatchSize).flatMap(g => FakeCodec.ahashBatch(g, samples))
-      }
+      ahash(mediaFromDocuments(docs).as[MediaRecord], samples)
     }
   }
 

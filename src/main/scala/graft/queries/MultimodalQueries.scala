@@ -5,36 +5,127 @@ import org.apache.spark.sql.functions._
 
 import graft.model.Tables
 import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaRecord, MediaPipeline}
 
 /** Multimodal decode pipeline registered as a query. The payloads are
   * ASCII text bytes (harness stand-in), so every byte-level feature the
   * FakeCodec computes is reproducible in the DuckDB oracle via
   * character arithmetic — the whole mapPartitions pipeline, schema and
   * batching included, is correctness-gated, not just smoke-tested.
+  *
+  * Family-shared codec pass: every query in this family starts from
+  * the same persisted media-record frame ([[media]]), so the parquet
+  * scan + binary cast is paid once per session/dataset, not once per
+  * query (round 4 benched it 5×). The frame-sample output and the
+  * distinct frame index are likewise memoized — `frame_sample` and
+  * `video_neardup` share one codec pass. All memos are registered with
+  * [[graft.model.Caches]] and dropped by `Tables.clearCaches`.
   */
 object MultimodalQueries {
 
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  graft.model.Caches.register(() => memo.clear())
+
+  // get/putIfAbsent rather than computeIfAbsent: memo entries build on
+  // one another (frameIndex → frames → media) and a nested
+  // computeIfAbsent on one ConcurrentHashMap throws "Recursive update".
+  // A lost race merely builds a lazy (never-materialized) duplicate
+  // plan — putIfAbsent keeps exactly one canonical frame.
+  private def memoized(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+    val k = (System.identityHashCode(s), dir, key)
+    val existing = memo.get(k)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = memo.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** The family-shared media-record pass: documents parquet → opaque
+    * binary payload + typed metadata, persisted once per
+    * session/dataset. */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "media")(
+      MediaPipeline.mediaFromDocuments(Tables.load(s, dir, "documents")).persist())
+
+  private def mediaDs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    media(s, dir).as[MediaRecord]
+  }
+
+  /** Temporal frame sampling — payload cut into `frameLen`-byte
+    * "frames", every `stride`-th frame emitted (one→many explode
+    * shape, the "1 fps for the vision encoder" stage); fingerprints
+    * oracle-checked per frame. Memoized per parameterization so
+    * video near-dup shares the codec pass. */
+  def frameSampleQuery(s: SparkSession, dir: String, frameLen: Int, stride: Int): DataFrame =
+    memoized(s, dir, s"frames:$frameLen:$stride")(
+      MediaPipeline.frameSample(mediaDs(s, dir), frameLen, stride).toDF().persist())
+
+  /** Distinct (media_id, frame_fp) inverted-index base for video
+    * near-dup — a frame repeated within one video must not inflate a
+    * pair's shared count. Persisted: both sides of the per-fingerprint
+    * self-join scan it (PlanSpec pins the InMemoryTableScan). */
+  private def frameIndex(s: SparkSession, dir: String, frameLen: Int, stride: Int): DataFrame =
+    memoized(s, dir, s"frameIndex:$frameLen:$stride")(
+      frameSampleQuery(s, dir, frameLen, stride)
+        .select(col("media_id"), col("frame_fp")).distinct().persist())
+
+  /** A frame fingerprint shared by more than this many videos carries
+    * no near-dup signal (constant padding / intro frames) and would
+    * make the per-fingerprint self-join fan-out quadratic in its
+    * frequency — the same heavy-hitter guard as the hot-shingle bound
+    * in n-gram Jaccard. The oracle applies the identical cap, so the
+    * query stays oracle-exact (nothing approaches the cap at test
+    * scale; at 100 TB it is the safety rail). */
+  val VideoHotFrameCap = 1024
+
+  /** Near-duplicate VIDEO detection: two payloads are near-dups when
+    * they share ≥ 2 identical sampled-frame fingerprints — clipped /
+    * re-muxed copies keep most frames bit-identical while the
+    * container bytes (and so exact dedup) differ. Same inverted-index
+    * shape as dedup_common_spans: explode frames, self-join per
+    * fingerprint (each fp's pair fan-out is its frequency², bounded by
+    * [[VideoHotFrameCap]]², never |corpus|²), count shared frames per
+    * pair. */
+  def videoNeardupQuery(s: SparkSession, dir: String, frameLen: Int, stride: Int): DataFrame = {
+    val frames = frameIndex(s, dir, frameLen, stride)
+    // heavy-hitter guard: the hot set is tiny (usually empty), so the
+    // anti-join broadcasts; every surviving fp has bounded fan-out
+    val hot = frames.groupBy("frame_fp")
+      .agg(count(lit(1)).as("ff"))
+      .filter(col("ff") > VideoHotFrameCap)
+      .select("frame_fp")
+    val pruned = frames.join(broadcast(hot), Seq("frame_fp"), "left_anti")
+    val a = pruned.select(col("media_id").as("media_a"), col("frame_fp"))
+    val b = pruned.select(col("media_id").as("media_b"), col("frame_fp"))
+    a.join(b, Seq("frame_fp"))
+      .filter(col("media_a") < col("media_b"))
+      .groupBy("media_a", "media_b")
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode" -> ((s, dir) =>
-      Multimodal.MediaPipeline.features(s, Tables.load(s, dir, "documents")).toDF()),
+      MediaPipeline.decode(mediaDs(s, dir)).toDF()),
 
     // nearest-neighbor resize to an 8×6 grid — the resample stage of an
     // image pipeline, batch-amortized like decode; byte-arithmetic
     // oracle over the sampled positions
     "multimodal_resize" -> ((s, dir) =>
-      Multimodal.MediaPipeline.resized(s, Tables.load(s, dir, "documents"), w = 8, h = 6).toDF()),
+      MediaPipeline.resize(mediaDs(s, dir), w = 8, h = 6).toDF()),
 
-    // temporal frame sampling — payload cut into 32-byte "frames",
-    // every 2nd frame emitted (one→many explode shape, the "1 fps for
-    // the vision encoder" stage); fingerprints oracle-checked per frame
     "multimodal_frame_sample" -> ((s, dir) =>
-      Multimodal.MediaPipeline.frameSamples(s, Tables.load(s, dir, "documents"), frameLen = 32, stride = 2).toDF()),
+      frameSampleQuery(s, dir, frameLen = 32, stride = 2)),
 
     // audio feature extraction — payload read as unsigned 8-bit PCM
     // biased at 64 (ASCII: spaces/digits negative, letters positive);
     // amplitude sums, peak, and zero-crossings are integer-exact
     "multimodal_audio_features" -> ((s, dir) =>
-      Multimodal.MediaPipeline.audioFeatures(s, Tables.load(s, dir, "documents"), bias = 64).toDF()),
+      MediaPipeline.audio(mediaDs(s, dir), bias = 64).toDF()),
 
     // perceptual near-dup over media payloads: average-hash signature
     // (56 resampled bytes, bit = above-mean; FakeCodec.ahashBatch) →
@@ -52,13 +143,11 @@ object MultimodalQueries {
       def blockBits(c: org.apache.spark.sql.Column, i: Int) =
         shiftrightunsigned(c, i * 14).bitwiseAND(lit((1L << 14) - 1))
       // six plan branches reference the signature frame (banding a/b,
-      // pair expansion ×2, same-sig ×2) — persist so the codec pass
-      // over the payloads runs once, not per branch (same reason the
-      // PQ code index persists in adcShortlist)
-      val d = Multimodal.MediaPipeline
-        .perceptualHashes(s, Tables.load(s, dir, "documents"), samples = 56)
-        .toDF()
-        .persist()
+      // pair expansion ×2, same-sig ×2) — memo-persisted so the codec
+      // pass over the payloads runs once, not per branch (same reason
+      // the PQ code index persists in adcShortlist)
+      val d = memoized(s, dir, "ahash:56")(
+        MediaPipeline.ahash(mediaDs(s, dir), samples = 56).toDF().persist())
       val sigs = d.select("ahash").distinct()
       val blocks = array((0 until 4).map { i =>
         struct(lit(i).as("blk"), blockBits(col("ahash"), i).as("bits"))
@@ -90,31 +179,8 @@ object MultimodalQueries {
       cross.unionByName(same)
     }),
 
-    // near-duplicate VIDEO detection: two payloads are near-dups when
-    // they share ≥ 2 identical sampled-frame fingerprints — clipped /
-    // re-muxed copies keep most frames bit-identical while the
-    // container bytes (and so exact dedup) differ. Same inverted-index
-    // shape as dedup_common_spans: explode frames, self-join per
-    // fingerprint (each fp's pair fan-out is its frequency², bounded
-    // by the hottest frame, never |corpus|²), count shared frames per
-    // pair. DISTINCT frames per video first — a frame repeated within
-    // one video must not inflate the pair's shared count.
-    "multimodal_video_neardup" -> ((s, dir) => {
-      // both sides of the self-join scan the frame index — persist so
-      // the codec pass and the distinct shuffle run once, not twice
-      val frames = Multimodal.MediaPipeline
-        .frameSamples(s, Tables.load(s, dir, "documents"), frameLen = 32, stride = 2)
-        .toDF()
-        .select(col("media_id"), col("frame_fp")).distinct()
-        .persist()
-      val a = frames.select(col("media_id").as("media_a"), col("frame_fp"))
-      val b = frames.select(col("media_id").as("media_b"), col("frame_fp"))
-      a.join(b, Seq("frame_fp"))
-        .filter(col("media_a") < col("media_b"))
-        .groupBy("media_a", "media_b")
-        .agg(count(lit(1)).as("shared_frames"))
-        .filter(col("shared_frames") >= 2)
-    })
+    "multimodal_video_neardup" -> ((s, dir) =>
+      videoNeardupQuery(s, dir, frameLen = 32, stride = 2))
   )
 
   val oracles: Map[String, String] = Map(
@@ -202,7 +268,9 @@ object MultimodalQueries {
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
 
     // same frame grid + fingerprint arithmetic as multimodal_frame_sample,
-    // deduped per video before pairing
+    // deduped per video before pairing; the hot-frame cap mirrors the
+    // engine's heavy-hitter guard exactly (no fp approaches 1024 videos
+    // at oracle scale, so the cap is exercised but drops nothing)
     "multimodal_video_neardup" ->
       """WITH fr AS (
         |  SELECT DISTINCT doc_id AS media_id,
@@ -211,10 +279,13 @@ object MultimodalQueries {
         |             c -> CAST(ascii(c) AS BIGINT))),
         |           (h, c) -> (h * 31 + c) % 2147483647) AS frame_fp
         |  FROM documents, UNNEST(range(0, (length(text)+31)//32)) AS t(i)
-        |  WHERE i % 2 = 0)
+        |  WHERE i % 2 = 0),
+        |keep AS (
+        |  SELECT frame_fp FROM fr GROUP BY frame_fp HAVING count(*) <= 1024)
         |SELECT a.media_id AS media_a, b.media_id AS media_b,
         |       CAST(count(*) AS BIGINT) AS shared_frames
         |FROM fr a JOIN fr b ON a.frame_fp = b.frame_fp AND a.media_id < b.media_id
+        |WHERE a.frame_fp IN (SELECT frame_fp FROM keep)
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin
   )
