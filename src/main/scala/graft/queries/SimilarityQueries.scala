@@ -473,16 +473,23 @@ object SimilarityQueries {
       val q8 = vs
         .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
         // quantized values kept as exact small-integer doubles so the
-        // codegen'd dot kernel applies unchanged
-        .withColumn("qv", expr("transform(v, x -> cast(round(x * 127 / max_abs) as double))"))
+        // codegen'd dot kernel applies unchanged; an all-zero embedding
+        // quantizes to all-zero codes (the sim_quantize_int8 guard) —
+        // round(x/0) would otherwise poison the shortlist with NaN,
+        // and NaN window ordering can diverge between Spark and DuckDB
+        .withColumn("qv",
+          when(col("max_abs") === 0d, transform(col("v"), _ => lit(0d)))
+            .otherwise(expr("transform(v, x -> cast(round(x * 127 / max_abs) as double))")))
         .withColumn("qscale", col("max_abs") / lit(127d))
       val q = q8.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("qv").as("qq"),
           col("qscale").as("sq"), col("nrm").as("nq"))
       val c = q8.select(col("vec_id").as("neighbor_id"), col("qv").as("qc"),
         col("qscale").as("sc"), col("nrm").as("nc"))
-      val approx = round(
-        dot(col("qq"), col("qc")) * col("sq") * col("sc") / (col("nq") * col("nc")), 6)
+      // a zero-norm side contributes a 0 score (its integer dot is 0
+      // anyway) instead of 0/0 = NaN
+      val approx = when(col("nq") * col("nc") === 0d, lit(0d)).otherwise(round(
+        dot(col("qq"), col("qc")) * col("sq") * col("sc") / (col("nq") * col("nc")), 6))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("approx").desc, col("neighbor_id"))
       val short = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))

@@ -18,6 +18,21 @@ import graft.ops.Windows
   */
 object StreamingJobs {
 
+  /** Bucket granularity shared by the date_trunc-bucketed stateful
+    * operators (funnel, Top-N, window median): the truncation unit and
+    * the finalization-timeout width MUST move together — deriving the
+    * millis from the unit here keeps a future granularity change from
+    * silently breaking timeout timing at three call sites. */
+  private[streaming] val BucketUnit: String = "hour"
+  private[streaming] val BucketMillis: Long = BucketUnit match {
+    case "hour"   => 3600000L
+    case "minute" => 60000L
+    case "day"    => 86400000L
+    case u        => throw new IllegalArgumentException(s"unsupported bucket unit: $u")
+  }
+  private def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_trunc(BucketUnit, c)
+
   /** Flagship streaming job (reference StreamJobSqlTumbling): watermark
     * + tumbling count, append-safe once the watermark passes window end.
     *
@@ -195,7 +210,7 @@ object StreamingJobs {
     def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
     events
       .select(col(userCol).cast("long").as("user_id"),
-        date_trunc("hour", col(tsCol)).as("bucket"),
+        bucketOf(col(tsCol)).as("bucket"),
         col("event_type"), col(tsCol).as("ts"))
       .withWatermark("ts", lateness)
       .as[FunnelEvent]
@@ -218,7 +233,7 @@ object StreamingJobs {
             val buf = state.getOption.getOrElse(Nil) ++
               rows.map(r => (r.event_type, micros(r.ts)))
             state.update(buf)
-            state.setTimeoutTimestamp(key._2 + 3600000L) // finalize at bucket end
+            state.setTimeoutTimestamp(key._2 + BucketMillis) // finalize at bucket end
             Iterator.empty
           }
       }
@@ -255,7 +270,7 @@ object StreamingJobs {
     import events.sparkSession.implicits._
     events
       .select(col(userCol).cast("long").as("user_id"),
-        date_trunc("hour", col(tsCol)).as("bucket"), col(tsCol).as("ts"))
+        bucketOf(col(tsCol)).as("bucket"), col(tsCol).as("ts"))
       .withWatermark("ts", lateness)
       .as[TopNEvent]
       .groupByKey(_.bucket.getTime)
@@ -271,7 +286,7 @@ object StreamingJobs {
             var m = state.getOption.getOrElse(Map.empty[Long, Long])
             rows.foreach(r => m = m.updated(r.user_id, m.getOrElse(r.user_id, 0L) + 1L))
             state.update(m)
-            state.setTimeoutTimestamp(bucketMs + 3600000L) // finalize at window end (+lateness via watermark)
+            state.setTimeoutTimestamp(bucketMs + BucketMillis) // finalize at window end (+lateness via watermark)
             Iterator.empty
           }
       }
@@ -303,7 +318,7 @@ object StreamingJobs {
       lateness: String = "30 minutes"): Dataset[MedianRow] = {
     import events.sparkSession.implicits._
     events
-      .select(date_trunc("hour", col(tsCol)).as("bucket"),
+      .select(bucketOf(col(tsCol)).as("bucket"),
         col(tsCol).as("ts"), col(valueCol).cast("double").as("value"))
       .withWatermark("ts", lateness)
       .as[MedianEvent]
@@ -329,7 +344,7 @@ object StreamingJobs {
             var m = state.getOption.getOrElse(Map.empty[Double, Long])
             rows.foreach(r => m = m.updated(r.value, m.getOrElse(r.value, 0L) + 1L))
             state.update(m)
-            state.setTimeoutTimestamp(bucketMs + 3600000L)
+            state.setTimeoutTimestamp(bucketMs + BucketMillis)
             Iterator.empty
           }
       }
