@@ -341,6 +341,65 @@ object PipelineQueries {
         .join(broadcast(offsets), "bucket")
         .select(col("doc_id"), col("h"),
           (col("offset") + col("local_pos")).as("pos"))
+    }),
+
+    // cross-modal referential audit — the join-health gate of a
+    // text↔image (here: documents↔embeddings, same id space) training
+    // set: per source, how many text rows have a modality-partner row,
+    // how many are missing one, how many partner rows are orphans, and
+    // how many partners are structurally broken (wrong dimensionality /
+    // zero-norm vectors — the "all-black image" of the embedding
+    // world). One id↔id equi-join — the canonical co-partitioned join:
+    // at 100 TB both sides bucket by id and the shuffle disappears;
+    // orphans surface under the '(orphan)' source so a silent feed
+    // mismatch can never hide (an inner join would just drop them).
+    "pipeline_crossmodal_audit" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+      val e = Tables.load(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        // in-order left fold, bit-identical to the DuckDB list_reduce
+        expr("aggregate(embedding, cast(0 as double), (a, x) -> a + cast(x as double) * cast(x as double))").as("ssq"))
+      d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+        .groupBy(coalesce(col("source"), lit("(orphan)")).as("source"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("doc_id").isNotNull && col("vec_id").isNull, 1L).otherwise(0L)).as("n_missing_partner"),
+          sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_orphan_partner"),
+          sum(when(col("dim").isNotNull && col("dim") =!= 64L, 1L).otherwise(0L)).as("n_wrong_dim"),
+          sum(when(col("ssq") === 0d, 1L).otherwise(0L)).as("n_zero_norm"))
+    }),
+
+    // classifier-score mixing — the FineWeb-Edu-style stage where a
+    // quality classifier's score sets each document's sampling rate.
+    // The "classifier" here is a deterministic 4-signal proxy (length,
+    // size band, lexical diversity, punctuation load — each an
+    // integer-exact predicate, so the score is engine-reproducible);
+    // swapping in a learned model changes one column, not the
+    // operator. Keep-rate = 25% per score point (score 0 drops
+    // entirely, score 4 keeps everything); membership reuses the
+    // stable id-hash of pipeline_hash_split — never random(), so the
+    // mixed corpus is recomputable from ids alone. Pure map + one
+    // map-side-combined aggregate: at 100 TB the same predicate feeds
+    // the mixed write directly, and the audit costs one scan.
+    "pipeline_classifier_mix" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      val nTok = size(t).cast("long")
+      val s1 = (nTok >= 10L).cast("int")
+      val s2 = (col("n_chars") >= 100L && col("n_chars") <= 2000L).cast("int")
+      val s3 = (size(array_distinct(t)).cast("long") * 2L >= nTok).cast("int")
+      val s4 = (length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("long") * 10L
+        <= col("n_chars")).cast("int")
+      val h = pmod(polyHash31(col("doc_id").cast("string")), lit(100L))
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), (s1 + s2 + s3 + s4).cast("long").as("score"),
+          nTok.as("n_tok"), (h < (s1 + s2 + s3 + s4).cast("long") * 25L).as("kept"))
+        .groupBy("lang", "score")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
     })
   )
 
@@ -571,6 +630,51 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT doc_id, h,
         |       CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    // same in-order double fold for the squared norm; the FULL OUTER
+    // join + '(orphan)' bucket mirror the engine exactly
+    "pipeline_crossmodal_audit" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |           (a, b) -> a + b) AS ssq
+        |  FROM embeddings)
+        |SELECT coalesce(d.source, '(orphan)') AS source,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |       CAST(sum(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_partner,
+        |       CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_partner,
+        |       CAST(sum(CASE WHEN e.dim IS NOT NULL AND e.dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+        |       CAST(sum(CASE WHEN e.ssq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm
+        |FROM documents d FULL OUTER JOIN e ON d.doc_id = e.vec_id
+        |GROUP BY 1""".stripMargin,
+
+    // same 4 integer-exact signals, the same id-hash residue as the
+    // pipeline_hash_split oracle
+    "pipeline_classifier_mix" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |         CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h * 31 + c) % 2147483647) % 100 AS h
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang, n_tok, h,
+        |         (CASE WHEN n_tok >= 10 THEN 1 ELSE 0 END
+        |          + CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END
+        |          + CASE WHEN n_uniq * 2 >= n_tok THEN 1 ELSE 0 END
+        |          + CASE WHEN n_punct * 10 <= n_chars THEN 1 ELSE 0 END) AS score
+        |  FROM t)
+        |SELECT lang, CAST(score AS BIGINT) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN h < score * 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN h < score * 25 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM sc GROUP BY 1, 2""".stripMargin
   )
 }

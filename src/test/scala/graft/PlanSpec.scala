@@ -297,6 +297,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("video near-dup: both self-join sides scan the persisted frame index — codec pass runs once") {
+    val p = plan("multimodal_video_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the persisted distinct (media_id, frame_fp) index must appear as
+    // an in-memory scan on BOTH the a and b sides plus the hot-frame
+    // guard — if the persist is dropped, the MapPartitions codec branch
+    // reappears per side and this count collapses
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("cross-modal audit is one id equi-join — no cartesian, no driver collect") {
+    val p = plan("pipeline_crossmodal_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // full-outer on the id: a shuffle join both sides co-partition on
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("classifier mix is pure map + one aggregate — no join, no window, map-side partials") {
+    val p = plan("pipeline_classifier_mix")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
   test("binary-sign ANN: signature scan joins the broadcast query set — no shuffle join") {
     val p = plan("sim_ann_binary")
     assert(!p.contains("CartesianProduct"), p)
