@@ -197,6 +197,47 @@ object DedupQueries {
     // Output == brute-force pairs at τ=0.8 (recall ~1, see scaladoc).
     "dedup_minhash_lsh" -> ((s, dir) => lshVerifiedPairs(s, dir)),
 
+    // INCREMENTAL near-dup — dedup an arriving batch against the
+    // already-ingested corpus without re-pairing the corpus: the
+    // continuous-crawl contract at 100 TB, where corpus×corpus is
+    // recomputed never and batch×corpus every ingest. The "new batch"
+    // is the deterministic 20% slice doc_id % 5 = 4 (stands in for
+    // today's crawl); the corpus side is everything else. Candidates
+    // come from probing the corpus's (band, bucket) index with ONLY
+    // the new batch's bands — in production the corpus index is a
+    // persisted table partitioned by (band, bucket), so the probe is
+    // an equi-join whose shuffle moves the BATCH, not the corpus, and
+    // the corpus's banding cost was paid once at its own ingest.
+    // Within-batch pairs go through the same index probe (batch bands
+    // against batch bands, doc_a < doc_b) — identical economics.
+    // Both candidate sets verify with one exact sorted-merge Jaccard
+    // per pair; output = every (new doc, prior-or-peer match) at
+    // τ = 0.8, directed new→matched so the ingest policy (drop the
+    // new copy) reads directly off the result.
+    "dedup_incremental" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val bands = bandedFromShingles(sh)
+      val isNew = col("doc_id") % 5 === 4
+      val probe = bands.filter(isNew)
+        .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
+      val corpusIx = bands.filter(!isNew)
+        .select(col("band"), col("bucket"), col("doc_id").as("matched_id"))
+      val batchIx = bands.filter(isNew)
+        .select(col("band"), col("bucket"), col("doc_id").as("matched_id"))
+      val cand = probe.join(corpusIx, Seq("band", "bucket"))
+        .select("new_id", "matched_id")
+        .unionByName(
+          probe.join(batchIx, Seq("band", "bucket"))
+            .filter(col("new_id") < col("matched_id"))
+            .select("new_id", "matched_id"))
+        .distinct()
+      jaccardFromCounts(cand
+        .join(sh.select(col("doc_id").as("new_id"), col("g").as("ga")), "new_id")
+        .join(sh.select(col("doc_id").as("matched_id"), col("g").as("gb")), "matched_id"))
+        .filter(col("jac") >= 0.8)
+        .select("new_id", "matched_id", "jac")
+    }),
+
     // exact n-gram Jaccard via PPJoin prefix filtering: candidates come
     // from an inverted index over prefix shingles only (recall-lossless
     // — see ppjoinCandidates), then each candidate pair is verified
@@ -509,6 +550,24 @@ object DedupQueries {
 
     "dedup_minhash_lsh" -> bruteForceJaccardSql,
     "dedup_ngram_jaccard" -> bruteForceJaccardSql,
+
+    // brute force over new-batch × (corpus ∪ later-id batch peers) —
+    // the same recall-complete-at-τ=0.8 convention as dedup_minhash_lsh
+    "dedup_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS matched_id,
+        |         CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
+        |         (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) AS jac
+        |  FROM t a JOIN t b
+        |    ON a.doc_id % 5 = 4
+        |   AND (b.doc_id % 5 <> 4 OR a.doc_id < b.doc_id)
+        |   AND a.doc_id <> b.doc_id
+        |  WHERE len(a.g) > 0 AND len(b.g) > 0)
+        |SELECT new_id, matched_id, jac FROM p WHERE jac >= 0.8""".stripMargin,
 
     // brute-force directed containment — same trigram construction,
     // same integer threshold, same single-division ratio as the plan

@@ -371,6 +371,35 @@ object PipelineQueries {
           sum(when(col("ssq") === 0d, 1L).otherwise(0L)).as("n_zero_norm"))
     }),
 
+    // overlapping chunk windows — the retrieval/embedding prep stage:
+    // each document splits into 128-token windows advancing by 96
+    // tokens (32-token overlap keeps sentences that straddle a cut
+    // retrievable from both sides). Chunk count is integer-exact
+    // (1 + (n_tok − 33) div 96 past the first window), the window grid
+    // is a sequence-explode (one→many, map-side, no shuffle at all),
+    // and each chunk carries its token span plus the rolling
+    // fingerprint of its joined text — the id an embedding/vector
+    // store keys on. At 100 TB this runs at scan speed and writes
+    // partitioned by doc-hash; the explode factor ≈ n_tok/96 is the
+    // output's own size, nothing is amplified beyond the result.
+    "pipeline_chunk_windows" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_chunks",
+          when(col("n_tok") <= 128L, lit(1L))
+            .otherwise(expr("1 + (n_tok - 33) div 96")))
+      val chunk = slice(col("toks"), (col("chunk_idx") * 96L + 1L).cast("int"), lit(128))
+      d.select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+        .select(
+          col("doc_id"),
+          col("chunk_idx"),
+          (col("chunk_idx") * 96L).as("start_tok"),
+          size(chunk).cast("long").as("n_chunk_tokens"),
+          polyHash31(concat_ws(" ", chunk)).as("chunk_fp"))
+    }),
+
     // classifier-score mixing — the FineWeb-Edu-style stage where a
     // quality classifier's score sets each document's sampling rate.
     // The "classifier" here is a deterministic 4-signal proxy (length,
@@ -650,6 +679,28 @@ object PipelineQueries {
         |       CAST(sum(CASE WHEN e.ssq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm
         |FROM documents d FULL OUTER JOIN e ON d.doc_id = e.vec_id
         |GROUP BY 1""".stripMargin,
+
+    // same integer chunk-count arithmetic, the same rolling character
+    // fold as the text_fingerprint oracle over each chunk's re-joined
+    // text; list_slice end-index form of Spark's (start, length) slice
+    "pipeline_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |         CASE WHEN n_tok <= 128 THEN 1 ELSE 1 + (n_tok - 33) // 96 END AS n_chunks
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |       CAST(i * 96 AS BIGINT) AS start_tok,
+        |       CAST(len(list_slice(toks, CAST(i*96+1 AS INTEGER), CAST(i*96+128 AS INTEGER))) AS BIGINT) AS n_chunk_tokens,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(array_to_string(
+        |             list_slice(toks, CAST(i*96+1 AS INTEGER), CAST(i*96+128 AS INTEGER)), ' '), ''),
+        |           ch -> CAST(ascii(ch) AS BIGINT))),
+        |         (h, ch) -> (h * 31 + ch) % 2147483647) AS chunk_fp
+        |FROM c, UNNEST(range(0, n_chunks)) AS u(i)""".stripMargin,
 
     // same 4 integer-exact signals, the same id-hash residue as the
     // pipeline_hash_split oracle

@@ -308,6 +308,21 @@ class PlanSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
   }
 
+  test("incremental dedup probes the band index with equi-joins — no corpus re-pairing plan") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // candidates come from (band, bucket) probes, same as minhash_lsh
+    assert(p.contains("bucket"), p)
+  }
+
+  test("chunk windows is a shuffle-free sequence explode at scan speed") {
+    val p = plan("pipeline_chunk_windows")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), s"chunking must not shuffle: $p")
+    assert(p.contains("Generate"), p) // the explode
+  }
+
   test("cross-modal audit is one id equi-join — no cartesian, no driver collect") {
     val p = plan("pipeline_crossmodal_audit")
     assert(!p.contains("CartesianProduct"), p)
