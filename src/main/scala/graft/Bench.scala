@@ -29,7 +29,10 @@ import org.apache.spark.sql.SparkSession
   * shared buffer, a JVM shutdown hook emits the compact line (with
   * `"partial":true`) over whatever has finished, and the query loop
   * bails out the moment the SparkContext is stopped instead of
-  * grinding through cascading failures.
+  * grinding through cascading failures. The artifact builders
+  * ([[detailJson]]/[[compactLine]]) are pure functions of the result
+  * snapshot so BenchSpec can pin the kill-path output shape without a
+  * SparkSession.
   *
   * Reporting contract: the consumer of stdout keeps only the LAST
   * ~2000 bytes (BENCH_r03's line outgrew that window and the headline
@@ -53,7 +56,7 @@ object Bench {
   /** The 44 queries in BASELINE.md's per-query table — the per-query
     * comparison targets. Everything else is summarized in the line's
     * totals and fully listed in BENCH_DETAIL.json. */
-  private val baselineSet: Set[String] = Set(
+  private[graft] val baselineSet: Set[String] = Set(
     "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_survivors",
     "multimodal_decode", "q10_returned_revenue", "q17_small_quantity",
@@ -71,7 +74,7 @@ object Bench {
 
   /** Queries benched at a coarser parameterization than their
     * registered (oracle-checked) forms — see the scaladoc. */
-  private val benchVariants: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+  private[graft] val benchVariants: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map(
       "multimodal_frame_sample" -> ((s, dir) =>
         graft.queries.MultimodalQueries.frameSampleQuery(s, dir, frameLen = 64, stride = 4)),
@@ -80,6 +83,59 @@ object Bench {
 
   private def f3(v: Double): String =
     if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** (cold total, warm total, baseline44 warm, baseline44 matched):
+    * any failed query (-1) poisons the totals — a broken run must
+    * never look fast. A partial run's totals cover only what finished;
+    * the `"partial":true` flag is the contract that they are
+    * incomplete. */
+  private def totals(rs: Seq[(String, Double, Double)]): (Double, Double, Double, Int) = {
+    val failed = rs.exists(_._3 < 0)
+    val b44N = rs.count(r => baselineSet.contains(r._1))
+    if (failed) (-1.0, -1.0, -1.0, b44N)
+    else (rs.map(_._2).sum, rs.map(_._3).sum,
+      rs.filter(r => baselineSet.contains(r._1)).map(_._3).sum, b44N)
+  }
+
+  /** Full-precision detail document (BENCH_DETAIL.json contents). */
+  private[graft] def detailJson(rs: Seq[(String, Double, Double)],
+      sfDir: String, partial: Boolean): String = {
+    val (totalCold, totalWarm, b44Warm, b44N) = totals(rs)
+    def fullMap(sel: ((String, Double, Double)) => Double): String =
+      rs.map { case r @ (k, _, _) => "\"" + k + "\":" + sel(r) }
+        .mkString("{", ",", "}")
+    (s"""{"metric":"total","value":$totalCold,"unit":"sec""""
+      + s""","queries":${fullMap(_._3)},"queries_cold":${fullMap(_._2)}"""
+      + s""","total_warm":$totalWarm,"baseline44_warm":$b44Warm"""
+      + s""","baseline44_n":$b44N"""
+      + s""","n":${rs.size},"sf":"$sfDir""""
+      + (if (partial) ""","partial":true""" else "")
+      + s""","bench_variants":${benchVariants.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      + s""","run_policy":"value=cold total (each one-time shared cost paid exactly once, in family order); queries=best-of-2 steady state; caches released after the dedup/pipeline/sim block and after multimodal; frame-heavy multimodal queries benched at frameLen=64/stride=4 (registered forms stay oracle-checked)"}""")
+  }
+
+  /** The stdout artifact of record: baseline comparison set + anything
+    * ≥ 1 s warm, 3-decimal seconds, shrunk stepwise to stay inside the
+    * ~2000-byte stdout tail the consumer keeps. */
+  private[graft] def compactLine(rs: Seq[(String, Double, Double)],
+      sfDir: String, partial: Boolean, detailPath: String): String = {
+    val (totalCold, totalWarm, b44Warm, b44N) = totals(rs)
+    def line(sel: Set[String]): String = {
+      val m = rs.filter(r => sel.contains(r._1))
+        .map { case (k, _, w) => "\"" + k + "\":" + f3(w) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(totalCold)},"unit":"sec"""" +
+        s""","queries":$m,"total_warm":${f3(totalWarm)}""" +
+        s""","baseline44_warm":${f3(b44Warm)},"baseline44_n":$b44N""" +
+        s""","n":${rs.size}""" +
+        (if (partial) ""","partial":true""" else "") +
+        s""","sf":"$sfDir","detail":"$detailPath"}"""
+    }
+    val slowExtras = rs.filter(r => !baselineSet.contains(r._1) && r._3 >= 1.0)
+      .sortBy(-_._3).take(10).map(_._1).toSet
+    Seq(baselineSet ++ slowExtras, baselineSet, Set.empty[String])
+      .map(line).find(_.length <= 1800).getOrElse(line(Set.empty))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,75 +161,26 @@ object Bench {
       results.synchronized(results.toSeq)
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-    def detailJson(rs: Seq[(String, Double, Double)], totalCold: Double,
-        totalWarm: Double, b44Warm: Double, b44N: Int, partial: Boolean): String = {
-      def fullMap(sel: ((String, Double, Double)) => Double): String =
-        rs.map { case r @ (k, _, _) => "\"" + k + "\":" + sel(r) }
-          .mkString("{", ",", "}")
-      (s"""{"metric":"total","value":$totalCold,"unit":"sec""""
-        + s""","queries":${fullMap(_._3)},"queries_cold":${fullMap(_._2)}"""
-        + s""","total_warm":$totalWarm,"baseline44_warm":$b44Warm"""
-        + s""","baseline44_n":$b44N"""
-        + s""","n":${rs.size},"sf":"$sfDir""""
-        + (if (partial) ""","partial":true""" else "")
-        + s""","bench_variants":${benchVariants.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-        + s""","run_policy":"value=cold total (each one-time shared cost paid exactly once, in family order); queries=best-of-2 steady state; caches released after the dedup/pipeline/sim block and after multimodal; frame-heavy multimodal queries benched at frameLen=64/stride=4 (registered forms stay oracle-checked)"}""")
-    }
-
     /** Emit the artifact of record exactly once — from the normal path
       * or, if the JVM is killed first, from the shutdown hook. */
     def emit(partial: Boolean): Unit = if (printed.compareAndSet(false, true)) {
       val rs = snapshot()
-      // any failure poisons the totals: a broken run must never look
-      // fast. A partial run's totals cover only what finished — the
-      // "partial":true flag is the contract that they are incomplete.
-      val failed = rs.exists(_._3 < 0)
-      val totalCold = if (failed) -1.0 else rs.map(_._2).sum
-      val totalWarm = if (failed) -1.0 else rs.map(_._3).sum
-      // the direct like-for-like number against BASELINE.md's 41.4 s:
-      // warm sum over exactly its 44 per-query comparison targets
-      // (the full-suite totals span 2× more queries than the baseline
-      // measured, so ratios on them are not apples-to-apples). A rename
-      // in the registry must not silently shrink the sum and fake a
-      // speedup — surface the matched count next to the number.
-      val b44N = rs.count(r => baselineSet.contains(r._1))
-      val b44Warm =
-        if (failed) -1.0
-        else rs.filter(r => baselineSet.contains(r._1)).map(_._3).sum
-      if (!partial && b44N != baselineSet.size)
-        System.err.println(
-          s"[bench] WARNING: only $b44N of ${baselineSet.size} baseline queries matched the registry")
-
-      // full-precision detail file; the stdout line is the artifact of
-      // record — a failed detail write (read-only cwd, full disk) must
-      // never discard the whole run
       val detailPath = "BENCH_DETAIL.json"
+      if (!partial) {
+        val b44N = rs.count(r => baselineSet.contains(r._1))
+        if (b44N != baselineSet.size)
+          System.err.println(
+            s"[bench] WARNING: only $b44N of ${baselineSet.size} baseline queries matched the registry")
+      }
+      // the stdout line is the artifact of record — a failed detail
+      // write (read-only cwd, full disk) must never discard the run
       try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-        (detailJson(rs, totalCold, totalWarm, b44Warm, b44N, partial) + "\n").getBytes("UTF-8"))
+        (detailJson(rs, sfDir, partial) + "\n").getBytes("UTF-8"))
       catch {
         case e: java.io.IOException =>
           System.err.println(s"[bench] detail write failed: ${e.getMessage}")
       }
-
-      // compact stdout line: baseline comparison set + anything ≥ 1 s
-      // warm, 3-decimal seconds; hard cap well inside the 2000-byte
-      // tail window
-      def compactLine(sel: Set[String]): String = {
-        val m = rs.filter(r => sel.contains(r._1))
-          .map { case (k, _, w) => "\"" + k + "\":" + f3(w) }
-          .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${f3(totalCold)},"unit":"sec"""" +
-          s""","queries":$m,"total_warm":${f3(totalWarm)}""" +
-          s""","baseline44_warm":${f3(b44Warm)},"baseline44_n":$b44N""" +
-          s""","n":${rs.size}""" +
-          (if (partial) ""","partial":true""" else "") +
-          s""","sf":"$sfDir","detail":"$detailPath"}"""
-      }
-      val slowExtras = rs.filter(r => !baselineSet.contains(r._1) && r._3 >= 1.0)
-        .sortBy(-_._3).take(10).map(_._1).toSet
-      val line = Seq(baselineSet ++ slowExtras, baselineSet, Set.empty[String])
-        .map(compactLine).find(_.length <= 1800).getOrElse(compactLine(Set.empty))
-      println(line)
+      println(compactLine(rs, sfDir, partial, detailPath))
       System.out.flush()
     }
 

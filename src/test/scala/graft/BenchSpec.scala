@@ -1,0 +1,69 @@
+package graft
+
+/** The bench artifact builders are what the round is graded from, and
+  * the kill path (round 4 produced NO artifact) is exactly the path a
+  * normal run never exercises — so its output shape is pinned here as
+  * pure-function tests, no SparkSession needed.
+  */
+class BenchSpec extends SparkSpec {
+
+  private def rows(n: Int): Seq[(String, Double, Double)] =
+    (0 until n).map(i => (f"q_fake_$i%03d", 2.0 + i, 1.0 + i))
+
+  private def parsable(json: String): Map[String, Any] = {
+    // strict JSON check through the same parser family the driver uses
+    import spark.implicits._
+    val df = spark.read.option("mode", "FAILFAST").json(Seq(json).toDS())
+    assert(!df.columns.contains("_corrupt_record"), s"unparsable: $json")
+    df.columns.map(c => c -> df.head.getAs[Any](c)).toMap
+  }
+
+  test("partial emission carries the flag, the finished totals, and stays parsable") {
+    val rs = Seq(("dedup_exact", 0.5, 0.4), ("q_rollup", 1.5, 1.2))
+    val line = Bench.compactLine(rs, "/sf", partial = true, "BENCH_DETAIL.json")
+    val m = parsable(line)
+    assert(m("partial") == true)
+    assert(m("n") == 2L)
+    assert(math.abs(m("value").asInstanceOf[Double] - 2.0) < 1e-9)
+    assert(math.abs(m("total_warm").asInstanceOf[Double] - 1.6) < 1e-9)
+    val detail = parsable(Bench.detailJson(rs, "/sf", partial = true))
+    assert(detail("partial") == true)
+  }
+
+  test("a complete run emits no partial flag") {
+    val line = Bench.compactLine(rows(5), "/sf", partial = false, "d.json")
+    assert(!line.contains("partial"))
+    assert(parsable(line)("n") == 5L)
+  }
+
+  test("a failed query poisons every total — a broken run can never look fast") {
+    val rs = Seq(("q_ok", 1.0, 0.9), ("q_broken", -1.0, -1.0), ("text_stats", 0.2, 0.1))
+    val m = parsable(Bench.compactLine(rs, "/sf", partial = false, "d.json"))
+    assert(m("value") == -1L || m("value") == -1.0)
+    assert(m("total_warm") == -1L || m("total_warm") == -1.0)
+    assert(m("baseline44_warm") == -1L || m("baseline44_warm") == -1.0)
+  }
+
+  test("the stdout line never outgrows the ~2000-byte tail window (the r3 truncation)") {
+    // 300 slow non-baseline queries would explode a naive per-query map
+    val many = (0 until 300).map(i => (f"q_fake_$i%03d", 5.0, 4.0))
+    val line = Bench.compactLine(many, "/root/testdata/sf0.1", partial = false, "BENCH_DETAIL.json")
+    assert(line.length <= 1800, s"line is ${line.length} bytes")
+    assert(parsable(line)("n") == 300L)
+    // the full detail keeps everything the line dropped
+    val detail = Bench.detailJson(many, "/root/testdata/sf0.1", partial = false)
+    assert((0 until 300).forall(i => detail.contains(f"q_fake_$i%03d")))
+  }
+
+  test("baseline44_n counts only genuine baseline-set matches") {
+    val rs = Seq(("text_stats", 0.2, 0.1), ("q_fake_000", 1.0, 0.9))
+    val m = parsable(Bench.compactLine(rs, "/sf", partial = false, "d.json"))
+    assert(m("baseline44_n") == 1L)
+    assert(math.abs(m("baseline44_warm").asInstanceOf[Double] - 0.1) < 1e-9)
+  }
+
+  test("bench variants are declared in the detail artifact") {
+    val detail = Bench.detailJson(rows(1), "/sf", partial = false)
+    assert(detail.contains("\"bench_variants\":[\"multimodal_frame_sample\",\"multimodal_video_neardup\"]"))
+  }
+}
