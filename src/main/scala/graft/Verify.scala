@@ -4,6 +4,23 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Dump order: cheapest families first, so a wall-clock kill yields a
+    * mostly-full correctness file — relational/event + text are
+    * sub-second each at sf0.01; dedup/sim share one-time index builds;
+    * multimodal pays the codec pass and runs last. Pure so VerifySpec
+    * pins it. */
+  private[graft] def dumpOrder(names: Seq[String]): Seq[String] = {
+    val familyCost = Map(
+      "q" -> 0, "text" -> 1, "pipeline" -> 2, "sim" -> 3,
+      "dedup" -> 4, "multimodal" -> 5)
+    def family(name: String): String = name.takeWhile(_ != '_')
+    // TPC-H-style names (q1_…, q10_…) belong with the cheap relational
+    // family, not the unknown-cost tail
+    def cost(fam: String): Int =
+      if (fam.matches("q\\d+")) 0 else familyCost.getOrElse(fam, 9)
+    names.sortBy(n => (cost(family(n)), n))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,16 +53,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Dump cheapest families first so a budget kill yields a mostly-full
-    // correctness file: relational/event + text are sub-second each at
-    // sf0.01; dedup/sim share one-time index builds; multimodal pays the
-    // codec pass and runs last.
-    val familyCost = Map(
-      "q" -> 0, "text" -> 1, "pipeline" -> 2, "sim" -> 3,
-      "dedup" -> 4, "multimodal" -> 5)
-    def family(name: String): String = name.takeWhile(_ != '_')
-    val ordered = SparkEntry.queries.toSeq
-      .sortBy { case (name, _) => (familyCost.getOrElse(family(name), 9), name) }
+    val byName = SparkEntry.queries
+    val ordered = dumpOrder(byName.keys.toSeq).map(n => (n, byName(n)))
     ordered.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

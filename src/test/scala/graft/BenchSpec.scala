@@ -66,4 +66,17 @@ class BenchSpec extends SparkSpec {
     val detail = Bench.detailJson(rows(1), "/sf", partial = false)
     assert(detail.contains("\"bench_variants\":[\"multimodal_frame_sample\",\"multimodal_video_neardup\"]"))
   }
+
+  test("verify dumps cheapest families first so a kill loses only the tail") {
+    val order = Verify.dumpOrder(SparkEntry.queries.keys.toSeq)
+    def famIdx(prefix: String): Seq[Int] =
+      order.zipWithIndex.collect { case (n, i) if n.startsWith(prefix) => i }
+    // every relational/event query dumps before any text query, …,
+    // and multimodal (the codec pass) is strictly last
+    assert(famIdx("q_").max < famIdx("text_").min)
+    assert(famIdx("text_").max < famIdx("pipeline_").min)
+    assert(famIdx("sim_").max < famIdx("dedup_").min)
+    assert(famIdx("dedup_").max < famIdx("multimodal_").min)
+    assert(order.size == SparkEntry.queries.size)
+  }
 }
