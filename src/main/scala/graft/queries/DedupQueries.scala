@@ -193,6 +193,24 @@ object DedupQueries {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select("keep_id", "n_copies")),
 
+    // canonicalized exact dedup — the normalization stage byte-exact
+    // dedup misses: lowercase, strip punctuation/symbols (unicode
+    // letter/number classes, so non-Latin text is preserved, not
+    // erased), collapse whitespace — then dedup on the canonical
+    // digest. Catches re-encoded/re-punctuated copies whose raw bytes
+    // differ; n_raw_variants > 1 marks exactly those groups. Pure
+    // map + one map-side-combined aggregate — scan-speed at 100 TB,
+    // same shape as dedup_exact.
+    "dedup_canonical" -> ((s, dir) => {
+      val canon = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^\\p{L}\\p{N} ]", ""), " +", " "))
+      docs(s, dir)
+        .groupBy(md5(canon.cast("binary")).as("digest"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_raw_variants"))
+        .select("keep_id", "n_copies", "n_raw_variants")
+    }),
+
     // MinHash LSH near-dup: banded candidates, exact-Jaccard verified.
     // Output == brute-force pairs at τ=0.8 (recall ~1, see scaladoc).
     "dedup_minhash_lsh" -> ((s, dir) => lshVerifiedPairs(s, dir)),
@@ -547,6 +565,16 @@ object DedupQueries {
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // same unicode-class canonicalization (RE2 and Java regex agree on
+    // \p{L}/\p{N} classes — verified on mixed-script fixtures)
+    "dedup_canonical" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+        |FROM documents
+        |GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^\p{L}\p{N} ]', '', 'g'), ' +', ' ', 'g')))""".stripMargin,
 
     "dedup_minhash_lsh" -> bruteForceJaccardSql,
     "dedup_ngram_jaccard" -> bruteForceJaccardSql,

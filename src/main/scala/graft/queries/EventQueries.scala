@@ -22,6 +22,21 @@ object EventQueries {
     Tables.load(s, dir, "events")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // idempotent-ingest windowed dedup — the batch form of the
+    // streaming retention contract (StreamingJobs.exactDedupStreaming /
+    // dropDuplicatesWithinWatermark): duplicate payloads within the
+    // same hour collapse to their first event; copies an hour apart
+    // are distinct on purpose (the standard windowed-dedup ruling).
+    // One map-side-combined hash aggregate keyed (digest, bucket) —
+    // at 100 TB the bucket is the partition column, so reprocessing a
+    // day touches 24 partitions and the dedup never rescans history.
+    "q_event_dedup_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(md5(col("props").cast("binary")).as("digest"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(min(col("event_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("digest", "bucket", "keep_id", "n_copies")),
+
     // W1/W4/A1/E1 — flagship tumbling count (StreamJobSqlTumbling.java:145–153)
     "q_tumbling_count" -> ((s, dir) =>
       Windows.tumblingCount(events(s, dir), col("ts"), col("event_type"), "1 minute")),
@@ -296,6 +311,13 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_event_dedup_hourly" ->
+      """SELECT md5(props) AS digest,
+        |       time_bucket(INTERVAL '1 hour', ts) AS bucket,
+        |       CAST(min(event_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q_tumbling_count" ->
       """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,
         |       time_bucket(INTERVAL '1 minute', ts) AS window_start,

@@ -323,6 +323,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the explode
   }
 
+  test("canonical dedup is a map + one hash aggregate — no join, partial combine") {
+    val p = plan("dedup_canonical")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("hourly event dedup keys one aggregate on (digest, bucket) — no join, no window") {
+    val p = plan("q_event_dedup_hourly")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("cross-modal audit is one id equi-join — no cartesian, no driver collect") {
     val p = plan("pipeline_crossmodal_audit")
     assert(!p.contains("CartesianProduct"), p)
