@@ -94,6 +94,22 @@ class DemoSpec extends SparkSpec {
     assert(store.nonEmpty)
   }
 
+  test("hopping and offset dispatch build the reference window shapes") {
+    val lines = GeoJsonGen.features(seed = 3L, count = 40, startEpochMs = FeedStart, stepMs = 5000L)
+    val hop = StarterDemo.buildJob("StreamJobSqlHopping", lines.toDF("value"), "2 minutes")
+      .as[(String, Long, Timestamp, Timestamp, Timestamp)].collect()
+    // slide = size/2 = 1 minute: every event lands in exactly 2 windows
+    assert(hop.map(_._2).sum == 80)
+    // HOP_ROWTIME parity: rowtime = window_end - 1 ms
+    assert(hop.forall(r => r._4.getTime - r._5.getTime == 1L))
+
+    val off = StarterDemo.buildJob("StreamJobTumblingOffset", lines.toDF("value"), "60 seconds")
+      .as[(String, Long, Timestamp, Timestamp)].collect()
+    assert(off.map(_._2).sum == 40)
+    // 15-second alignment offset, the reference's TumblingEventTimeWindows.of(size, offset)
+    assert(off.forall(r => r._3.getTime % 60000L == 15000L))
+  }
+
   test("unknown job name is rejected like the reference's switch default") {
     intercept[IllegalArgumentException] {
       StarterDemo.buildJob("NoSuchJob", Seq("{}").toDF("value"), "1 minute")
