@@ -185,6 +185,43 @@ object DedupQueries {
       .select("doc_a", "doc_b", "jac")
   }
 
+  /** Corpus-scale decontamination (registered as
+    * `pipeline_decontaminate_lsh`): training docs (source != src0)
+    * near-duplicating a held-out doc (source == src0) at n-gram
+    * Jaccard τ = 0.8.
+    *
+    * text_contamination handles the common case — the eval suite is
+    * tiny, so its span set broadcasts. This is the 100 TB shape for
+    * when the held-out side is itself corpus-sized (a prior crawl, a
+    * licensed set): BOTH sides band through the same MinHash-LSH
+    * index and candidates come from the (band, bucket) equi-join —
+    * shuffle ∝ bucket collisions, never |train|×|eval|. The `source`
+    * column rides the banding projection as a passthrough (pure
+    * map-side), so no extra join materializes the side split.
+    * Verification is the exact sorted-merge Jaccard, making the
+    * result brute-force-equal at this threshold (same recall
+    * argument as dedup_minhash_lsh); output is directed
+    * train → eval so the drop policy reads off the result. */
+  private[queries] def decontaminateLsh(s: SparkSession, dir: String): DataFrame = {
+    val banded = bandedDocs(
+      docs(s, dir).select(col("doc_id"), col("text"), col("source")),
+      passthrough = Seq("source"))
+    val train = banded.filter(col("source") =!= "src0")
+      .select(col("band"), col("bucket"), col("doc_id").as("train_id"))
+    val eval_ = banded.filter(col("source") === "src0")
+      .select(col("band"), col("bucket"), col("doc_id").as("eval_id"))
+    val cands = train.join(eval_, Seq("band", "bucket"))
+      .select("train_id", "eval_id")
+      .distinct()
+    val sh = shingled(s, dir)
+    jaccardFromCounts(
+      cands
+        .join(sh.select(col("doc_id").as("train_id"), col("g").as("ga")), "train_id")
+        .join(sh.select(col("doc_id").as("eval_id"), col("g").as("gb")), "eval_id"))
+      .filter(col("jac") >= 0.8)
+      .select("train_id", "eval_id", "jac")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: survivors (min doc_id) per content digest
     "dedup_exact" -> ((s, dir) =>

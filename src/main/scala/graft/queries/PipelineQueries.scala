@@ -429,7 +429,14 @@ object PipelineQueries {
           count(lit(1)).as("n_docs"),
           sum(col("kept").cast("long")).as("n_kept"),
           sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
-    })
+    }),
+
+    // corpus-scale decontamination: both sides band through the
+    // MinHash-LSH index (no broadcast of either side) — the 100 TB
+    // complement to text_contamination's broadcast-span screen. Body
+    // and scale notes in DedupQueries.decontaminateLsh.
+    "pipeline_decontaminate_lsh" -> ((s, dir) =>
+      DedupQueries.decontaminateLsh(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -726,6 +733,21 @@ object PipelineQueries {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(CASE WHEN h < score * 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       CAST(sum(CASE WHEN h < score * 25 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
-        |FROM sc GROUP BY 1, 2""".stripMargin
+        |FROM sc GROUP BY 1, 2""".stripMargin,
+
+    // brute-force train×eval Jaccard at τ=0.8 — the same
+    // recall-complete-at-threshold convention as dedup_minhash_lsh
+    "pipeline_decontaminate_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+        |         CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
+        |         (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) AS jac
+        |  FROM t a JOIN t b ON a.source <> 'src0' AND b.source = 'src0'
+        |  WHERE len(a.g) > 0 AND len(b.g) > 0)
+        |SELECT train_id, eval_id, jac FROM p WHERE jac >= 0.8""".stripMargin
   )
 }

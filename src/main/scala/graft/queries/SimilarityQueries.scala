@@ -264,6 +264,32 @@ object SimilarityQueries {
       topK(vs.filter(col("vec_id") < 10), vs, k = 5)
     }),
 
+    // Maximum-inner-product top-k (recommendation-style retrieval:
+    // score = q·v, NOT cosine — popular/high-norm items legitimately
+    // outrank nearer-but-smaller ones). Exact one-pass form: queries
+    // broadcast, corpus streams once, rank by (ip desc, id) — same
+    // scan economics as sim_topk_bruteforce. The sub-linear scale path
+    // is the norm-augmentation reduction (Bachrach et al. 2014):
+    // corpus vectors become [v, √(M²−‖v‖²)] with M = max corpus norm
+    // and queries [q, 0], after which augmented-cosine order equals
+    // inner-product order per query — so every cosine ANN index here
+    // (LSH buckets, IVF, PQ) serves MIPS unchanged on the augmented
+    // column. SimilaritySpec proves the order equivalence on this
+    // corpus; the exact form is the oracle-checked baseline.
+    "sim_mips_topk" -> ((s, dir) => {
+      val vs = vectors(s, dir)
+      val q = vs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("vq"))
+      val c = vs.select(col("vec_id").as("neighbor_id"), col("v").as("vc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("ip").desc, col("neighbor_id"))
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("ip", round(dot(col("vq"), col("vc")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id", "ip", "rank")
+    }),
+
     // one Lloyd iteration refining the IVF bootstrap centroids — the
     // k-means training step every IVF/SemDeDup index needs, shaped for
     // scale: centroids are broadcast literals (bounded by k, not data),
@@ -828,6 +854,20 @@ object SimilarityQueries {
     "sim_topk_bruteforce" -> bruteforceOracle,
     "sim_ann_binary" -> binaryOracle,
     "sim_ann_int8" -> int8Oracle,
+
+    // same fold order as the dot kernel, no normalization — inner
+    // product, (ip DESC, neighbor_id) tie-break
+    "sim_mips_topk" ->
+      s"""WITH $vectorCtes,
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round(list_reduce(list_prepend(0.0,
+         |                 list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (x, y) -> x + y), 6) AS ip
+         |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, ip,
+         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS INTEGER) AS rank
+         |FROM p
+         |QUALIFY rank <= 5""".stripMargin,
 
     // label carried through n (vectorCtes keeps only vec_id/v/nrm, so
     // re-join the base table for it); same fold/tie-break as brute force

@@ -16,6 +16,11 @@ import graft.model.Tables
   */
 object TextQueries {
 
+  /** Gopher's "contains ≥ 2 of these stop words" vocabulary
+    * (Rae et al. 2021 §A1.1). */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -271,6 +276,49 @@ object TextQueries {
             .as("fluency"))
     }),
 
+    // Gopher quality-rule battery (Rae et al. 2021 §A1.1 — the
+    // document-level filters, minus the line-shape rules the
+    // single-line synthetic corpus cannot exercise): word-count
+    // bounds, mean-token-length bounds, symbol-to-word ratio
+    // ('#'/'…'), fraction of tokens containing a letter, and the
+    // ≥2-distinct-stopwords gate, composed into one keep verdict.
+    // Entirely map-side (codegen'd HOFs over the token array plus two
+    // regex counts); every reported fraction is a single IEEE division
+    // of exact integer counts, so the doubles AND the threshold
+    // verdicts are engine-exact. Each rule reports its OWN flag —
+    // production filters tune/ablate rules individually, and on this
+    // synthetic vocabulary the stopword gate never passes (only 'the'
+    // from Gopher's list occurs), which per-rule output makes visible
+    // instead of hiding inside an all-zero conjunction. At 100 TB this
+    // streams at scan speed next to text_stats — the first gate of
+    // the cleaning funnel.
+    "text_gopher_rules" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      d.select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (aggregate(transform(col("toks"), t => length(t).cast("long")), lit(0L), _ + _)
+          .cast("double") / size(col("toks")).cast("double")).as("mean_token_len"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "[#…]", "")))
+          .cast("double") / size(col("toks")).cast("double")).as("symbol_ratio"),
+        (expr("size(filter(toks, t -> t rlike '[A-Za-z]'))")
+          .cast("double") / size(col("toks")).cast("double")).as("alpha_frac"),
+        size(filter(
+          array(GopherStops.map(lit): _*),
+          w => array_contains(col("toks"), w))).cast("long").as("stop_hits"))
+        .withColumn("rule_word_count",
+          (col("n_tokens") >= 50L && col("n_tokens") <= 100000L).cast("long"))
+        .withColumn("rule_mean_len",
+          (col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0).cast("long"))
+        .withColumn("rule_symbol", (col("symbol_ratio") < 0.1).cast("long"))
+        .withColumn("rule_alpha", (col("alpha_frac") >= 0.8).cast("long"))
+        .withColumn("rule_stops", (col("stop_hits") >= 2L).cast("long"))
+        .withColumn("keep",
+          (col("rule_word_count") === 1L && col("rule_mean_len") === 1L &&
+            col("rule_symbol") === 1L && col("rule_alpha") === 1L &&
+            col("rule_stops") === 1L).cast("long"))
+    }),
+
     // corpus length distribution: documents histogrammed by token count
     // in width-10 buckets — the first diagnostic run on any training
     // corpus (truncation/padding budgets, outlier screens). Bucketing
@@ -483,6 +531,36 @@ object TextQueries {
         |              t -> list_contains(v.vocab, t))) AS DOUBLE)
         |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS common_ratio
         |FROM documents CROSS JOIN v""".stripMargin,
+
+    // same exact-integer fractions; the keep CASE replays the Spark
+    // side's threshold conjunction on identical doubles
+    "text_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+        |    CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |          w -> list_contains(toks, w))) AS BIGINT) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_tokens, mean_token_len, symbol_ratio, alpha_frac, stop_hits,
+        |       CAST(CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS rule_word_count,
+        |       CAST(CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 1 ELSE 0 END AS BIGINT) AS rule_mean_len,
+        |       CAST(CASE WHEN symbol_ratio < 0.1 THEN 1 ELSE 0 END AS BIGINT) AS rule_symbol,
+        |       CAST(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS rule_alpha,
+        |       CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS rule_stops,
+        |       CAST(CASE WHEN n_tokens >= 50 AND n_tokens <= 100000
+        |                  AND mean_token_len >= 3.0 AND mean_token_len <= 10.0
+        |                  AND symbol_ratio < 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2
+        |             THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m""".stripMargin,
 
     "text_length_histogram" ->
       """WITH t AS (

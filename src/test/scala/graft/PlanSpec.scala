@@ -231,6 +231,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("LSH decontamination: banded equi-join candidates, never train×eval") {
+    val p = plan("pipeline_decontaminate_lsh")
+    // candidates come from the (band, bucket) equi-join; verification
+    // joins the shingle index by id — nothing nested-loops or
+    // broadcasts a corpus side
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("MIPS top-k is the intended one-pass broadcast scan (queries broadcast, corpus streams)") {
+    val p = plan("sim_mips_topk")
+    // same shape as sim_topk_bruteforce: tiny query side broadcast into
+    // a BNLJ over one corpus scan — the exact baseline, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("grouping sets plan one Expand into a single shuffle — not one scan per grain") {
     val p = plan("q_grouping_sets")
     assert(p.contains("Expand"), p)

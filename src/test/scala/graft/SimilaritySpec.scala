@@ -182,4 +182,36 @@ class SimilaritySpec extends SparkSpec {
         / (col("nrm") * col("nrm")), 9).as("c"))
     assert(self.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-6))
   }
+
+  test("MIPS top-k: full contract; norm-augmented cosine ranking reproduces it") {
+    import graft.functions.KernelExpressions.dot
+    val out = SimilarityQueries.queries("sim_mips_topk")(spark, sf0001)
+    val perQuery = out.groupBy("query_id").agg(
+      count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi")).collect()
+    assert(perQuery.length == 10)
+    assert(perQuery.forall(r => r.getLong(1) == 5L && r.getInt(2) == 1 && r.getInt(3) == 5))
+
+    // the scale path's identity (Bachrach et al. 2014): append
+    // sqrt(M² − ‖v‖²) to corpus vectors and 0 to queries — augmented
+    // cosine order then equals inner-product order per query, so any
+    // cosine ANN index serves MIPS on the augmented column. Verify the
+    // top-5 sets coincide on this corpus.
+    val vs = SimilarityQueries.vectors(spark, sf0001)
+    val bigM = vs.agg(max("nrm")).head().getDouble(0)
+    val c = vs.select(col("vec_id").as("neighbor_id"),
+      concat(col("v"), array(sqrt(greatest(
+        lit(bigM * bigM) - col("nrm") * col("nrm"), lit(0.0))))).as("va"))
+    val q = vs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        concat(col("v"), array(lit(0.0))).as("qa"), col("nrm").as("nq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("acos").desc, col("neighbor_id"))
+    val viaAug = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("acos", dot(col("qa"), col("va")) / (col("nq") * lit(bigM)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id")
+    val mips = out.select("query_id", "neighbor_id")
+    assert(viaAug.except(mips).isEmpty && mips.except(viaAug).isEmpty)
+  }
 }

@@ -182,4 +182,56 @@ class TextDedupSpec extends SparkSpec {
       .select(dot($"a", $"b")).as[Double].head()
     assert(ok == 11.0)
   }
+
+  test("gopher rule battery matches a driver-side reimplementation") {
+    val out = graft.queries.TextQueries.queries("text_gopher_rules")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5),
+          Seq(6, 7, 8, 9, 10, 11).map(r.getLong))))
+      .toMap
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+    assert(docs.length == 500 && out.size == 500)
+    val stops = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    docs.foreach { r =>
+      val text = r.getString(1)
+      // Spark split(text, " ") == Java split(" ", -1): trailing empties kept
+      val toks = text.split(" ", -1)
+      val n = toks.length.toLong
+      val meanLen = toks.map(_.length.toLong).sum.toDouble / n.toDouble
+      val symRatio = text.count(c => c == '#' || c == '…').toDouble / n.toDouble
+      val alphaFrac = toks.count(_.exists(c =>
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).toDouble / n.toDouble
+      val stopHits = stops.count(toks.contains).toLong
+      def flag(b: Boolean) = if (b) 1L else 0L
+      val flags = Seq(
+        flag(n >= 50L && n <= 100000L),
+        flag(meanLen >= 3.0 && meanLen <= 10.0),
+        flag(symRatio < 0.1),
+        flag(alphaFrac >= 0.8),
+        flag(stopHits >= 2L))
+      assert(out(r.getLong(0)) ==
+        ((n, meanLen, symRatio, alphaFrac, stopHits, flags :+ flag(flags.forall(_ == 1L)))),
+        s"doc ${r.getLong(0)}")
+    }
+    // the word-count rule must actually discriminate on this corpus
+    val wcPass = out.values.count(_._6.head == 1L)
+    assert(wcPass > 0 && wcPass < 500, s"wcPass=$wcPass")
+  }
+
+  test("LSH decontamination equals the cross-source slice of the τ=0.8 pair graph") {
+    val src = Tables.load(spark, sf0001, "documents").select("doc_id", "source")
+    val pairs = DedupQueries.lshVerifiedPairs(spark, sf0001)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+    // direct each cross-source pair train → eval, either original order
+    val slice = pairs.filter(col("src_a") === "src0" && col("src_b") =!= "src0")
+      .select(col("doc_b").as("train_id"), col("doc_a").as("eval_id"), col("jac"))
+      .union(pairs.filter(col("src_a") =!= "src0" && col("src_b") === "src0")
+        .select(col("doc_a").as("train_id"), col("doc_b").as("eval_id"), col("jac")))
+    val out = graft.queries.PipelineQueries
+      .queries("pipeline_decontaminate_lsh")(spark, sf0001)
+    assert(out.except(slice).isEmpty && slice.except(out).isEmpty)
+  }
 }
