@@ -175,6 +175,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), p) // codegen'd stages print as *(n)
   }
 
+  test("gopher rule battery is map-side — no exchange, no join, in codegen") {
+    val p = plan("text_gopher_rules")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("*("), p)
+  }
+
   test("sequence packing windows by (lang, shard), never a global sort") {
     val p = plan("pipeline_pack_sequences")
     assert(p.contains("shard"), p)
