@@ -71,8 +71,9 @@ object DedupQueries {
                  // identical plans, so repeated calls share one cache entry)
 
   /** jac = |∩| / (|a|+|b|-|∩|) with the intersection computed exactly
-    * once per pair (same value as TextFunctions.jaccard). */
-  private def jaccardFromCounts(df: DataFrame): DataFrame =
+    * once per pair (same value as TextFunctions.jaccard). Shared with
+    * the streaming decontamination job (same `ga`/`gb` contract). */
+  private[graft] def jaccardFromCounts(df: DataFrame): DataFrame =
     df.withColumn("inter",
         graft.functions.KernelExpressions.sortedIntersectCount(col("ga"), col("gb")).cast("double"))
       .withColumn("jac",

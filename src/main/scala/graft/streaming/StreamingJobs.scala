@@ -174,6 +174,65 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming decontamination — the ingest-time form of
+    * `pipeline_decontaminate_lsh`: every arriving document is screened
+    * against a STATIC held-out corpus (eval suites, a licensed set)
+    * and flagged the moment it lands, instead of in a nightly batch.
+    *
+    * The static side is indexed ONCE — banded (band, bucket) rows plus
+    * the shingle set, persisted so micro-batches reuse the index
+    * rather than re-shingling the eval corpus per trigger. The stream
+    * side runs the SAME pure banding projection as batch
+    * (DedupQueries.bandedFromShingles — signatures agree by
+    * construction), with the event time and shingle set riding the
+    * projection as passthrough columns, so candidate generation is a
+    * stateless stream-static equi-join on (band, bucket) — no
+    * stream-stream state at all. Verification is the exact
+    * sorted-merge Jaccard at τ = 0.8 (shared jaccardFromCounts
+    * kernel), so stream and batch verdicts are identical.
+    *
+    * The only stateful operator is the final per-(train, eval)
+    * distinct — a document colliding with the same eval doc in
+    * several bands must flag once, mirroring the batch `.distinct()`.
+    * Its state is BOUNDED by the watermark: a pair's key evicts once
+    * the event-time watermark passes its arrival by `retention`
+    * (the windowed-dedup contract every stateful job here follows).
+    *
+    * Output (append): (train_id, eval_id, jac, ts) per contaminated
+    * arrival. At 100 TB/day the eval index is small relative to the
+    * feed and broadcasts; a corpus-sized static side degrades to a
+    * shuffled equi-join on (band, bucket) — the same economics as
+    * the batch operator, still never train × eval.
+    */
+  def decontaminateStreaming(
+      streamDocs: DataFrame, evalDocs: DataFrame,
+      retention: String = "1 hour"): DataFrame = {
+    import graft.functions.KernelExpressions
+    import graft.functions.TextFunctions.tokens
+    import graft.queries.DedupQueries
+
+    val evalSh = evalDocs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), KernelExpressions.sortedNgramSet(col("toks"), 3).as("g"))
+      .persist()
+    val evalIdx = DedupQueries.bandedFromShingles(evalSh, passthrough = Seq("g"))
+      .select(col("doc_id").as("eval_id"), col("band"), col("bucket"), col("g").as("gb"))
+
+    val streamSh = streamDocs
+      .select(col("doc_id"), col("ts"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("ts"),
+        KernelExpressions.sortedNgramSet(col("toks"), 3).as("g"))
+    val streamBands = DedupQueries.bandedFromShingles(streamSh, passthrough = Seq("ts", "g"))
+      .select(col("doc_id").as("train_id"), col("ts"), col("g").as("ga"),
+        col("band"), col("bucket"))
+
+    DedupQueries.jaccardFromCounts(streamBands.join(evalIdx, Seq("band", "bucket")))
+      .filter(col("jac") >= 0.8)
+      .select("train_id", "eval_id", "jac", "ts")
+      .withWatermark("ts", retention)
+      .dropDuplicatesWithinWatermark("train_id", "eval_id")
+  }
+
   /** One (user, hour-bucket) funnel input event. */
   case class FunnelEvent(user_id: Long, bucket: Timestamp, event_type: String, ts: Timestamp)
 

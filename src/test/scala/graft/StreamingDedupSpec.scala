@@ -100,4 +100,34 @@ class StreamingDedupSpec extends SparkSpec {
       assert(pairs.contains((90L, 91L)), s"in-window pair missing: $pairs")
     } finally q.stop()
   }
+
+  test("streaming decontamination across batches == batch LSH decontamination") {
+    implicit val sql = spark.sqlContext
+    val t0 = ts("2024-01-01 00:00:00")
+    val d = Tables.load(spark, sf0001, "documents")
+    val evalDocs = d.filter($"source" === "src0").select("doc_id", "text")
+    val train = d.filter($"source" =!= "src0")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .map { case (id, text) => (id, text, t0) } // one instant: nothing evicts
+
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = decontaminateStreaming(
+        in.toDF().toDF("doc_id", "text", "ts"), evalDocs, retention = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("decon_out").start()
+    try {
+      val (b1, b2) = train.splitAt(train.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("decon_out")
+        .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+      val batch = graft.queries.PipelineQueries
+        .queries("pipeline_decontaminate_lsh")(spark, sf0001)
+        .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "fixture must contain cross-source near-dups")
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // every flagged pair is directed train → eval and within threshold
+      val jacs = spark.table("decon_out").select("jac").as[Double].collect()
+      assert(jacs.forall(_ >= 0.8))
+    } finally q.stop()
+  }
 }
