@@ -58,6 +58,12 @@ object DedupQueries {
       graft.ops.Graph.connectedComponents(
         queries("dedup_simhash")(s, dir).select("doc_a", "doc_b")))
 
+  private[queries] def componentLabelsSemantic(s: SparkSession, dir: String): DataFrame =
+    ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "semantic"), _ =>
+      graft.ops.Graph.connectedComponents(
+        queries("dedup_semantic")(s, dir)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
+
   /** doc_id + distinct 3-gram shingle set, SORTED so that candidate
     * verification is a linear merge ([[KernelExpressions.SortedIntersectCount]])
     * instead of a per-pair hash-set build. */
@@ -457,6 +463,16 @@ object DedupQueries {
     "dedup_survivors_simhash" -> ((s, dir) =>
       componentLabelsSimhash(s, dir).select(col("node").as("doc_id"), col("rep"))),
 
+    // survivor selection over the SEMANTIC edge set — the fourth edge
+    // source (n-gram Jaccard, MinHash-LSH, simhash, embedding): CC over
+    // SemDeDup's within-cluster cosine pairs turns "these documents
+    // mean the same thing" into an actual kept/dropped corpus, the
+    // policy step every semantic-dedup paper leaves implicit. Same
+    // memoized pointer-jumping CC machinery; edges are bounded by
+    // Σ_cluster |cluster|² like the pair query itself.
+    "dedup_survivors_semantic" -> ((s, dir) =>
+      componentLabelsSemantic(s, dir).select(col("node").as("vec_id"), col("rep"))),
+
     // Embedding-cosine near-dup, EXACT at τ = 0.4, via triangle
     // block-partitioning instead of the round-1 BroadcastNestedLoopJoin.
     //
@@ -704,6 +720,26 @@ object DedupQueries {
          |  FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |  JOIN n xn ON xn.vec_id = x.vec_id
          |  JOIN n yn ON yn.vec_id = y.vec_id)
-         |SELECT vec_a, vec_b, cos FROM pr WHERE cos >= 0.4""".stripMargin
+         |SELECT vec_a, vec_b, cos FROM pr WHERE cos >= 0.4""".stripMargin,
+
+    // the semantic pair SQL wrapped in the same recursive-CTE
+    // reachability as the other survivor oracles
+    "dedup_survivors_semantic" ->
+      s"""WITH RECURSIVE ${SimilarityQueries.ivfAssignCtes},
+         |pr AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  JOIN n xn ON xn.vec_id = x.vec_id
+         |  JOIN n yn ON yn.vec_id = y.vec_id
+         |  WHERE round(list_reduce(list_prepend(0.0,
+         |          list_transform(range(1, 65), i -> xn.v[i] * yn.v[i])), (p, q) -> p + q)
+         |        / (xn.nrm * yn.nrm), 6) >= 0.4),
+         |ed AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+         |       UNION SELECT vec_b, vec_a FROM pr),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM ed
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN ed e2 ON r.dst = e2.src)
+         |SELECT src AS vec_id, least(src, min(dst)) AS rep FROM reach GROUP BY src""".stripMargin
   )
 }

@@ -183,6 +183,18 @@ class SimilaritySpec extends SparkSpec {
     assert(self.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-6))
   }
 
+  test("semantic survivor labels: edge endpoints share a component, reps are minima roots") {
+    val labels = graft.queries.DedupQueries.queries("dedup_survivors_semantic")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = graft.queries.DedupQueries.queries("dedup_semantic")(spark, sf0001)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture must contain within-cluster near-dup pairs")
+    edges.foreach { case (a, b) => assert(labels(a) == labels(b), s"($a,$b)") }
+    labels.foreach { case (n, rep) =>
+      assert(rep <= n && labels(rep) == rep, s"$n -> $rep")
+    }
+  }
+
   test("MIPS top-k: full contract; norm-augmented cosine ranking reproduces it") {
     import graft.functions.KernelExpressions.dot
     val out = SimilarityQueries.queries("sim_mips_topk")(spark, sf0001)
