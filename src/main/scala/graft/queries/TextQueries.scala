@@ -331,7 +331,108 @@ object TextQueries {
         .groupBy("bucket_lo")
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_tok")).as("min_tokens"),
-          max(col("n_tok")).as("max_tokens")))
+          max(col("n_tok")).as("max_tokens"))),
+
+    // Per-document mean inverse unigram probability — a corpus-LM
+    // rarity score (high = the doc is made of tokens the corpus rarely
+    // uses; the LM-free stand-in for "high unigram perplexity" used to
+    // screen gibberish and to up-sample tail knowledge). log-prob would
+    // make the score transcendental and summation-order-dependent, so
+    // the per-occurrence surprise is the RATIONAL N/c_w, fixed-point
+    // floored to floor(1e6·N/c_w) via integer `div` (exact in both
+    // engines; with the 1e6 scale the product stays inside a long up
+    // to N ≈ 9.2e12 corpus tokens — beyond that, widen to DECIMAL(38)).
+    // Longs sum exactly in any order, and the only float ops are two
+    // final divisions in a fixed association. Shape at 100 TB: one
+    // word-count shuffle for the vocabulary, then an inverted-index
+    // equi-join on token whose fan is bounded by the map-side
+    // (doc, token) combine — Zipf-hot tokens join once per containing
+    // doc, not once per occurrence. Same profile as tf-idf.
+    "text_unigram_rarity" -> ((s, dir) => {
+      val ctd = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val cw = ctd.groupBy("tok").agg(sum(col("c")).as("cw"))
+      val n = cw.agg(sum(col("cw")).as("n")) // one scalar row → broadcast
+      ctd.join(cw, "tok")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("c"), expr("(1000000L * n) div cw").as("term"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("term")).as("sum_term"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("sum_term").cast("double") / lit(1000000.0)
+            / col("n_tokens").cast("double"), 6).as("rarity"))
+    }),
+
+    // Pairwise total-variation distance between per-source token
+    // distributions — the domain-shift audit run before mixing corpora
+    // (is src3 "the same language" as src1?) and after any filtering
+    // pass (did the quality screen skew the distribution?). TV rather
+    // than KL/JS because ½Σ|p−q| clears the denominators exactly:
+    // the per-token term is the INTEGER |c₁N₂ − c₂N₁|, summed as
+    // longs, one final division by 2N₁N₂ — engine-exact where a
+    // log-based divergence would be FP-summation-order-dependent.
+    // Shape at 100 TB: one (source, token) word-count shuffle; the
+    // pair table is #sources² rows (broadcast); each vocab row is
+    // replicated once per pair it participates in — cost is
+    // vocab × sources, never corpus-sized.
+    "text_source_divergence" -> ((s, dir) => {
+      val c = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val tot = c.groupBy("source").agg(sum(col("c")).as("n"))
+      val pairs = tot.select(col("source").as("source_a"), col("n").as("n_a"))
+        .crossJoin(tot.select(col("source").as("source_b"), col("n").as("n_b")))
+        .filter(col("source_a") < col("source_b"))
+      val contrib = c
+        .join(broadcast(pairs), col("source") === col("source_a"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("tok"),
+          col("c").as("c1"), lit(0L).as("c2"))
+        .unionByName(c
+          .join(broadcast(pairs), col("source") === col("source_b"))
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("tok"),
+            lit(0L).as("c1"), col("c").as("c2")))
+      contrib
+        .groupBy("source_a", "source_b", "n_a", "n_b", "tok")
+        .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(sum(abs(col("c1") * col("n_b") - col("c2") * col("n_a"))).as("tv_num"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          round(col("tv_num").cast("double")
+            / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")), 6)
+            .as("tv_distance"))
+    }),
+
+    // Per-document n-gram novelty: the fraction of a doc's distinct
+    // 8-token spans appearing in NO other document — the memorization-
+    // risk / content-originality audit (low novelty = the doc is built
+    // from corpus boilerplate; the complement of the contamination and
+    // common-span screens, which only flag OVERLAP). Reuses the same
+    // sorted distinct-span kernel and inverted span index as the span
+    // dedup family: span document-frequency is one map-side-combined
+    // shuffle (spans are distinct per doc, so count(*) IS df), the
+    // join back is the inverted-index equi-join, and all counts are
+    // exact longs with one rounded division. explode+left join keeps
+    // sub-8-token docs (zero spans) in the output.
+    "text_ngram_novelty" -> ((s, dir) => {
+      val spans = docs(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.KernelExpressions.sortedNgramSet(tokens(col("text")), 8))
+            .as("span"))
+      val df = spans.groupBy("span").agg(count(lit(1)).as("df"))
+      val per = spans.join(df, "span")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum((col("df") === 1L).cast("long")).as("novel_spans"))
+      docs(s, dir).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("novel_spans"), lit(0L)).as("novel_spans"),
+          when(coalesce(col("n_spans"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(round(col("novel_spans").cast("double")
+              / col("n_spans").cast("double"), 6)).as("novelty"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -569,6 +670,71 @@ object TextQueries {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(min(n_tok) AS BIGINT) AS min_tokens,
         |       CAST(max(n_tok) AS BIGINT) AS max_tokens
-        |FROM t GROUP BY 1""".stripMargin
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // fixed-point integer `//` replicates Spark's `div` (both floor on
+    // positives); the two trailing divisions share Spark's association
+    "text_unigram_rarity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |ctd AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |cw AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cw FROM ctd GROUP BY 1),
+        |n AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM cw),
+        |s AS (
+        |  SELECT ctd.doc_id, CAST(sum(ctd.c) AS BIGINT) AS n_tokens,
+        |         CAST(sum(ctd.c * ((1000000 * n.n) // cw.cw)) AS BIGINT) AS sum_term
+        |  FROM ctd JOIN cw USING (tok) CROSS JOIN n
+        |  GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |       round(CAST(sum_term AS DOUBLE) / 1000000.0
+        |             / CAST(n_tokens AS DOUBLE), 6) AS rarity
+        |FROM s""".stripMargin,
+
+    // |c₁N₂ − c₂N₁| is exact BIGINT arithmetic; 2.0·n_a·n_b shares
+    // Spark's left-to-right double association
+    "text_source_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |pr AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b
+        |  FROM tot a JOIN tot b ON a.source < b.source),
+        |m AS (
+        |  SELECT pr.source_a, pr.source_b, pr.n_a, pr.n_b, c.tok,
+        |         CAST(sum(CASE WHEN c.source = pr.source_a THEN c.c ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN c.source = pr.source_b THEN c.c ELSE 0 END) AS BIGINT) AS c2
+        |  FROM pr JOIN c ON c.source IN (pr.source_a, pr.source_b)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |s AS (
+        |  SELECT source_a, source_b, n_a, n_b,
+        |         CAST(sum(abs(c1 * n_b - c2 * n_a)) AS BIGINT) AS tv_num
+        |  FROM m GROUP BY 1, 2, 3, 4)
+        |SELECT source_a, source_b, n_a, n_b,
+        |       round(CAST(tv_num AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+        |         AS tv_distance
+        |FROM s""".stripMargin,
+
+    // spans are distinct per doc (list_distinct == SortedNgramSet), so
+    // count(*) per span IS document frequency; LEFT JOIN keeps
+    // zero-span docs with an exact-zero ratio
+    "text_ngram_novelty" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${DedupQueries.spanListSql} AS spans FROM documents),
+         |u AS (SELECT doc_id, unnest(spans) AS span FROM t),
+         |d AS (SELECT span, CAST(count(*) AS BIGINT) AS df FROM u GROUP BY 1),
+         |per AS (
+         |  SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |         CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_spans
+         |  FROM u JOIN d USING (span) GROUP BY 1)
+         |SELECT t.doc_id,
+         |       CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+         |       CAST(coalesce(per.novel_spans, 0) AS BIGINT) AS novel_spans,
+         |       CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0.0
+         |            ELSE round(CAST(per.novel_spans AS DOUBLE) / CAST(per.n_spans AS DOUBLE), 6)
+         |       END AS novelty
+         |FROM t LEFT JOIN per ON t.doc_id = per.doc_id""".stripMargin
   )
 }

@@ -234,4 +234,73 @@ class TextDedupSpec extends SparkSpec {
       .queries("pipeline_decontaminate_lsh")(spark, sf0001)
     assert(out.except(slice).isEmpty && slice.except(out).isEmpty)
   }
+
+  test("unigram rarity matches a driver-side fixed-point reimplementation") {
+    val out = graft.queries.TextQueries.queries("text_unigram_rarity")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val cw = docs.values.flatten.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val n = cw.values.sum
+    assert(out.size == 500)
+    docs.foreach { case (id, toks) =>
+      val sumTerm = toks.map(t => 1000000L * n / cw(t)).sum
+      val exact = sumTerm.toDouble / 1000000.0 / toks.length.toDouble
+      val (nTok, rarity) = out(id)
+      assert(nTok == toks.length.toLong, s"doc $id")
+      // every term is ≥ 1e6 (c_w ≤ N) so the score is ≥ 1 by construction
+      assert(rarity >= 1.0 - 1e-6 && math.abs(rarity - exact) <= 1e-6, s"doc $id")
+    }
+  }
+
+  test("source TV divergence: exact on driver recompute, all pairs, bounds") {
+    val rows = graft.queries.TextQueries.queries("text_source_divergence")(spark, sf0001)
+      .collect()
+    val bySrc = Tables.load(spark, sf0001, "documents")
+      .select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        s -> rs.flatMap(_.getString(1).split(" ", -1)).groupBy(identity)
+          .map { case (t, o) => t -> o.size.toLong }
+      }
+    val totals = bySrc.map { case (s, m) => s -> m.values.sum }
+    assert(rows.length == bySrc.keySet.toSeq.combinations(2).size)
+    rows.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (na, nb, tv) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(sa < sb && na == totals(sa) && nb == totals(sb))
+      val keys = bySrc(sa).keySet ++ bySrc(sb).keySet
+      val num = keys.toSeq
+        .map(k => math.abs(bySrc(sa).getOrElse(k, 0L) * nb - bySrc(sb).getOrElse(k, 0L) * na))
+        .sum
+      val exact = num.toDouble / (2.0 * na * nb)
+      assert(tv >= 0.0 && tv <= 1.0 && math.abs(tv - exact) <= 1e-6, s"($sa,$sb)")
+    }
+  }
+
+  test("ngram novelty agrees with brute-force span document frequency") {
+    val out = graft.queries.TextQueries.queries("text_ngram_novelty")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val spanSets = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).sliding(8).filter(_.length == 8)
+          .map(_.mkString(" ")).toSet)
+      .toMap
+    val df = spanSets.values.toSeq.flatten.groupBy(identity)
+      .map { case (sp, o) => sp -> o.size }
+    assert(out.size == 500)
+    spanSets.foreach { case (id, spans) =>
+      val novel = spans.count(df(_) == 1).toLong
+      val (nSpans, novelSpans, novelty) = out(id)
+      assert(nSpans == spans.size.toLong && novelSpans == novel, s"doc $id")
+      val exact = if (spans.isEmpty) 0.0 else novel.toDouble / spans.size.toDouble
+      assert(math.abs(novelty - exact) <= 1e-6, s"doc $id")
+    }
+    // the planted near-duplicates must drag novelty below 1 somewhere,
+    // and fully-original docs must exist too — the score discriminates
+    assert(out.values.exists(_._3 < 0.999) && out.values.exists(_._3 > 0.999))
+  }
 }
