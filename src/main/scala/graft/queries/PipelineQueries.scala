@@ -436,7 +436,60 @@ object PipelineQueries {
     // complement to text_contamination's broadcast-span screen. Body
     // and scale notes in DedupQueries.decontaminateLsh.
     "pipeline_decontaminate_lsh" -> ((s, dir) =>
-      DedupQueries.decontaminateLsh(s, dir))
+      DedupQueries.decontaminateLsh(s, dir)),
+
+    // DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every
+    // training document by how target-like (src0 = the held-out
+    // target domain) its hashed n-gram feature bag is, over B = 1024
+    // buckets of polyHash31(unigram | bigram), Laplace-smoothed. The
+    // canonical DSIR weight is a log-likelihood-ratio SUM; logs are
+    // transcendental and FP-summation-order-dependent, so — exactly
+    // like tf-idf's ratio idf — the score is the RATIONAL per-feature
+    // mean likelihood ratio in fixed point:
+    //   r_b = floor(1e4·(t_b+1)(N_s+B) / ((s_b+1)(N_t+B)))
+    // summed as exact longs (same monotone intent: target-like docs
+    // rank up, off-domain docs down; the 1e4 scale keeps the triple
+    // product inside a long through sf0.1 — widen to DECIMAL(38) for
+    // corpora past ~1e12 features). Shape at 100 TB: the feature pass
+    // is two B-BOUNDED word-count shuffles (map-side combine caps the
+    // shuffle at ≤B rows per partition), the ratio table is B rows
+    // broadcast, and scoring is one map-side join + exact long sum —
+    // the textbook DSIR pipeline, no corpus-sized shuffle anywhere.
+    "pipeline_dsir_weights" -> ((s, dir) => {
+      val B = 1024L
+      val tk = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      val bigrams = expr(
+        """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |         slice(toks, 2, greatest(size(toks) - 1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)
+      val h = tk
+        .select(col("doc_id"), col("source"),
+          explode(concat(col("toks"), bigrams)).as("f"))
+        .select(col("doc_id"), col("source"),
+          pmod(polyHash31(col("f")), lit(B)).as("bucket"))
+      val t = h.filter(col("source") === "src0")
+        .groupBy("bucket").agg(count(lit(1)).as("tc"))
+      val sc = h.filter(col("source") =!= "src0")
+        .groupBy("bucket").agg(count(lit(1)).as("sc"))
+      val nt = t.agg(sum(col("tc")).as("nt"))
+      val ns = sc.agg(sum(col("sc")).as("ns"))
+      // training-doc buckets all appear in sc by construction, so the
+      // ratio table is sc LEFT JOIN t — never a full 0..B-1 enumeration
+      val r = sc.join(t, Seq("bucket"), "left")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(ns))
+        .select(col("bucket"),
+          expr(s"(10000L * (coalesce(tc, 0L) + 1L) * (ns + ${B}L))" +
+            s" div ((sc + 1L) * (nt + ${B}L))").as("r"))
+      h.filter(col("source") =!= "src0")
+        .join(broadcast(r), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum(col("r")).as("sum_r"))
+        .select(col("doc_id"), col("n_feats"),
+          round(col("sum_r").cast("double") / lit(10000.0)
+            / col("n_feats").cast("double"), 6).as("dsir_weight"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -748,6 +801,44 @@ object PipelineQueries {
         |         (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) AS jac
         |  FROM t a JOIN t b ON a.source <> 'src0' AND b.source = 'src0'
         |  WHERE len(a.g) > 0 AND len(b.g) > 0)
-        |SELECT train_id, eval_id, jac FROM p WHERE jac >= 0.8""".stripMargin
+        |SELECT train_id, eval_id, jac FROM p WHERE jac >= 0.8""".stripMargin,
+
+    // same poly31 char hash as the fingerprint/CMS oracles; `//` is
+    // DuckDB's integer floor division = Spark's `div` on positives;
+    // the two trailing divisions share Spark's association
+    "pipeline_dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |ft AS (
+        |  SELECT doc_id, source, unnest(toks) AS f FROM tk
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |         unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1])) AS f
+        |  FROM tk),
+        |h AS (
+        |  SELECT doc_id, source,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(f, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) % 2147483647) % 1024 AS bucket
+        |  FROM ft),
+        |t AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM h WHERE source = 'src0' GROUP BY 1),
+        |s AS (SELECT bucket, CAST(count(*) AS BIGINT) AS sc FROM h WHERE source <> 'src0' GROUP BY 1),
+        |nt AS (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) AS ntv FROM t),
+        |ns AS (SELECT CAST(coalesce(sum(sc), 0) AS BIGINT) AS nsv FROM s),
+        |r AS (
+        |  SELECT s.bucket,
+        |         CAST((10000 * (coalesce(t.tc, 0) + 1) * (ns.nsv + 1024))
+        |              // ((s.sc + 1) * (nt.ntv + 1024)) AS BIGINT) AS r
+        |  FROM s LEFT JOIN t ON s.bucket = t.bucket
+        |  CROSS JOIN nt CROSS JOIN ns),
+        |d AS (
+        |  SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_feats, CAST(sum(r.r) AS BIGINT) AS sum_r
+        |  FROM h JOIN r ON h.bucket = r.bucket
+        |  WHERE h.source <> 'src0'
+        |  GROUP BY 1)
+        |SELECT doc_id, n_feats,
+        |       round(CAST(sum_r AS DOUBLE) / 10000.0 / CAST(n_feats AS DOUBLE), 6) AS dsir_weight
+        |FROM d""".stripMargin
   )
 }

@@ -303,4 +303,36 @@ class TextDedupSpec extends SparkSpec {
     // and fully-original docs must exist too — the score discriminates
     assert(out.values.exists(_._3 < 0.999) && out.values.exists(_._3 > 0.999))
   }
+
+  test("DSIR weights match a driver-side fixed-point reimplementation") {
+    val out = graft.queries.PipelineQueries.queries("pipeline_dsir_weights")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "source", "text").collect()
+    def bucket(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31L + c.toLong) % 2147483647L) % 1024L
+    def feats(text: String): Seq[Long] = {
+      val toks = text.split(" ", -1)
+      (toks ++ toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+        .map(bucket).toSeq
+    }
+    val (target, train) = docs.partition(_.getString(1) == "src0")
+    val t = target.flatMap(r => feats(r.getString(2)))
+      .groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val sc = train.flatMap(r => feats(r.getString(2)))
+      .groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val (nt, ns) = (t.values.sum, sc.values.sum)
+    assert(out.size == train.length && train.nonEmpty)
+    train.foreach { r =>
+      val fs = feats(r.getString(2))
+      val sumR = fs.map(b =>
+        10000L * (t.getOrElse(b, 0L) + 1L) * (ns + 1024L)
+          / ((sc(b) + 1L) * (nt + 1024L))).sum
+      val exact = sumR.toDouble / 10000.0 / fs.length.toDouble
+      val (nf, w) = out(r.getLong(0))
+      assert(nf == fs.length.toLong && math.abs(w - exact) <= 1e-6, s"doc ${r.getLong(0)}")
+    }
+    // the score must discriminate (src0-near-dup plants rank differently)
+    assert(out.values.map(_._2).toSet.size > 1)
+  }
 }
