@@ -473,6 +473,20 @@ object DedupQueries {
     "dedup_survivors_semantic" -> ((s, dir) =>
       componentLabelsSemantic(s, dir).select(col("node").as("vec_id"), col("rep"))),
 
+    // Duplicate-cluster size audit: how aggressive was dedup? The
+    // histogram of connected-component sizes (n_dropped = docs removed
+    // per size class) is the number every dedup run reports before the
+    // corpus is rewritten — a sudden mass in large components means a
+    // boilerplate template or a pipeline bug, caught here rather than
+    // in training. Reuses the memoized CC labels, so the audit costs
+    // two graph-sized hash aggregates on top of work already done.
+    "dedup_component_stats" -> ((s, dir) =>
+      componentLabels(s, dir)
+        .groupBy("rep").agg(count(lit(1)).as("csize"))
+        .groupBy("csize")
+        .agg(count(lit(1)).as("n_components"),
+          sum(col("csize") - lit(1L)).as("n_dropped"))),
+
     // Embedding-cosine near-dup, EXACT at τ = 0.4, via triangle
     // block-partitioning instead of the round-1 BroadcastNestedLoopJoin.
     //
@@ -589,7 +603,9 @@ object DedupQueries {
       |    (x, y) -> x + y) sh
       |  FROM h)""".stripMargin
 
-  private val survivorsSql =
+  /** Reachability CTE chain over the τ=0.8 n-gram-Jaccard pair graph —
+    * shared by the survivor oracle and the component-stats audit. */
+  private val survivorsCcCtes =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
@@ -605,8 +621,11 @@ object DedupQueries {
       |reach(src, dst) AS (
       |  SELECT src, dst FROM e
       |  UNION
-      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
-      |SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src""".stripMargin
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)""".stripMargin
+
+  private val survivorsSql =
+    s"""$survivorsCcCtes
+       |SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_common_spans" ->
@@ -669,6 +688,15 @@ object DedupQueries {
     // LSH-edged survivors == brute-force-edged survivors at τ=0.8
     // (pair sets proven equal), so the oracle is the same recursive CTE
     "dedup_survivors_lsh" -> survivorsSql,
+
+    // component-size histogram over the same reachability labels
+    "dedup_component_stats" ->
+      s"""$survivorsCcCtes,
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src),
+         |cs AS (SELECT rep, CAST(count(*) AS BIGINT) AS csize FROM lab GROUP BY rep)
+         |SELECT csize, CAST(count(*) AS BIGINT) AS n_components,
+         |       CAST(sum(csize - 1) AS BIGINT) AS n_dropped
+         |FROM cs GROUP BY csize""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $simhashSigCtes

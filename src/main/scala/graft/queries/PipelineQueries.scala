@@ -28,6 +28,49 @@ import graft.model.Tables
   */
 object PipelineQueries {
 
+  /** DSIR hashed-feature space: B buckets of polyHash31(unigram|bigram). */
+  private[graft] val dsirB = 1024L
+
+  /** Hashed unigram+bigram feature buckets of every document —
+    * (doc_id, source, bucket). Shared by the batch DSIR query and the
+    * streaming scorer's frozen-index build. */
+  private[graft] def dsirBuckets(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+    val bigrams = expr(
+      """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+        |         slice(toks, 2, greatest(size(toks) - 1, 0)),
+        |         (a, b) -> concat(a, ' ', b))""".stripMargin)
+    tk.select(col("doc_id"), col("source"),
+        explode(concat(col("toks"), bigrams)).as("f"))
+      .select(col("doc_id"), col("source"),
+        pmod(polyHash31(col("f")), lit(dsirB)).as("bucket"))
+  }
+
+  /** Frozen DSIR importance index from a reference corpus: the
+    * (bucket → fixed-point ratio) map over buckets seen on EITHER side
+    * (full outer — an arriving doc can hash into a target-only bucket)
+    * plus the default ratio for buckets the reference never saw
+    * (t_b = s_b = 0 under the same Laplace smoothing). The collects are
+    * bounded by the index parameter B = 1024, not by data — the same
+    * contract as the ANN index bootstraps. */
+  private[graft] def dsirIndex(ref: DataFrame): (Map[Long, Long], Long) = {
+    val h = dsirBuckets(ref)
+    val t = h.filter(col("source") === "src0")
+      .groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val sc = h.filter(col("source") =!= "src0")
+      .groupBy("bucket").agg(count(lit(1)).as("sc"))
+    def scalar(df: DataFrame): Long =
+      Option(df.head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val ntV = scalar(t.agg(sum(col("tc"))))
+    val nsV = scalar(sc.agg(sum(col("sc"))))
+    val rmap = t.join(sc, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        expr(s"(10000L * (coalesce(tc, 0L) + 1L) * (${nsV}L + ${dsirB}L))" +
+          s" div ((coalesce(sc, 0L) + 1L) * (${ntV}L + ${dsirB}L))").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (rmap, 10000L * (nsV + dsirB) / (ntV + dsirB))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
@@ -457,18 +500,8 @@ object PipelineQueries {
     // broadcast, and scoring is one map-side join + exact long sum —
     // the textbook DSIR pipeline, no corpus-sized shuffle anywhere.
     "pipeline_dsir_weights" -> ((s, dir) => {
-      val B = 1024L
-      val tk = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-      val bigrams = expr(
-        """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
-          |         slice(toks, 2, greatest(size(toks) - 1, 0)),
-          |         (a, b) -> concat(a, ' ', b))""".stripMargin)
-      val h = tk
-        .select(col("doc_id"), col("source"),
-          explode(concat(col("toks"), bigrams)).as("f"))
-        .select(col("doc_id"), col("source"),
-          pmod(polyHash31(col("f")), lit(B)).as("bucket"))
+      val B = dsirB
+      val h = dsirBuckets(Tables.load(s, dir, "documents"))
       val t = h.filter(col("source") === "src0")
         .groupBy("bucket").agg(count(lit(1)).as("tc"))
       val sc = h.filter(col("source") =!= "src0")

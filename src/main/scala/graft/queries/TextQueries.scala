@@ -382,7 +382,7 @@ object TextQueries {
         .groupBy("source", "tok").agg(count(lit(1)).as("c"))
       val tot = c.groupBy("source").agg(sum(col("c")).as("n"))
       val pairs = tot.select(col("source").as("source_a"), col("n").as("n_a"))
-        .crossJoin(tot.select(col("source").as("source_b"), col("n").as("n_b")))
+        .crossJoin(broadcast(tot.select(col("source").as("source_b"), col("n").as("n_b"))))
         .filter(col("source_a") < col("source_b"))
       val contrib = c
         .join(broadcast(pairs), col("source") === col("source_a"))

@@ -233,6 +233,48 @@ object StreamingJobs {
       .dropDuplicatesWithinWatermark("train_id", "eval_id")
   }
 
+  /** Ingest-time DSIR scoring against a FROZEN importance index — the
+    * streaming form of `pipeline_dsir_weights`: the hashed-n-gram
+    * ratio table is built ONCE offline from the reference corpus
+    * (target = src0, source = the rest) and broadcast; arriving
+    * documents are scored with stateless per-row arithmetic — no
+    * shuffle, no state store, no watermark, scan speed at any rate.
+    *
+    * The per-row kernel crosses to JVM objects (a typed `map`) rather
+    * than column HOFs for ONE reason: an O(1) hash probe per feature
+    * against the broadcast index. The column-literal alternative
+    * (`element_at` on a 1024-entry map literal) is a linear scan per
+    * feature inside codegen — B× more comparisons per document. Same
+    * object-boundary trade as the multimodal codec pass, and the
+    * arithmetic (poly31 char hash, fixed-point `div`, HALF_UP 6-dp
+    * round) replicates the batch query bit-for-bit —
+    * StreamingDedupSpec proves streamed == batch on the fixture.
+    */
+  def dsirScoreStreaming(streamDocs: DataFrame, refDocs: DataFrame): DataFrame = {
+    val spark = streamDocs.sparkSession
+    import spark.implicits._
+    val (rmap, rdefault) = graft.queries.PipelineQueries.dsirIndex(refDocs)
+    val bc = spark.sparkContext.broadcast(rmap)
+    streamDocs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val feats = toks.iterator ++
+          toks.iterator.sliding(2).withPartial(false).map(_.mkString(" "))
+        var n = 0L
+        var sumR = 0L
+        feats.foreach { f =>
+          val b = f.foldLeft(0L)((h, c) => (h * 31L + c.toLong) % 2147483647L) % 1024L
+          sumR += bc.value.getOrElse(b, rdefault)
+          n += 1L
+        }
+        // split(" ", -1) never yields an empty array, so n >= 1
+        val w = BigDecimal(sumR.toDouble / 10000.0 / n.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, n, w)
+      }
+      .toDF("doc_id", "n_feats", "dsir_weight")
+  }
+
   /** One (user, hour-bucket) funnel input event. */
   case class FunnelEvent(user_id: Long, bucket: Timestamp, event_type: String, ts: Timestamp)
 

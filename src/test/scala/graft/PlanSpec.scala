@@ -382,4 +382,30 @@ class PlanSpec extends SparkSpec {
     // the Hamming pass and the re-rank both broadcast the tiny side
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("unigram rarity: vocab join is an equi-join, scalar N is a 1-row broadcast") {
+    val p = plan("text_unigram_rarity")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the single-row corpus-total broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("source divergence: pair table broadcasts; no cartesian over the vocab") {
+    val p = plan("text_source_divergence")
+    assert(!p.contains("CartesianProduct"), p)
+    // per-source counts reach the pair table via broadcast hash join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ngram novelty: span df joins through the inverted index, no cartesian") {
+    val p = plan("text_ngram_novelty")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("DSIR: B-row ratio table broadcasts to the scoring join") {
+    val p = plan("pipeline_dsir_weights")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -130,4 +130,28 @@ class StreamingDedupSpec extends SparkSpec {
       assert(jacs.forall(_ >= 0.8))
     } finally q.stop()
   }
+
+  test("streaming DSIR scoring against a frozen index == batch weights") {
+    implicit val sql = spark.sqlContext
+    val d = Tables.load(spark, sf0001, "documents")
+    val train = d.filter($"source" =!= "src0")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+
+    val in = MemoryStream[(Long, String)]
+    val q = dsirScoreStreaming(in.toDF().toDF("doc_id", "text"), d)
+      .writeStream.outputMode("append").format("memory").queryName("dsir_out").start()
+    try {
+      val (b1, b2) = train.splitAt(train.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("dsir_out")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.queries.PipelineQueries
+        .queries("pipeline_dsir_weights")(spark, sf0001)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch.nonEmpty && streamed.size == train.size)
+      assert(streamed == batch,
+        s"diff=${(streamed diff batch) ++ (batch diff streamed)}")
+    } finally q.stop()
+  }
 }

@@ -335,4 +335,15 @@ class TextDedupSpec extends SparkSpec {
     // the score must discriminate (src0-near-dup plants rank differently)
     assert(out.values.map(_._2).toSet.size > 1)
   }
+
+  test("component-size histogram is consistent with the survivor labels") {
+    val labels = DedupQueries.queries("dedup_survivors")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = labels.groupBy(_._2).map(_._2.length.toLong)
+    val expected = sizes.groupBy(identity)
+      .map { case (s, o) => (s, o.size.toLong, (s - 1L) * o.size.toLong) }.toSet
+    val out = DedupQueries.queries("dedup_component_stats")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == expected && out.nonEmpty, s"out=$out expected=$expected")
+  }
 }
