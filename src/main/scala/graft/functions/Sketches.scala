@@ -213,4 +213,78 @@ object Sketches {
     * depth×width counter array (row-major). */
   def cmsSketch(token: Column, depth: Int, width: Int): Column =
     Bridge.column(CmsSketch(Bridge.expression(token), depth, width).toAggregateExpression())
+
+  // ---------------------------------------------------------------- HLL
+
+  /** HyperLogLog registers (Flajolet et al. 2007) over 31-bit hashes:
+    * m = 2^p registers; a hash routes to register `h >> (31−p)` (its
+    * top p bits) and contributes ρ = 1 + leading-zero count of the
+    * remaining 31−p bits; each register keeps the max ρ. Merge is
+    * elementwise max — commutative, idempotent, duplicate-insensitive —
+    * so partials combine map-side and ONE m-byte array per
+    * (partition × group) crosses the shuffle, the industry-standard
+    * approximate-distinct shape at 100 TB.
+    *
+    * Like KMV, the aggregate returns the RAW register array and the
+    * estimator stays in the query: the harmonic sum Σ2^(−M_j) is a sum
+    * of dyadic rationals spanning ≤ 2^(31−p+1) ulps, exact in a double
+    * in ANY summation order, so the estimate is engine-reproducible
+    * bit-for-bit — no floating-point caveats anywhere.
+    */
+  case class HllSketch(
+      child: Expression,
+      p: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+    require(p >= 4 && p <= 16, "HLL precision must be in [4, 16]")
+    private val m = 1 << p
+    private val restBits = 31 - p
+    private val restMask = (1L << restBits) - 1L
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "hll_registers"
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        val reg = (h >>> restBits).toInt
+        val w = h & restMask
+        // ρ = 1 + leading zeros of the 31−p remainder bits
+        val rho = (if (w == 0L) restBits + 1
+                   else restBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))).toByte
+        if (rho > buf(reg)) buf(reg) = rho
+      }
+      buf
+    }
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Byte]): Any = {
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) { out(i) = buf(i).toLong; i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+    override def withNewMutableAggBufferOffset(n: Int): HllSketch = copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): HllSketch = copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(c: Expression): HllSketch = copy(child = c)
+  }
+
+  /** Column wrapper: `hllRegisters(hash, p)` → the 2^p max-ρ registers. */
+  def hllRegisters(hash: Column, p: Int): Column =
+    Bridge.column(HllSketch(Bridge.expression(hash), p).toAggregateExpression())
 }

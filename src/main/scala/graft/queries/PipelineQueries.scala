@@ -31,6 +31,24 @@ object PipelineQueries {
   /** DSIR hashed-feature space: B buckets of polyHash31(unigram|bigram). */
   private[graft] val dsirB = 1024L
 
+  private val dsirMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  graft.model.Caches.register(() => dsirMemo.clear())
+
+  /** Memoized per-(doc, source, bucket) feature counts, persisted: the
+    * feature pass (explode + per-char poly31 fold over every unigram
+    * and bigram) is the expensive part of DSIR and the batch query
+    * scans its output three times (target counts, source counts,
+    * scoring), already collapsed map-side to ≤B distinct buckets per
+    * doc. The persist is a session convenience released by
+    * `Tables.clearCaches` — the unpersisted plan is identical, just
+    * recomputed per scan. */
+  private[queries] def dsirBucketCounts(s: SparkSession, dir: String): DataFrame =
+    dsirMemo.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+      dsirBuckets(Tables.load(s, dir, "documents"))
+        .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("c"))
+        .persist())
+
   /** Hashed unigram+bigram feature buckets of every document —
     * (doc_id, source, bucket). Shared by the batch DSIR query and the
     * streaming scorer's frozen-index build. */
@@ -501,11 +519,11 @@ object PipelineQueries {
     // the textbook DSIR pipeline, no corpus-sized shuffle anywhere.
     "pipeline_dsir_weights" -> ((s, dir) => {
       val B = dsirB
-      val h = dsirBuckets(Tables.load(s, dir, "documents"))
-      val t = h.filter(col("source") === "src0")
-        .groupBy("bucket").agg(count(lit(1)).as("tc"))
-      val sc = h.filter(col("source") =!= "src0")
-        .groupBy("bucket").agg(count(lit(1)).as("sc"))
+      val ctd = dsirBucketCounts(s, dir)
+      val t = ctd.filter(col("source") === "src0")
+        .groupBy("bucket").agg(sum(col("c")).as("tc"))
+      val sc = ctd.filter(col("source") =!= "src0")
+        .groupBy("bucket").agg(sum(col("c")).as("sc"))
       val nt = t.agg(sum(col("tc")).as("nt"))
       val ns = sc.agg(sum(col("sc")).as("ns"))
       // training-doc buckets all appear in sc by construction, so the
@@ -515,10 +533,10 @@ object PipelineQueries {
         .select(col("bucket"),
           expr(s"(10000L * (coalesce(tc, 0L) + 1L) * (ns + ${B}L))" +
             s" div ((sc + 1L) * (nt + ${B}L))").as("r"))
-      h.filter(col("source") =!= "src0")
+      ctd.filter(col("source") =!= "src0")
         .join(broadcast(r), "bucket")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_feats"), sum(col("r")).as("sum_r"))
+        .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("r")).as("sum_r"))
         .select(col("doc_id"), col("n_feats"),
           round(col("sum_r").cast("double") / lit(10000.0)
             / col("n_feats").cast("double"), 6).as("dsir_weight"))

@@ -137,6 +137,36 @@ object RelationalQueries {
             .otherwise(expr("135291469761 div kth_min"))
             .as("est_distinct"))),
 
+    // HyperLogLog distinct-count sketch (p=8 → 256 1-byte registers):
+    // the industry-standard approximate-distinct — where KMV shuffles
+    // its k minima, HLL shuffles a fixed 256-byte register array per
+    // (partition × group) and merges by elementwise max (idempotent,
+    // so replayed/duplicated inputs cannot skew it). Same key hash as
+    // KMV; the raw estimator α_m·m²/Σ2^(−M_j) is derived IN the query:
+    // the harmonic sum is a sum of dyadic rationals — exact in a
+    // double in any order — and α's defining expression is evaluated
+    // identically by both engines, so even this "floating-point"
+    // estimate is deterministic. (The small-range ln-correction is
+    // deliberately omitted: it would be the one transcendental step;
+    // n_zero_regs is emitted so a consumer can apply it.)
+    "q_distinct_hll" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"), col("l_orderkey"),
+          ((col("l_orderkey") * lit(2654435761L) + lit(104729L)) % lit(2147483647L)).as("h"))
+        .groupBy("l_returnflag")
+        .agg(
+          graft.functions.Sketches.hllRegisters(col("h"), p = 8).as("regs"),
+          countDistinct(col("l_orderkey")).as("exact_distinct"))
+        .select(
+          col("l_returnflag"),
+          col("exact_distinct"),
+          expr("size(filter(regs, r -> r = 0L))").cast("long").as("n_zero_regs"),
+          expr("round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / " +
+            "aggregate(regs, cast(0.0 as double), " +
+            "(acc, r) -> acc + 1.0 / cast(shiftleft(1L, cast(r as int)) as double)), 2)")
+            .as("hll_estimate"))),
+
     // grouping sets via ROLLUP (subtotals + grand total)
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -546,6 +576,38 @@ object RelationalQueries {
         |                 ELSE 135291469761//max(h) END AS BIGINT) AS est_distinct
         |FROM r WHERE rn <= 64
         |GROUP BY l_returnflag""".stripMargin,
+
+    // register-exact HLL replica: DISTINCT h (max-ρ is duplicate-
+    // insensitive), reg = top 8 bits, ρ = 1 + leading zeros of the
+    // 23-bit remainder via printf('%b') bit length; the harmonic sum
+    // is exact-dyadic so summation order cannot matter
+    "q_distinct_hll" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |         (l_orderkey*2654435761+104729)%2147483647 AS h
+        |  FROM lineitem),
+        |hr AS (
+        |  SELECT l_returnflag, h // 8388608 AS reg,
+        |         CASE WHEN h % 8388608 = 0 THEN 24
+        |              ELSE 24 - length(printf('%b', h % 8388608)) END AS rho
+        |  FROM h),
+        |mx AS (SELECT l_returnflag, reg, max(rho) AS mr FROM hr GROUP BY 1, 2),
+        |regs AS (
+        |  SELECT f.l_returnflag, r.reg, coalesce(mx.mr, 0) AS mr
+        |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
+        |  CROSS JOIN (SELECT unnest(range(0, 256)) AS reg) r
+        |  LEFT JOIN mx ON mx.l_returnflag = f.l_returnflag AND mx.reg = r.reg),
+        |z AS (
+        |  SELECT l_returnflag,
+        |         sum(1.0 / CAST((1::BIGINT << mr) AS DOUBLE)) AS zsum,
+        |         CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs
+        |  FROM regs GROUP BY 1),
+        |ex AS (
+        |  SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+        |  FROM lineitem GROUP BY 1)
+        |SELECT ex.l_returnflag, ex.exact_distinct, z.n_zero_regs,
+        |       round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / z.zsum, 2) AS hll_estimate
+        |FROM ex JOIN z ON ex.l_returnflag = z.l_returnflag""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -124,5 +124,46 @@ class SketchesSpec extends SparkSpec {
     val cb = cms.createAggregationBuffer()
     cb(3) = 5L; cb(9) = 11L
     assert(cms.deserialize(cms.serialize(cb)).toSeq == cb.toSeq)
+
+    val hll = Sketches.HllSketch(org.apache.spark.sql.graftbridge.Bridge.expression(lit(0L)), 8)
+    val hb = hll.createAggregationBuffer()
+    hb(0) = 3; hb(255) = 24
+    assert(hll.deserialize(hll.serialize(hb)).toSeq == hb.toSeq)
+  }
+
+  test("HLL registers equal a brute-force replica, any partitioning") {
+    import spark.implicits._
+    val keys = (1L to 5000L).map(i => (i * 7919L) % 1500L)
+    val expected = {
+      val regs = new Array[Long](256)
+      keys.map(x => (x * 2654435761L + 104729L) % M).distinct.foreach { h =>
+        val reg = (h >>> 23).toInt
+        val w = h & 0x7FFFFFL
+        val rho = if (w == 0L) 24L else 24L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(reg)) regs(reg) = rho
+      }
+      regs.toSeq
+    }
+    forAll(Table("parts", 1, 3, 17)) { parts =>
+      val got = keys.toDF("k").repartition(parts)
+        .select((((col("k") * lit(2654435761L)) + lit(104729L)) % lit(M)).as("h"))
+        .agg(Sketches.hllRegisters(col("h"), 8))
+        .collect()(0).getSeq[Long](0)
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("HLL raw estimate is within 15% of the true distinct count on uniform keys") {
+    import spark.implicits._
+    val n = 20000L
+    val est = (1L to n).toDF("k")
+      .select((((col("k") * lit(2654435761L)) + lit(104729L)) % lit(M)).as("h"))
+      .agg(Sketches.hllRegisters(col("h"), 8).as("regs"))
+      .select(expr("(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / " +
+        "aggregate(regs, cast(0.0 as double), " +
+        "(acc, r) -> acc + 1.0 / cast(shiftleft(1L, cast(r as int)) as double))"))
+      .collect()(0).getDouble(0)
+    // standard error ~1.04/√256 = 6.5%; 15% is > 2σ
+    assert(math.abs(est - n.toDouble) / n.toDouble < 0.15, s"est=$est")
   }
 }
