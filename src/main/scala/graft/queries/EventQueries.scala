@@ -176,6 +176,30 @@ object EventQueries {
         .agg(cells.head, cells.tail: _*)
     }),
 
+    // Hourly distinct users via the HLL sketch — THE canonical
+    // windowed-sketch workload: per (hour × partition) ONE 256-byte
+    // register array crosses the shuffle instead of the hour's
+    // distinct user set, and the elementwise-max merge is idempotent,
+    // so replayed or duplicated events cannot skew it (the property
+    // that makes it safe under at-least-once streaming delivery —
+    // SketchesSpec proves incremental == batch on the same aggregate).
+    // Exact countDistinct rides along to exhibit the estimate error;
+    // estimator arithmetic identical to q_distinct_hll.
+    "q_hourly_distinct_hll" -> ((s, dir) =>
+      events(s, dir)
+        .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"),
+          ((col("user_id") * lit(2654435761L) + lit(104729L)) % lit(2147483647L)).as("h"))
+        .groupBy("hour")
+        .agg(
+          graft.functions.Sketches.hllRegisters(col("h"), p = 8).as("regs"),
+          countDistinct(col("user_id")).as("exact_distinct"))
+        .select(col("hour"), col("exact_distinct"),
+          expr("size(filter(regs, r -> r = 0L))").cast("long").as("n_zero_regs"),
+          expr("round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / " +
+            "aggregate(regs, cast(0.0 as double), " +
+            "(acc, r) -> acc + 1.0 / cast(shiftleft(1L, cast(r as int)) as double)), 2)")
+            .as("hll_estimate"))),
+
     // Flink streaming-SQL "Window Top-N" (ROW_NUMBER OVER a window
     // aggregate, rank filter ≤ N): the top-3 most active users per
     // 1-hour tumbling window. Spark 4 plans the rank filter as a
@@ -311,6 +335,37 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // register-exact windowed HLL replica — same arithmetic as the
+    // q_distinct_hll oracle, keyed by the hour bucket
+    "q_hourly_distinct_hll" ->
+      """WITH h AS (
+        |  SELECT DISTINCT date_trunc('hour', ts) AS hour,
+        |         (user_id*2654435761+104729)%2147483647 AS h
+        |  FROM events),
+        |hr AS (
+        |  SELECT hour, h // 8388608 AS reg,
+        |         CASE WHEN h % 8388608 = 0 THEN 24
+        |              ELSE 24 - length(printf('%b', h % 8388608)) END AS rho
+        |  FROM h),
+        |mx AS (SELECT hour, reg, max(rho) AS mr FROM hr GROUP BY 1, 2),
+        |regs AS (
+        |  SELECT f.hour, r.reg, coalesce(mx.mr, 0) AS mr
+        |  FROM (SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events) f
+        |  CROSS JOIN (SELECT unnest(range(0, 256)) AS reg) r
+        |  LEFT JOIN mx ON mx.hour = f.hour AND mx.reg = r.reg),
+        |z AS (
+        |  SELECT hour,
+        |         sum(1.0 / CAST((1::BIGINT << mr) AS DOUBLE)) AS zsum,
+        |         CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs
+        |  FROM regs GROUP BY 1),
+        |ex AS (
+        |  SELECT date_trunc('hour', ts) AS hour,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT ex.hour, ex.exact_distinct, z.n_zero_regs,
+        |       round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / z.zsum, 2) AS hll_estimate
+        |FROM ex JOIN z ON ex.hour = z.hour""".stripMargin,
+
     "q_event_dedup_hourly" ->
       """SELECT md5(props) AS digest,
         |       time_bucket(INTERVAL '1 hour', ts) AS bucket,

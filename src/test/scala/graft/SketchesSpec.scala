@@ -92,8 +92,9 @@ class SketchesSpec extends SparkSpec {
       df.groupBy(window(col("t"), "1 minute"))
         .agg(
           Sketches.cmsSketch(col("tok"), 4, 64).as("cms"),
-          Sketches.kmvMinima(hash, 8).as("kmv"))
-        .select(col("window.start").as("ws"), col("cms"), col("kmv"))
+          Sketches.kmvMinima(hash, 8).as("kmv"),
+          Sketches.hllRegisters(hash, 8).as("hll"))
+        .select(col("window.start").as("ws"), col("cms"), col("kmv"), col("hll"))
     val q = aggs(in.toDF().toDF("tok", "t"))
       .writeStream.outputMode("complete").format("memory").queryName("sk_out").start()
     try {
@@ -102,9 +103,9 @@ class SketchesSpec extends SparkSpec {
       in.addData(batch1: _*); q.processAllAvailable()
       in.addData(batch2: _*); q.processAllAvailable()
       val streamed = spark.table("sk_out").collect()
-        .map(r => (r.getTimestamp(0), r.getSeq[Long](1), r.getSeq[Long](2))).toSet
+        .map(r => (r.getTimestamp(0), r.getSeq[Long](1), r.getSeq[Long](2), r.getSeq[Long](3))).toSet
       val batch = aggs((batch1 ++ batch2).toDF("tok", "t")).collect()
-        .map(r => (r.getTimestamp(0), r.getSeq[Long](1), r.getSeq[Long](2))).toSet
+        .map(r => (r.getTimestamp(0), r.getSeq[Long](1), r.getSeq[Long](2), r.getSeq[Long](3))).toSet
       // incremental (state-merged across micro-batches) == one-shot batch
       assert(streamed == batch)
       assert(streamed.map(_._1) == Set(ts("2024-01-01 00:00:00"), ts("2024-01-01 00:01:00")))
