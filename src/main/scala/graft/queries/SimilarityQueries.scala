@@ -450,6 +450,35 @@ object SimilarityQueries {
         .select("query_id", "label", "neighbor_id", "cos", "rank")
     }),
 
+    // Hard-negative mining for contrastive training (the DPR/SimCSE
+    // data-prep step): for each anchor, the k most-SIMILAR vectors
+    // with a DIFFERENT label — the near-miss negatives that actually
+    // move a contrastive loss, mined corpus-wide. Same one-pass
+    // broadcast scan as the brute-force top-k (10 anchors broadcast,
+    // corpus streams past map-side — the BNLJ is the intended plan,
+    // as pinned for sim_topk_bruteforce); the label-mismatch predicate
+    // rides the scan, so same-label pairs never materialize. At scale
+    // the anchors side is a training batch (thousands), still
+    // broadcast-sized; the corpus side never shuffles.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val vs = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val q = vs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("anchor_label"),
+          col("v").as("vq"), col("nrm").as("nq"))
+      val c = vs.select(col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+        col("v").as("vc"), col("nrm").as("nc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      c.join(broadcast(q), col("neg_label") =!= col("anchor_label"))
+        .withColumn("cos", round(cosine(col("vq"), col("vc"), col("nq"), col("nc")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "anchor_label", "neighbor_id", "neg_label", "cos", "rank")
+    }),
+
     // sign-bit binary quantization ANN — the 4th embedding-compression
     // point next to int8 (4×), PQ codes (16×) and prefix truncation:
     // 1 bit/dim = 64× over float32, two longs per vector. bit d =
@@ -884,6 +913,25 @@ object SimilarityQueries {
          |  FROM nl q JOIN nl c ON q.vec_id < 10 AND q.label = c.label
          |                     AND q.vec_id <> c.vec_id)
          |SELECT query_id, label, neighbor_id, cos,
+         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |FROM p
+         |QUALIFY rank <= 5""".stripMargin,
+
+    // same frame as the filtered top-k, with the label predicate
+    // inverted: nearest DIFFERENT-label neighbors
+    "sim_hard_negatives" ->
+      s"""WITH $vectorCtes,
+         |nl AS (
+         |  SELECT n.vec_id, n.v, n.nrm, e2.label
+         |  FROM n JOIN embeddings e2 ON e2.vec_id = n.vec_id),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, q.label AS anchor_label,
+         |         c.vec_id AS neighbor_id, c.label AS neg_label,
+         |         round(list_reduce(list_prepend(0.0,
+         |                 list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (x, y) -> x + y)
+         |               / (q.nrm * c.nrm), 6) AS cos
+         |  FROM nl q JOIN nl c ON q.vec_id < 10 AND q.label <> c.label)
+         |SELECT query_id, anchor_label, neighbor_id, neg_label, cos,
          |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          |FROM p
          |QUALIFY rank <= 5""".stripMargin,

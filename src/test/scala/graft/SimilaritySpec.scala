@@ -195,6 +195,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: labels always differ, ranks dense, nearest cross-label first") {
+    val out = SimilarityQueries.queries("sim_hard_negatives")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.get(1) != r.get(3), s"same-label negative: $r")
+    }
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(5)).sorted.toSeq == (1 to 5), s"query $q ranks")
+      // ranked by cos desc within each anchor
+      val byRank = rs.sortBy(_.getInt(5)).map(_.getDouble(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"query $q order")
+    }
+  }
+
   test("MIPS top-k: full contract; norm-augmented cosine ranking reproduces it") {
     import graft.functions.KernelExpressions.dot
     val out = SimilarityQueries.queries("sim_mips_topk")(spark, sf0001)
