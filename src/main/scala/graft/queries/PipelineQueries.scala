@@ -517,6 +517,27 @@ object PipelineQueries {
     // shuffle at ≤B rows per partition), the ratio table is B rows
     // broadcast, and scoring is one map-side join + exact long sum —
     // the textbook DSIR pipeline, no corpus-sized shuffle anywhere.
+    // Cross-split SEMANTIC leakage audit: after the deterministic
+    // hash split (same rule as pipeline_hash_split), any semantic
+    // near-dup pair (SemDeDup cosine τ=0.4 — the dedup_semantic edge
+    // set) that straddles two splits means an eval example is
+    // semantically present in training — the leak that inflates
+    // benchmarks even when VERBATIM decontamination passes. Pure
+    // map-side over the pair set: the split labels derive from the
+    // ids already on the pair row, so the audit adds zero joins and
+    // zero shuffles to the pair query it composes.
+    "pipeline_semantic_leakage" -> ((s, dir) => {
+      def split(c: org.apache.spark.sql.Column) = {
+        val h = pmod(polyHash31(c.cast("string")), lit(10L))
+        when(h < 8, lit("train")).when(h === 8, lit("val")).otherwise(lit("test"))
+      }
+      DedupQueries.queries("dedup_semantic")(s, dir)
+        .withColumn("split_a", split(col("vec_a")))
+        .withColumn("split_b", split(col("vec_b")))
+        .filter(col("split_a") =!= col("split_b"))
+        .select("vec_a", "split_a", "vec_b", "split_b", "cos")
+    }),
+
     "pipeline_dsir_weights" -> ((s, dir) => {
       val B = dsirB
       val ctd = dsirBucketCounts(s, dir)
@@ -853,6 +874,37 @@ object PipelineQueries {
         |  FROM t a JOIN t b ON a.source <> 'src0' AND b.source = 'src0'
         |  WHERE len(a.g) > 0 AND len(b.g) > 0)
         |SELECT train_id, eval_id, jac FROM p WHERE jac >= 0.8""".stripMargin,
+
+    // the semantic pair CTE chain + the hash-split CASE applied to
+    // both pair ids map-side
+    "pipeline_semantic_leakage" -> {
+      def bucketSql(id: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |           list_transform(string_split(CAST($id AS VARCHAR), ''),
+           |             c -> CAST(ascii(c) AS BIGINT))),
+           |           (h, c) -> (h * 31 + c) % 2147483647) % 10""".stripMargin
+      s"""WITH ${SimilarityQueries.ivfAssignCtes},
+         |pr AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |         round(list_reduce(list_prepend(0.0,
+         |                 list_transform(range(1, 65), i -> xn.v[i] * yn.v[i])), (p, q) -> p + q)
+         |               / (xn.nrm * yn.nrm), 6) AS cos
+         |  FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  JOIN n xn ON xn.vec_id = x.vec_id
+         |  JOIN n yn ON yn.vec_id = y.vec_id),
+         |sp AS (
+         |  SELECT vec_a, vec_b, cos,
+         |         ${bucketSql("vec_a")} AS ba,
+         |         ${bucketSql("vec_b")} AS bb
+         |  FROM pr WHERE cos >= 0.4),
+         |lab AS (
+         |  SELECT vec_a, vec_b, cos,
+         |         CASE WHEN ba < 8 THEN 'train' WHEN ba = 8 THEN 'val' ELSE 'test' END AS split_a,
+         |         CASE WHEN bb < 8 THEN 'train' WHEN bb = 8 THEN 'val' ELSE 'test' END AS split_b
+         |  FROM sp)
+         |SELECT vec_a, split_a, vec_b, split_b, cos
+         |FROM lab WHERE split_a <> split_b""".stripMargin
+    },
 
     // same poly31 char hash as the fingerprint/CMS oracles; `//` is
     // DuckDB's integer floor division = Spark's `div` on positives;

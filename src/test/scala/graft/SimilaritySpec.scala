@@ -195,6 +195,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic leakage audit == split-labeled cross pairs of the semantic edge set") {
+    val pairs = graft.queries.DedupQueries.queries("dedup_semantic")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def split(id: Long): String = {
+      val b = id.toString.foldLeft(0L)((h, c) => (h * 31L + c.toLong) % 2147483647L) % 10L
+      if (b < 8) "train" else if (b == 8) "val" else "test"
+    }
+    val expected = pairs.collect { case (a, b, cos) if split(a) != split(b) =>
+      (a, split(a), b, split(b), cos)
+    }.toSet
+    val out = graft.queries.PipelineQueries.queries("pipeline_semantic_leakage")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSet
+    assert(pairs.nonEmpty, "fixture must contain semantic pairs")
+    assert(out == expected, s"out=$out expected=$expected")
+  }
+
   test("hard negatives: labels always differ, ranks dense, nearest cross-label first") {
     val out = SimilarityQueries.queries("sim_hard_negatives")(spark, sf0001).collect()
     assert(out.nonEmpty)
