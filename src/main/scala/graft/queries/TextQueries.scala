@@ -24,6 +24,38 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** The Gopher rule battery as a pure frame function over
+    * (doc_id, text) — entirely stateless map-side column arithmetic,
+    * so the SAME plan serves the batch query and the streaming ingest
+    * gate ([[graft.streaming.StreamingJobs.gopherGateStreaming]]);
+    * batch == streaming is a structural fact, and the spec pins it. */
+  private[graft] def gopherRules(d0: DataFrame): DataFrame = {
+    val d = d0.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+    d.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      (aggregate(transform(col("toks"), t => length(t).cast("long")), lit(0L), _ + _)
+        .cast("double") / size(col("toks")).cast("double")).as("mean_token_len"),
+      ((length(col("text")) - length(regexp_replace(col("text"), "[#…]", "")))
+        .cast("double") / size(col("toks")).cast("double")).as("symbol_ratio"),
+      (expr("size(filter(toks, t -> t rlike '[A-Za-z]'))")
+        .cast("double") / size(col("toks")).cast("double")).as("alpha_frac"),
+      size(filter(
+        array(GopherStops.map(lit): _*),
+        w => array_contains(col("toks"), w))).cast("long").as("stop_hits"))
+      .withColumn("rule_word_count",
+        (col("n_tokens") >= 50L && col("n_tokens") <= 100000L).cast("long"))
+      .withColumn("rule_mean_len",
+        (col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0).cast("long"))
+      .withColumn("rule_symbol", (col("symbol_ratio") < 0.1).cast("long"))
+      .withColumn("rule_alpha", (col("alpha_frac") >= 0.8).cast("long"))
+      .withColumn("rule_stops", (col("stop_hits") >= 2L).cast("long"))
+      .withColumn("keep",
+        (col("rule_word_count") === 1L && col("rule_mean_len") === 1L &&
+          col("rule_symbol") === 1L && col("rule_alpha") === 1L &&
+          col("rule_stops") === 1L).cast("long"))
+  }
+
   /** Training docs (source != src0) contaminated by the held-out set:
     * (doc_id, n_shared_spans) for docs sharing ≥ 1 verbatim 8-token
     * span with a src0 document. Shared by the text_contamination query
@@ -292,32 +324,7 @@ object TextQueries {
     // instead of hiding inside an all-zero conjunction. At 100 TB this
     // streams at scan speed next to text_stats — the first gate of
     // the cleaning funnel.
-    "text_gopher_rules" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-      d.select(
-        col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        (aggregate(transform(col("toks"), t => length(t).cast("long")), lit(0L), _ + _)
-          .cast("double") / size(col("toks")).cast("double")).as("mean_token_len"),
-        ((length(col("text")) - length(regexp_replace(col("text"), "[#…]", "")))
-          .cast("double") / size(col("toks")).cast("double")).as("symbol_ratio"),
-        (expr("size(filter(toks, t -> t rlike '[A-Za-z]'))")
-          .cast("double") / size(col("toks")).cast("double")).as("alpha_frac"),
-        size(filter(
-          array(GopherStops.map(lit): _*),
-          w => array_contains(col("toks"), w))).cast("long").as("stop_hits"))
-        .withColumn("rule_word_count",
-          (col("n_tokens") >= 50L && col("n_tokens") <= 100000L).cast("long"))
-        .withColumn("rule_mean_len",
-          (col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0).cast("long"))
-        .withColumn("rule_symbol", (col("symbol_ratio") < 0.1).cast("long"))
-        .withColumn("rule_alpha", (col("alpha_frac") >= 0.8).cast("long"))
-        .withColumn("rule_stops", (col("stop_hits") >= 2L).cast("long"))
-        .withColumn("keep",
-          (col("rule_word_count") === 1L && col("rule_mean_len") === 1L &&
-            col("rule_symbol") === 1L && col("rule_alpha") === 1L &&
-            col("rule_stops") === 1L).cast("long"))
-    }),
+    "text_gopher_rules" -> ((s, dir) => gopherRules(docs(s, dir))),
 
     // corpus length distribution: documents histogrammed by token count
     // in width-10 buckets — the first diagnostic run on any training

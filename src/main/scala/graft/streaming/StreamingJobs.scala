@@ -275,6 +275,14 @@ object StreamingJobs {
       .toDF("doc_id", "n_feats", "dsir_weight")
   }
 
+  /** Ingest-time Gopher quality gate — the streaming form of
+    * text_gopher_rules: the rule battery is a pure map-side frame
+    * function, so the IDENTICAL plan runs on the stream (stateless,
+    * no watermark, scan speed); route on `keep` to drop rejects at
+    * the door instead of after landing them. */
+  def gopherGateStreaming(streamDocs: DataFrame): DataFrame =
+    graft.queries.TextQueries.gopherRules(streamDocs)
+
   /** One (user, hour-bucket) funnel input event. */
   case class FunnelEvent(user_id: Long, bucket: Timestamp, event_type: String, ts: Timestamp)
 

@@ -131,6 +131,29 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Gopher gate == batch rule battery across batches") {
+    implicit val sql = spark.sqlContext
+    val d = Tables.load(spark, sf0001, "documents")
+    val all = d.select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+
+    val in = MemoryStream[(Long, String)]
+    val q = gopherGateStreaming(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("gopher_out").start()
+    try {
+      val (b1, b2) = all.splitAt(all.size / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9),
+          r.getLong(10), r.getLong(11))
+      val streamed = spark.table("gopher_out").collect().map(key).toSet
+      val batch = graft.queries.TextQueries.queries("text_gopher_rules")(spark, sf0001)
+        .collect().map(key).toSet
+      assert(streamed == batch && batch.size == all.size)
+    } finally q.stop()
+  }
+
   test("streaming DSIR scoring against a frozen index == batch weights") {
     implicit val sql = spark.sqlContext
     val d = Tables.load(spark, sf0001, "documents")
