@@ -326,6 +326,56 @@ object TextQueries {
     // the cleaning funnel.
     "text_gopher_rules" -> ((s, dir) => gopherRules(docs(s, dir))),
 
+    // BPE ENCODE — the application step completing the tokenizer
+    // story (text_bigram_merges LEARNS the merge table; this applies
+    // it): the top-8 learned merges, in rank order, each rewrite every
+    // document by greedy left-to-right non-overlapping pair merging —
+    // the standard BPE encode loop. The merge table is a driver
+    // collect bounded by the TOKENIZER parameter (8 rows), like the
+    // ANN index bootstraps; each merge round is ONE stateless map-side
+    // HOF fold (struct accumulator: emitted prefix + carried token),
+    // so the encode pass is 8 chained codegen'd projections — zero
+    // shuffles, scan speed at 100 TB, exactly how you'd run a frozen
+    // tokenizer over a corpus. No SQL oracle: the fold's struct
+    // accumulator is outside DuckDB's list_reduce (element-typed
+    // accumulator only) — the driver records the rows-only check and
+    // TextDedupSpec pins a full driver-side reimplementation instead.
+    "text_bpe_encode" -> ((s, dir) => {
+      val merges = docs(s, dir)
+        .select(tokens(col("text")).as("toks"))
+        .select(explode(expr(
+          """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+            |         slice(toks, 2, greatest(size(toks) - 1, 0)),
+            |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(8)
+        .collect().map(_.getString(0)) // rank-ordered, tokenizer-bounded
+      def sq(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+      val encoded = merges.foldLeft("toks") { (acc, pair) =>
+        val Array(a, b) = pair.split(" ", 2)
+        s"""aggregate($acc,
+           |  named_struct('out', cast(array() as array<string>), 'carry', cast(null as string)),
+           |  (st, t) -> CASE
+           |    WHEN st.carry IS NULL THEN named_struct('out', st.out, 'carry', t)
+           |    WHEN st.carry = '${sq(a)}' AND t = '${sq(b)}'
+           |      THEN named_struct('out', array_append(st.out, '${sq(pair)}'),
+           |                        'carry', cast(null as string))
+           |    ELSE named_struct('out', array_append(st.out, st.carry), 'carry', t) END,
+           |  st -> CASE WHEN st.carry IS NULL THEN st.out
+           |             ELSE array_append(st.out, st.carry) END)""".stripMargin
+      }
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("enc", expr(encoded))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(col("enc")).cast("long").as("n_bpe_tokens"),
+          round(size(col("enc")).cast("double") / size(col("toks")).cast("double"), 6)
+            .as("compression"),
+          md5(concat_ws("", col("enc")).cast("binary")).as("enc_digest"))
+    }),
+
     // corpus length distribution: documents histogrammed by token count
     // in width-10 buckets — the first diagnostic run on any training
     // corpus (truncation/padding budgets, outlier screens). Bucketing

@@ -336,6 +336,40 @@ class TextDedupSpec extends SparkSpec {
     assert(out.values.map(_._2).toSet.size > 1)
   }
 
+  test("BPE encode matches a driver-side greedy merge reimplementation") {
+    val out = graft.queries.TextQueries.queries("text_bpe_encode")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docsRaw = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    // learn the top-8 merge table exactly as the query does
+    val merges = docsRaw.flatMap { case (_, toks) =>
+      toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }.groupBy(identity).map { case (p, o) => p -> o.size }
+      .toSeq.sortBy { case (p, f) => (-f, p) }.take(8).map(_._1)
+    def applyMerge(toks: Seq[String], pair: String): Seq[String] = {
+      val Array(a, b) = pair.split(" ", 2)
+      val outB = scala.collection.mutable.ArrayBuffer[String]()
+      var carry: String = null
+      toks.foreach { t =>
+        if (carry == null) carry = t
+        else if (carry == a && t == b) { outB += pair; carry = null }
+        else { outB += carry; carry = t }
+      }
+      if (carry != null) outB += carry
+      outB.toSeq
+    }
+    assert(out.size == docsRaw.length)
+    docsRaw.foreach { case (id, toks) =>
+      val enc = merges.foldLeft(toks)(applyMerge)
+      val (n, nb, ratio) = out(id)
+      assert(n == toks.length.toLong && nb == enc.length.toLong, s"doc $id")
+      assert(math.abs(ratio - enc.length.toDouble / toks.length.toDouble) <= 1e-6, s"doc $id")
+    }
+    // the corpus has repeated bigrams: encoding must shrink somewhere
+    assert(out.values.exists { case (n, nb, _) => nb < n })
+  }
+
   test("component-size histogram is consistent with the survivor labels") {
     val labels = DedupQueries.queries("dedup_survivors")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
