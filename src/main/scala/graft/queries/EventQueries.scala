@@ -176,6 +176,36 @@ object EventQueries {
         .agg(cells.head, cells.tail: _*)
     }),
 
+    // Trailing-window anomaly screen: per event type, each hour's
+    // count z-scored against the previous ≤6 hours — the ops alarm
+    // run over every metric stream ("did errors spike this hour?").
+    // Numerical discipline: both moments are EXACT integer window
+    // sums, the discriminant n·s2 − s1² is integer arithmetic, and
+    // z = (c·n − s1)/√disc is ONE sqrt + ONE division — so z and the
+    // |z| > 3 verdict are engine-identical (a naive avg/stddev window
+    // would be FP-accumulation-order-dependent). Shape at 100 TB: one
+    // map-combined shuffle down to (hour, type) counts, then a
+    // per-type ROWS window over ≤ #hours rows — the window input is
+    // aggregate-sized, never event-sized.
+    "q_hourly_anomaly" -> ((s, dir) => {
+      val counts = events(s, dir)
+        .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .groupBy("hour", "event_type").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("hour").rowsBetween(-6, -1)
+      val zRaw = (col("cnt") * col("n_prev") - col("s1")).cast("double") /
+        sqrt(col("disc").cast("double"))
+      counts
+        .withColumn("n_prev", count(col("cnt")).over(w))
+        .withColumn("s1", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .withColumn("s2", coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+        .withColumn("disc", col("n_prev") * col("s2") - col("s1") * col("s1"))
+        .select(col("hour"), col("event_type"), col("cnt"), col("n_prev"),
+          when(col("disc") > 0, round(zRaw, 6)).as("z"),
+          when(col("disc") > 0, (abs(zRaw) > 3.0).cast("long"))
+            .otherwise(lit(0L)).as("is_anomaly"))
+    }),
+
     // Hourly distinct users via the HLL sketch — THE canonical
     // windowed-sketch workload: per (hour × partition) ONE 256-byte
     // register array crosses the shuffle instead of the hour's
@@ -335,6 +365,31 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical exact-integer moments + one sqrt/division; the ROWS
+    // frame is deterministic because hour is unique per type
+    "q_hourly_anomaly" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT hour, event_type, cnt,
+        |         CAST(count(cnt) OVER win AS BIGINT) AS n_prev,
+        |         CAST(coalesce(sum(cnt) OVER win, 0) AS BIGINT) AS s1,
+        |         CAST(coalesce(sum(cnt * cnt) OVER win, 0) AS BIGINT) AS s2
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY hour
+        |                 ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+        |d AS (SELECT *, n_prev * s2 - s1 * s1 AS disc FROM w)
+        |SELECT hour, event_type, cnt, n_prev,
+        |       CASE WHEN disc > 0
+        |            THEN round(CAST(cnt * n_prev - s1 AS DOUBLE) / sqrt(CAST(disc AS DOUBLE)), 6)
+        |       END AS z,
+        |       CAST(CASE WHEN disc > 0
+        |                  AND abs(CAST(cnt * n_prev - s1 AS DOUBLE) / sqrt(CAST(disc AS DOUBLE))) > 3.0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM d""".stripMargin,
+
     // register-exact windowed HLL replica — same arithmetic as the
     // q_distinct_hll oracle, keyed by the hour bucket
     "q_hourly_distinct_hll" ->
