@@ -517,6 +517,44 @@ object PipelineQueries {
     // shuffle at ≤B rows per partition), the ratio table is B rows
     // broadcast, and scoring is one map-side join + exact long sum —
     // the textbook DSIR pipeline, no corpus-sized shuffle anywhere.
+    // Deterministic weighted SYSTEMATIC sampling (textbook systematic
+    // PPS): "sample ~k docs with inclusion probability ∝ weight,
+    // reproducibly, no RNG, no global sort". Docs are laid on a
+    // deterministic hash order, the cumulative-weight line is cut into
+    // strides of totW/k, and a doc is picked iff its weight interval
+    // contains a stride multiple (integer-exact: cum div s strictly
+    // increases across the interval). The GLOBAL prefix sum needs no
+    // global sort — the order key's top 8 bits are 256 ordered hash
+    // ranges, so bucket totals cumulate in one 256-row window and each
+    // doc adds its bucket-local running sum: the same order-without-
+    // sort shape as curriculum deciles and epoch_shuffle, executor-
+    // resident end to end. Weight here = n_chars (compute-proportional
+    // sampling); any integer score column drops in.
+    "pipeline_weighted_sample" -> ((s, dir) => {
+      val k = 100L
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("wgt"),
+          polyHash31(col("doc_id").cast("string")).as("key"))
+        .withColumn("bucket", expr("key div 8388608")) // 2^23 → 256 ordered ranges
+      val wLoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("key", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wOff = org.apache.spark.sql.expressions.Window
+        .orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offs = d.groupBy("bucket").agg(sum(col("wgt")).as("bw"))
+        .withColumn("off", coalesce(sum(col("bw")).over(wOff), lit(0L)))
+        .select("bucket", "off")
+      val tot = d.agg(sum(col("wgt")).as("tot")) // scalar → broadcast
+      d.join(broadcast(offs), "bucket")
+        .withColumn("cum", col("off") + sum(col("wgt")).over(wLoc))
+        .crossJoin(broadcast(tot))
+        .withColumn("stride", greatest(expr(s"tot div ${k}L"), lit(1L)))
+        .filter(expr("cum div stride") > expr("(cum - wgt) div stride"))
+        .select(col("doc_id"), col("wgt"), col("cum"),
+          expr("cum div stride").as("pick_idx"))
+    }),
+
     // Cross-split SEMANTIC leakage audit: after the deterministic
     // hash split (same rule as pipeline_hash_split), any semantic
     // near-dup pair (SemDeDup cosine τ=0.4 — the dedup_semantic edge
@@ -874,6 +912,28 @@ object PipelineQueries {
         |  FROM t a JOIN t b ON a.source <> 'src0' AND b.source = 'src0'
         |  WHERE len(a.g) > 0 AND len(b.g) > 0)
         |SELECT train_id, eval_id, jac FROM p WHERE jac >= 0.8""".stripMargin,
+
+    // global ORDER BY (key, doc_id) cumsum — bucket-major hash-range
+    // order in the engine is the same total order because the bucket
+    // is the key's top bits; stride selection is pure integer div
+    "pipeline_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS wgt,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h * 31 + c) % 2147483647) AS key
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, wgt,
+        |         CAST(sum(wgt) OVER (ORDER BY key, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |         CAST(sum(wgt) OVER () AS BIGINT) AS tot
+        |  FROM t)
+        |SELECT doc_id, wgt, cum,
+        |       CAST(cum // greatest(tot // 100, 1) AS BIGINT) AS pick_idx
+        |FROM c
+        |WHERE cum // greatest(tot // 100, 1) > (cum - wgt) // greatest(tot // 100, 1)""".stripMargin,
 
     // the semantic pair CTE chain + the hash-split CASE applied to
     // both pair ids map-side

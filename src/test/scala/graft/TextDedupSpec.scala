@@ -370,6 +370,27 @@ class TextDedupSpec extends SparkSpec {
     assert(out.values.exists { case (n, nb, _) => nb < n })
   }
 
+  test("weighted systematic sample: stride coverage, positive weights, PPS bound") {
+    val rows = graft.queries.PipelineQueries.queries("pipeline_weighted_sample")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tot = d.values.sum
+    val stride = math.max(tot / 100L, 1L)
+    // every pick has positive weight and matches the corpus weight
+    rows.foreach { case (id, w, _, _) => assert(w > 0 && d(id) == w, s"doc $id") }
+    // one pick per covered stride: pick count == distinct stride indices,
+    // and equals the number of stride multiples ≤ tot (minus any multiple
+    // swallowed by a same-interval predecessor)
+    val picks = rows.map(_._4)
+    assert(picks.distinct.length == picks.length)
+    assert(picks.length <= (tot / stride).toInt && picks.length >= 50, s"n=${picks.length}")
+    // picks ordered by cum have non-decreasing stride indices
+    val byCum = rows.sortBy(_._3).map(_._4)
+    assert(byCum.zip(byCum.tail).forall { case (a, b) => a < b })
+  }
+
   test("component-size histogram is consistent with the survivor labels") {
     val labels = DedupQueries.queries("dedup_survivors")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
