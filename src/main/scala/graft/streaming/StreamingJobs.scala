@@ -275,6 +275,89 @@ object StreamingJobs {
       .toDF("doc_id", "n_feats", "dsir_weight")
   }
 
+  /** One typed input row for the streaming anomaly screen. */
+  case class AnomalyEvent(event_type: String, ts: Timestamp, bucket: Timestamp)
+
+  /** Per-type anomaly state: open (not-yet-finalized) hour buckets and
+    * the trailing ≤6 FINALIZED counts (oldest first). */
+  case class AnomalyState(open: Map[Long, Long], hist: Seq[Long])
+
+  /** One finalized anomaly verdict (z absent when the trailing window
+    * has no variance yet — same contract as the batch query). */
+  case class AnomalyRow(hour: Timestamp, event_type: String, cnt: Long,
+      n_prev: Long, z: Option[Double], is_anomaly: Long)
+
+  /** Streaming trailing-window anomaly screen — the live form of
+    * `q_hourly_anomaly`, and the one stateful shape the per-window
+    * operators don't exercise: state that SURVIVES across windows.
+    * Keyed by event type, each group holds (a) per-open-hour counts
+    * and (b) the trailing ≤6 finalized counts; when the event-time
+    * watermark passes an hour's end the hour is finalized IN ORDER —
+    * z-scored against the trailing counts with the batch query's
+    * exact-integer arithmetic (disc = n·s2 − s1², one sqrt, one
+    * division, HALF_UP round), emitted, and pushed into the baseline.
+    * State is bounded by (#open hours within lateness + 6) longs per
+    * type — fixed-size, watermark-evicted; out-of-order events within
+    * the lateness tolerance land in their open bucket before it
+    * finalizes, so the emitted verdicts equal the batch query on the
+    * same data (spec-pinned).
+    */
+  def anomalyStreaming(events: DataFrame, tsCol: String, typeCol: String,
+      lateness: String = "30 minutes"): Dataset[AnomalyRow] = {
+    import events.sparkSession.implicits._
+
+    def zOf(hist: Seq[Long], cnt: Long): (Option[Double], Long) = {
+      val n = hist.size.toLong
+      val s1 = hist.sum
+      val s2 = hist.map(c => c * c).sum
+      val disc = n * s2 - s1 * s1
+      if (disc > 0) {
+        val zRaw = (cnt * n - s1).toDouble / math.sqrt(disc.toDouble)
+        val z = BigDecimal(zRaw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (Some(z), if (math.abs(zRaw) > 3.0) 1L else 0L)
+      } else (None, 0L)
+    }
+
+    /** Finalize every open bucket the watermark has passed, oldest
+      * first; returns (emitted rows, advanced state). */
+    def drain(tpe: String, st: AnomalyState, wmMs: Long): (Seq[AnomalyRow], AnomalyState) = {
+      val (ripe, open) = st.open.partition { case (b, _) => b + BucketMillis <= wmMs }
+      val out = scala.collection.mutable.ArrayBuffer[AnomalyRow]()
+      var hist = st.hist
+      ripe.toSeq.sortBy(_._1).foreach { case (b, cnt) =>
+        val (z, alarm) = zOf(hist, cnt)
+        out += AnomalyRow(new Timestamp(b), tpe, cnt, hist.size.toLong, z, alarm)
+        hist = (hist :+ cnt).takeRight(6)
+      }
+      (out.toSeq, AnomalyState(open, hist))
+    }
+
+    events
+      .select(col(typeCol).as("event_type"), col(tsCol).as("ts"),
+        bucketOf(col(tsCol)).as("bucket"))
+      .withWatermark("ts", lateness)
+      .as[AnomalyEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (tpe: String, rows: Iterator[AnomalyEvent], state: GroupState[AnomalyState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st0 = state.getOption.getOrElse(AnomalyState(Map.empty, Seq.empty))
+          // finalize everything ripe BEFORE folding in new rows (new
+          // rows are ≥ watermark, so they only touch unripe buckets)
+          val (emitted, st1) = drain(tpe, st0, wm)
+          var open = st1.open
+          rows.foreach { e =>
+            val b = e.bucket.getTime
+            open = open.updated(b, open.getOrElse(b, 0L) + 1L)
+          }
+          val next = AnomalyState(open, st1.hist)
+          state.update(next)
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(open.keys.min + BucketMillis)
+          emitted.iterator
+      }
+  }
+
   /** Ingest-time Gopher quality gate — the streaming form of
     * text_gopher_rules: the rule battery is a pure map-side frame
     * function, so the IDENTICAL plan runs on the stream (stateless,

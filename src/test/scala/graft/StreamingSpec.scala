@@ -559,4 +559,36 @@ class StreamingSpec extends SparkSpec {
     assert(sql == "INSERT INTO tumbling (key, cnt, window_start, window_end) VALUES (?, ?, ?, ?) " +
       "ON CONFLICT (key, window_start, window_end) DO UPDATE SET cnt = EXCLUDED.cnt")
   }
+
+  test("streaming anomaly screen == batch trailing z-scores once flushed") {
+    implicit val sql = spark.sqlContext
+    val evts = Tables.load(spark, sf0001, "events")
+      .select($"event_type", $"ts").as[(String, Timestamp)].collect().toSeq
+      .sortBy(_._2.getTime) // in-order feed; lateness absorbs in-bucket ties
+    val in = MemoryStream[(String, Timestamp)]
+    val q = anomalyStreaming(in.toDF().toDF("event_type", "ts"), "ts", "event_type")
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("anom_out").start()
+    try {
+      val third = evts.size / 3
+      val (b1, rest) = evts.splitAt(third)
+      val (b2, b3) = rest.splitAt(third)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      in.addData(b3); q.processAllAvailable()
+      // advance the watermark far past every real bucket to flush them
+      val flushTs = new Timestamp(evts.map(_._2.getTime).max + 3L * 24 * 3600 * 1000)
+      in.addData(("zz_flush", flushTs)); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]), r.getLong(5))
+      val streamed = spark.table("anom_out")
+        .filter($"event_type" =!= "zz_flush").collect().map(key).toSet
+      val batch = graft.queries.EventQueries.queries("q_hourly_anomaly")(spark, sf0001)
+        .collect().map(key).toSet
+      assert(batch.nonEmpty && batch.exists(_._5.isDefined))
+      assert(streamed == batch,
+        s"only-streamed=${streamed diff batch} only-batch=${batch diff streamed}")
+    } finally q.stop()
+  }
 }
