@@ -295,6 +295,89 @@ object RelationalQueries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    // zero-order customers. Written scale-first: orders pre-aggregate
+    // to one (custkey, count) row BEFORE the outer join — the shuffle
+    // carries map-side-combined partials, never raw order rows — and
+    // the orderless bucket comes from coalescing the unmatched side.
+    // The naive outer-join-then-count formulation shuffles the whole
+    // fact table; at 100 TB that difference is the whole game.
+    "q13_customer_orders_dist" -> ((s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      t(s, dir, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q14 shape: conditional aggregation (promo revenue share)
+    // over a month of shipments — CASE inside the sum, one broadcast
+    // dim join, scalar output. The month predicate sits on the scan
+    // (timestamp pushdown); the part side broadcasts, so the fact
+    // table streams once with no shuffle at all (global agg = one
+    // partial per task + driver-side final).
+    "q14_promo_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+      val part = t(s, dir, "part")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .agg(
+          round(coalesce(
+            lit(100.0) * sum(when(col("p_type") === "PROMO", rev)) / sum(rev),
+            lit(0.0)), 2).as("promo_pct"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — aggregate lineitem per
+    // order, threshold on the SUM (a HAVING subquery), then join the
+    // survivors back to orders + customer. The quantity aggregate is
+    // map-side combined on the natural join key, so the threshold
+    // prunes to a tiny survivor set BEFORE any wide row moves; the
+    // customer dim broadcasts onto it; top-k is TakeOrderedAndProject.
+    "q18_large_volume" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(sum(col("l_quantity")).as("tq"))
+        .filter(col("tq") > 150)
+      val ord = t(s, dir, "orders")
+      t(s, dir, "customer").join(ord, col("c_custkey") === ord("o_custkey"))
+        .join(big, ord("o_orderkey") === col("k"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), round(col("tq"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q19 shape: disjunctive (OR-of-ANDs) brand/size/quantity
+    // predicate blocks as the join condition. Catalyst extracts the
+    // common l_partkey = p_partkey equi-conjunct, so this plans as a
+    // broadcast HASH join with the disjunction as a post-join filter —
+    // never a nested-loop over the fact table — and the per-side
+    // conjuncts (quantity bounds on lineitem) are pushed to the scans.
+    // Sum coalesced so the empty-match corpus still yields the one
+    // deterministic scalar row.
+    "q19_discounted_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      val blocks =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey") && blocks)
+        .agg(
+          round(coalesce(
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), lit(0.0)
+          ), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // lead/lag analytics: average inter-event gap per type (event-time
     // sequence analysis over the stream table). Uses the chunked lag
     // operator — a plain per-key OVER serializes each of the 5 event
@@ -691,6 +774,44 @@ object RelationalQueries {
         |FROM lineitem l1
         |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
         |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+
+    "q13_customer_orders_dist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT round(CAST(coalesce(
+        |         100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                          THEN l_extendedprice * (1 - l_discount) END)
+        |         / sum(l_extendedprice * (1 - l_discount)), 0.0) AS DOUBLE), 2) AS promo_pct,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate <  TIMESTAMP '1995-10-01'""".stripMargin,
+
+    "q18_large_volume" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        |       round(CAST(total_qty AS DOUBLE), 2) AS total_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_discounted_revenue" ->
+      """SELECT round(CAST(coalesce(
+        |         sum(l_extendedprice * (1 - l_discount)), 0.0) AS DOUBLE), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q_lag_gap" ->
       """WITH g AS (

@@ -33,6 +33,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q19's OR-of-ANDs join condition keeps the equi hash join, never a nested loop") {
+    val p = plan("q19_discounted_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q13 shuffles map-combined per-customer counts, not raw order rows") {
+    val p = plan("q13_customer_orders_dist")
+    assert(p.contains("partial_count"), p)
+  }
+
   test("grouped aggregates plan partial (map-side) + final hash aggregation") {
     val p = plan("q1_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
