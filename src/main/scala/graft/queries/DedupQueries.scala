@@ -259,6 +259,40 @@ object DedupQueries {
     // Output == brute-force pairs at τ=0.8 (recall ~1, see scaladoc).
     "dedup_minhash_lsh" -> ((s, dir) => lshVerifiedPairs(s, dir)),
 
+    // Candidate-generation audit — the dedup-family analogue of
+    // sim_recall_eval: for each candidate generator, how many pairs it
+    // proposed (n_candidates), how many survive exact verification
+    // (n_verified = candidates ∩ the exact τ=0.8 pair set), recall
+    // against that exact set, and candidate efficiency (verified /
+    // proposed — the fraction of verification work that wasn't wasted).
+    // This is the go/no-go measurement before trusting banding
+    // parameters on a new corpus: recall decay and efficiency collapse
+    // are both silent at scale. Counts are integer-exact equi-joins of
+    // tiny pair frames; registered rows-only because the LSH candidate
+    // set depends on murmur3 banding (not re-expressible in the
+    // oracle engine) — TextDedupSpec asserts recall = 1.0 for both
+    // generators on the harness corpus.
+    "dedup_candidate_audit" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val truth = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      Seq(
+        ("minhash_lsh", lshCandidates(sh)),
+        ("ppjoin", ppjoinCandidates(sh, tauNum = 4, tauDen = 5))
+      ).map { case (m, cands) =>
+        cands.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin( // 1-row scalar × 1-row scalar
+            cands.join(truth, Seq("doc_a", "doc_b"))
+              .agg(count(lit(1)).as("n_verified")))
+          .select(lit(m).as("method"), col("n_candidates"), col("n_verified"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(nTrue)) // one row per method × 1 scalar row
+        .withColumn("recall",
+          round(col("n_verified").cast("double") / col("n_true").cast("double"), 6))
+        .withColumn("efficiency",
+          round(col("n_verified").cast("double") / col("n_candidates").cast("double"), 6))
+    }),
+
     // INCREMENTAL near-dup — dedup an arriving batch against the
     // already-ingested corpus without re-pairing the corpus: the
     // continuous-crawl contract at 100 TB, where corpus×corpus is

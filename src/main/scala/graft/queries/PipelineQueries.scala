@@ -177,6 +177,34 @@ object PipelineQueries {
           col("c_mktsegment"),
           (floor(col("c_acctbal") / 1000) * 1000).cast("long").as("bal_bucket"))),
 
+    // Pattern-based PII redaction — the free-text counterpart of
+    // pipeline_pseudonymize (which handles keyed/structured columns):
+    // emails, then IPv4 addresses, then phone-like digit runs are
+    // replaced with typed placeholders, in that order (IP before phone
+    // so a dotted quad is never half-eaten by the looser phone
+    // pattern). Counts come from the intermediate texts for the same
+    // reason — each match is counted under exactly one category.
+    // Entirely map-side regex codegen — streams at scan speed at
+    // 100 TB. The patterns avoid alternation/backrefs so Java regex
+    // (Spark) and RE2 (DuckDB) agree; on the harness corpus (no
+    // digits, no '@') the rewrite is the identity and the oracle
+    // hash-checks that nothing is over-redacted. PipelineSpec proves
+    // the positive path on a fixture corpus with planted PII.
+    "pipeline_redact_pii" -> ((s, dir) => {
+      import graft.ops.Redact._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("t1", regexp_replace(col("text"), emailRe, "<EMAIL>"))
+        .withColumn("t2", regexp_replace(col("t1"), ipv4Re, "<IP>"))
+        .select(
+          col("doc_id"), col("source"),
+          regexp_replace(col("t2"), phoneRe, "<PHONE>").as("text_redacted"),
+          (size(regexp_extract_all(col("text"), lit(emailRe), lit(0))) +
+            size(regexp_extract_all(col("t1"), lit(ipv4Re), lit(0))) +
+            size(regexp_extract_all(col("t2"), lit(phoneRe), lit(0))))
+            .cast("long").as("n_redactions"))
+    }),
+
     // deterministic train/val/test split — the step between cleaning
     // and training. Assignment hashes the STABLE document id (the
     // rolling polynomial hash shared with text_fingerprint), never a
@@ -693,6 +721,26 @@ object PipelineQueries {
         |       c_mktsegment,
         |       CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_bucket
         |FROM customer""".stripMargin,
+
+    // same patterns and application order as graft.ops.Redact; RE2 and
+    // Java regex agree on these (no alternation/backrefs/lookaround).
+    // DuckDB regexp_replace needs 'g' for Spark's replace-all default.
+    "pipeline_redact_pii" ->
+      """WITH s1 AS (
+        |  SELECT doc_id, source, text,
+        |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                        '<EMAIL>', 'g') AS t1
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT doc_id, source, text, t1,
+        |         regexp_replace(t1, '\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IP>', 'g') AS t2
+        |  FROM s1)
+        |SELECT doc_id, source,
+        |       regexp_replace(t2, '\+?\d[\d().\s-]{7,}\d', '<PHONE>', 'g') AS text_redacted,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |          + len(regexp_extract_all(t1, '\b\d{1,3}(?:\.\d{1,3}){3}\b'))
+        |          + len(regexp_extract_all(t2, '\+?\d[\d().\s-]{7,}\d')) AS BIGINT) AS n_redactions
+        |FROM s2""".stripMargin,
 
     // same rolling polynomial hash as the text_fingerprint oracle,
     // applied to the decimal doc_id string

@@ -235,6 +235,51 @@ class TextDedupSpec extends SparkSpec {
     assert(out.except(slice).isEmpty && slice.except(out).isEmpty)
   }
 
+  test("candidate audit: both generators at full recall, sane efficiency") {
+    val rows = DedupQueries.queries("dedup_candidate_audit")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("minhash_lsh", "ppjoin"), rows.keySet)
+    rows.foreach { case (m, r) =>
+      val (nc, nv, nt) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nt > 0, "empty truth set makes the audit vacuous")
+      // both generators are recall-lossless on this corpus: LSH by the
+      // banding guarantee at the harness similarity gap (asserted
+      // against brute force above), PPJoin structurally
+      assert(r.getDouble(4) == 1.0, s"$m recall=${r.getDouble(4)}")
+      assert(nv <= nc, s"$m verified $nv > candidates $nc")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, s"$m efficiency")
+    }
+  }
+
+  test("PII redaction: planted emails/IPs/phones replaced once each, harness corpus untouched") {
+    import graft.ops.Redact._
+    val docs = Seq(
+      (1L, "contact john.doe+x@example.org or admin@sub.example.co today"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255."),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "clean text with no pii at all"),
+      (5L, "mixed: a@b.io via 8.8.8.8 tel 555-867-5309")).toDF("doc_id", "text")
+    val out = docs
+      .withColumn("t1", regexp_replace($"text", emailRe, "<EMAIL>"))
+      .withColumn("t2", regexp_replace($"t1", ipv4Re, "<IP>"))
+      .select($"doc_id",
+        regexp_replace($"t2", phoneRe, "<PHONE>").as("red"),
+        (size(regexp_extract_all($"text", lit(emailRe), lit(0))) +
+          size(regexp_extract_all($"t1", lit(ipv4Re), lit(0))) +
+          size(regexp_extract_all($"t2", lit(phoneRe), lit(0)))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("contact <EMAIL> or <EMAIL> today", 2L)), out(1L))
+    assert(out(2L) == (("server at <IP> and <IP>.", 2L)), out(2L))
+    assert(out(3L) == (("call <PHONE> now", 1L)), out(3L))
+    assert(out(4L) == (("clean text with no pii at all", 0L)), out(4L))
+    assert(out(5L) == (("mixed: <EMAIL> via <IP> tel <PHONE>", 3L)), out(5L))
+    // the harness corpus has no digits or '@': the registered query
+    // must be the identity rewrite (the oracle hash-checks the same)
+    val reg = graft.queries.PipelineQueries
+      .queries("pipeline_redact_pii")(spark, sf0001)
+    assert(reg.filter(col("n_redactions") =!= 0L).count() == 0)
+  }
+
   test("unigram rarity matches a driver-side fixed-point reimplementation") {
     val out = graft.queries.TextQueries.queries("text_unigram_rarity")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
