@@ -277,8 +277,11 @@ object DedupQueries {
       val truth = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
       Seq(
-        ("minhash_lsh", lshCandidates(sh)),
-        ("ppjoin", ppjoinCandidates(sh, tauNum = 4, tauDen = 5))
+        // persisted: each candidate frame (tiny pair set) feeds BOTH the
+        // count aggregate and the verification join, and the plan-cache
+        // match lets dedup_minhash_lsh / ngram verification reuse them
+        ("minhash_lsh", lshCandidates(sh).persist()),
+        ("ppjoin", ppjoinCandidates(sh, tauNum = 4, tauDen = 5).persist())
       ).map { case (m, cands) =>
         cands.agg(count(lit(1)).as("n_candidates"))
           .crossJoin( // 1-row scalar × 1-row scalar
