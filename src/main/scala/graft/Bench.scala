@@ -148,6 +148,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(graft.model.Tables.nanosConf, "true")
+      .config(graft.model.Tables.ntzConf, "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up the session (JVM/codegen/FS init) so the first timed query
@@ -229,9 +230,15 @@ object Bench {
     }
 
     emit(partial = stopped)
+    // a run with any failed query (-1 sentinel) must not look green to
+    // exit-code-keyed consumers (round 5 shipped rc=0 + "[success]"
+    // around a -1 headline); the JSON line is already printed, so the
+    // artifact survives the non-zero exit
+    val anyFailed = snapshot().exists(_._3 < 0)
     if (!stopped) {
       graft.model.Tables.clearCaches(spark) // release library-pinned frames/memos
       spark.stop()
     }
+    if (anyFailed) sys.exit(1)
   }
 }

@@ -29,6 +29,7 @@ object Run {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(graft.model.Tables.nanosConf, "true")
+      .config(graft.model.Tables.ntzConf, "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)

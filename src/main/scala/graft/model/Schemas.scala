@@ -72,17 +72,31 @@ object Tables {
     */
   val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** Naive (isAdjustedToUTC=false) parquet timestamps surface as
+    * TIMESTAMP_NTZ under Spark 4's `inferTimestampNTZ` default, but the
+    * engine's time arithmetic (`unix_micros`, range frames, lag
+    * chunking) and the proven oracle chain are TIMESTAMP-typed — round
+    * 5's generator switch from TIMESTAMP(NANOS) to naive micros broke
+    * every `unix_micros(ts)` call site with a type error. Disabling the
+    * inference reads naive parquet timestamps as TIMESTAMP directly
+    * (identical epoch micros under the UTC sessions every graft entry
+    * point builds), with no cast node in the plan — a cast wrapper
+    * would block timestamp predicate pushdown at the scan. */
+  val ntzConf = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
   /** Load one driver-generated parquet table from an sf directory.
     *
-    * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL). We read nanos as
-    * a long (legacy conf, see [[nanosConf]]) and truncate to microsecond
-    * TimestampType — lossless here: the generator emits
-    * microsecond-precision values.
+    * Tolerates both timestamp encodings the harness generator has used:
+    * TIMESTAMP(NANOS) (read as long via [[nanosConf]], truncated to
+    * microsecond TimestampType — lossless, the generator emits
+    * microsecond values) and naive micros (read as TIMESTAMP via
+    * [[ntzConf]]).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (!spark.conf.getOption(nanosConf).contains("true"))
       spark.conf.set(nanosConf, "true")
+    if (!spark.conf.getOption(ntzConf).contains("false"))
+      spark.conf.set(ntzConf, "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>

@@ -13,6 +13,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(graft.model.Tables.nanosConf, "true")
+      .config(graft.model.Tables.ntzConf, "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
