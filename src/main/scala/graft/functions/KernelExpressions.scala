@@ -111,6 +111,65 @@ object KernelExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Element-wise 31-bit polynomial string hash of an array<string>:
+    * `h = fold(chars, 0, (h, c) => (h*31 + codepoint(c)) mod (2^31-1))`
+    * — the array form of [[graft.functions.TextFunctions.polyHash31]],
+    * one generated loop instead of an interpreted `aggregate` lambda
+    * per character. Engine-independent modular arithmetic: the same
+    * fold is expressible in the DuckDB oracle (`string_split` +
+    * `ascii` + `list_reduce`), which is why the MinHash base hash uses
+    * it instead of murmur3 — it makes LSH *candidate generation*
+    * (not just the verified pair set) replayable by the oracle.
+    * PolyHashSpec pins equality with the `aggregate`-built polyHash31
+    * column on the harness corpus plus unicode fixtures.
+    */
+  case class PolyHashArray(child: Expression)
+      extends UnaryExpression {
+    private val P = 2147483647L
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val n = xs.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val s = xs.getUTF8String(i).toString
+        var h = 0L
+        var k = 0
+        while (k < s.length) {
+          val cp = s.codePointAt(k)
+          h = (h * 31L + cp) % P
+          k += Character.charCount(cp)
+        }
+        out(i) = h
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val (i, n, s, h, k, cp, out) = (ctx.freshName("i"), ctx.freshName("n"),
+          ctx.freshName("s"), ctx.freshName("h"), ctx.freshName("k"),
+          ctx.freshName("cp"), ctx.freshName("out"))
+        s"""
+        int $n = $x.numElements();
+        long[] $out = new long[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          String $s = $x.getUTF8String($i).toString();
+          long $h = 0L;
+          int $k = 0;
+          while ($k < $s.length()) {
+            int $cp = $s.codePointAt($k);
+            $h = ($h * 31L + $cp) % ${P}L;
+            $k += Character.charCount($cp);
+          }
+          $out[$i] = $h;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);"""
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** SimHash over an array<long> of token hashes: bit b (0..bits-1) of
     * the result is set iff Σ_tokens (bit b of hash ? +1 : -1) > 0.
     * Matches `(h div 2^b) % 2` arithmetic of the oracle exactly
@@ -286,6 +345,9 @@ object KernelExpressions {
 
   def minhashSig(baseHashes: Column, as: Array[Long], bs: Array[Long]): Column =
     Bridge.column(MinHashSig(Bridge.expression(baseHashes), as, bs))
+
+  def polyHashArray(strings: Column): Column =
+    Bridge.column(PolyHashArray(Bridge.expression(strings)))
 
   def simhashBits(tokenHashes: Column, bits: Int): Column =
     Bridge.column(SimHashBits(Bridge.expression(tokenHashes), bits))

@@ -79,17 +79,21 @@ object TextFunctions {
 
   /** MinHash signature: for each of `perms` universal-hash permutations
     * `h_i(x) = (a_i * x + b_i) mod p`, the minimum over the shingle
-    * hashes. Shingles are first mapped to [0, 2^31) with murmur3
-    * (`hash()`, codegen'd); coefficients come from a fixed-seed LCG so
-    * signatures are deterministic across runs and executors.
+    * hashes. Shingles are first mapped to [0, 2^31-1) with the 31-bit
+    * polynomial hash ([[KernelExpressions.PolyHashArray]] — engine-
+    * independent arithmetic, so the DuckDB oracle can replay candidate
+    * generation itself, not just verify the final pair set); the
+    * universal-hash family on top smooths any base-hash bias.
+    * Coefficients come from a fixed-seed LCG so signatures are
+    * deterministic across runs, executors, and engines.
     *
     * Scale: O(perms × shingles) per document, map-side only — no
     * shuffle until the band explode.
     */
   def minhashSignature(shingles: Column, perms: Int = 64): Column = {
     val (as, bs) = minhashCoefficients(perms)
-    val h32 = transform(shingles, g => pmod(hash(g).cast("long"), lit(2147483648L)))
-    KernelExpressions.minhashSig(h32, as, bs) // empty shingle set → p sentinel
+    KernelExpressions.minhashSig(
+      KernelExpressions.polyHashArray(shingles), as, bs) // empty set → p sentinel
   }
 
   /** Deterministic LCG-derived (a, b) coefficient streams (seed fixed so
@@ -106,13 +110,21 @@ object TextFunctions {
     * collide in a band iff that band's signature slice matches exactly;
     * with 16 bands × 4 rows, P(collision) = 1-(1-j^4)^16 — ≈1 for
     * j ≥ 0.8, ≈0.04 for j = 0.2.
+    *
+    * The bucket is a 31-bit polynomial fold of the band's signature
+    * rows seeded with the band index — pure long arithmetic inside
+    * codegen, and (like the base hash) replayable in the DuckDB oracle.
+    * Collisions across DIFFERENT slices only add candidate pairs, which
+    * exact verification removes — correctness never depends on the
+    * bucket hash being injective.
     */
   def lshBands(signature: Column, perms: Int, bands: Int): Column = {
     val rows = perms / bands
     array((0 until bands).map { j =>
       struct(
         lit(j).as("band"),
-        hash(lit(j) +: (0 until rows).map(r => element_at(signature, j * rows + r + 1)): _*)
+        (0 until rows).foldLeft(lit(j.toLong): Column)((acc, r) =>
+          (acc * lit(31L) + element_at(signature, j * rows + r + 1)) % lit(2147483647L))
           .as("bucket"))
     }: _*)
   }

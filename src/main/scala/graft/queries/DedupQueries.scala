@@ -267,26 +267,30 @@ object DedupQueries {
     // proposed — the fraction of verification work that wasn't wasted).
     // This is the go/no-go measurement before trusting banding
     // parameters on a new corpus: recall decay and efficiency collapse
-    // are both silent at scale. Counts are integer-exact equi-joins of
-    // tiny pair frames; registered rows-only because the LSH candidate
-    // set depends on murmur3 banding (not re-expressible in the
-    // oracle engine) — TextDedupSpec asserts recall = 1.0 for both
-    // generators on the harness corpus.
+    // are both silent at scale. Fully oracle-checked: MinHash now
+    // builds on the 31-bit polynomial hash + LCG permutations (engine-
+    // independent arithmetic), so the DuckDB oracle replays BOTH
+    // candidate generators — signatures, band buckets, prefix filter —
+    // not just the verified pair set. Each candidate frame is consumed in ONE
+    // pass: a broadcast left join against the (tiny, persisted) exact
+    // pair set marks verified candidates, and a single aggregate counts
+    // proposed and verified together — no candidate-frame persist, no
+    // second materialization. (Round 5 persisted both candidate frames
+    // to share them across two aggregates each; the pinned frames
+    // outlived the query and evicted the caches the pipeline/sim
+    // families rely on — 186 s cold for this line, 7× warm regressions
+    // elsewhere.)
     "dedup_candidate_audit" -> ((s, dir) => {
       val sh = shingled(s, dir)
-      val truth = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+      val truth = ngramJaccardPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("_t"))
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
       Seq(
-        // persisted: each candidate frame (tiny pair set) feeds BOTH the
-        // count aggregate and the verification join, and the plan-cache
-        // match lets dedup_minhash_lsh / ngram verification reuse them
-        ("minhash_lsh", lshCandidates(sh).persist()),
-        ("ppjoin", ppjoinCandidates(sh, tauNum = 4, tauDen = 5).persist())
+        ("minhash_lsh", lshCandidates(sh)),
+        ("ppjoin", ppjoinCandidates(sh, tauNum = 4, tauDen = 5))
       ).map { case (m, cands) =>
-        cands.agg(count(lit(1)).as("n_candidates"))
-          .crossJoin( // 1-row scalar × 1-row scalar
-            cands.join(truth, Seq("doc_a", "doc_b"))
-              .agg(count(lit(1)).as("n_verified")))
+        cands.join(broadcast(truth), Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_candidates"), count(col("_t")).as("n_verified"))
           .select(lit(m).as("method"), col("n_candidates"), col("n_verified"))
       }.reduce(_ unionByName _)
         .crossJoin(broadcast(nTrue)) // one row per method × 1 scalar row
@@ -664,7 +668,93 @@ object DedupQueries {
     s"""$survivorsCcCtes
        |SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src""".stripMargin
 
+  /** 31-bit polynomial string hash as a DuckDB lambda body — identical
+    * fold to [[graft.functions.KernelExpressions.PolyHashArray]] /
+    * polyHash31 (the simhash oracle proved the idiom's cross-engine
+    * parity on this corpus). */
+  private def polyFoldSql(v: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($v,''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % 2147483647)""".stripMargin
+
+  /** The engine's fixed-seed MinHash permutation coefficients as a SQL
+    * VALUES list — single source ([[graft.functions.TextFunctions
+    * .minhashCoefficients]]), so the oracle can never drift from the
+    * engine. */
+  private val minhashPermsSql: String = {
+    val (as, bs) = graft.functions.TextFunctions.minhashCoefficients(64)
+    (0 until 64).map(i => s"(${i}, ${as(i)}, ${bs(i)})").mkString(", ")
+  }
+
+  /** Full candidate-generation replay: trigram shingles → polynomial
+    * base hashes → 64 LCG-permutation MinHash signature → 16 band
+    * buckets (polynomial fold, band-index seed) → bucket-collision
+    * pairs; plus the PPJoin prefix-filtered candidates (document-
+    * frequency prefix order, integer threshold arithmetic) — exactly
+    * the plans of [[lshCandidates]] / [[ppjoinCandidates]]. */
+  private val candidateAuditSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
+       |  FROM documents),
+       |tf AS (SELECT doc_id, g FROM t WHERE len(g) > 0),
+       |hh AS (
+       |  SELECT doc_id, list_transform(g, s -> ${polyFoldSql("s")}) h
+       |  FROM tf),
+       |perms AS (SELECT * FROM (VALUES $minhashPermsSql) AS v(i, a, b)),
+       |sig AS (
+       |  SELECT doc_id, p.i,
+       |         list_min(list_transform(hh.h,
+       |           x -> (CAST(p.a AS BIGINT) * x + CAST(p.b AS BIGINT)) % 2147483647)) s
+       |  FROM hh CROSS JOIN perms p),
+       |sl AS (SELECT doc_id, list(s ORDER BY i) sg FROM sig GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, bj.j,
+       |         list_reduce(list_prepend(CAST(bj.j AS BIGINT),
+       |           list_transform(range(1, 5), r -> sg[CAST(bj.j * 4 + r AS INTEGER)])),
+       |           (x, y) -> (x * 31 + y) % 2147483647) bucket
+       |  FROM sl CROSS JOIN (SELECT unnest(range(0, 16)) j) bj),
+       |lshc AS (
+       |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |ex AS (SELECT doc_id, len(g) n, unnest(g) s FROM tf),
+       |freq AS (SELECT s, count(*) df FROM ex GROUP BY s),
+       |pre AS (
+       |  SELECT s, doc_id, n FROM (
+       |    SELECT ex.s, ex.doc_id, ex.n,
+       |           row_number() OVER (PARTITION BY ex.doc_id ORDER BY f.df, ex.s) rk
+       |    FROM ex JOIN freq f ON ex.s = f.s) q
+       |  WHERE rk <= n - ((n * 4 + 4) // 5) + 1),
+       |ppc AS (
+       |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  WHERE greatest(a.n, b.n) * 4 <= least(a.n, b.n) * 5),
+       |tr AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE len(a.g) > 0 AND len(b.g) > 0
+       |    AND CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
+       |        (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) >= 0.8),
+       |aud AS (
+       |  SELECT 'minhash_lsh' AS method,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM lshc) AS n_candidates,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM lshc c
+       |            JOIN tr ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b) AS n_verified
+       |  UNION ALL
+       |  SELECT 'ppjoin',
+       |         (SELECT CAST(count(*) AS BIGINT) FROM ppc),
+       |         (SELECT CAST(count(*) AS BIGINT) FROM ppc c
+       |            JOIN tr ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b))
+       |SELECT method, n_candidates, n_verified,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_true,
+       |       round(CAST(n_verified AS DOUBLE)
+       |             / CAST((SELECT count(*) FROM tr) AS DOUBLE), 6) AS recall,
+       |       round(CAST(n_verified AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6) AS efficiency
+       |FROM aud""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_candidate_audit" -> candidateAuditSql,
     "dedup_common_spans" ->
       s"""WITH t AS (
          |  SELECT doc_id, $spanListSql spans FROM documents),

@@ -104,7 +104,7 @@ object StreamingJobs {
 
   /** One banded LSH row for the streaming near-dup operator; `ts` is
     * the document's event time (drives the retention watermark). */
-  case class BucketDoc(doc_id: Long, band: Int, bucket: Int, ts: Timestamp)
+  case class BucketDoc(doc_id: Long, band: Int, bucket: Long, ts: Timestamp)
 
   /** One near-duplicate candidate pair (doc_a < doc_b). */
   case class CandPair(doc_a: Long, doc_b: Long)
@@ -148,7 +148,7 @@ object StreamingJobs {
       .withWatermark("ts", retention)
       .groupByKey(b => (b.band, b.bucket))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: (Int, Int), rows: Iterator[BucketDoc], state: GroupState[Set[Long]]) =>
+        (_: (Int, Long), rows: Iterator[BucketDoc], state: GroupState[Set[Long]]) =>
           if (state.hasTimedOut) {
             state.remove() // watermark passed newest member + retention
             Iterator.empty

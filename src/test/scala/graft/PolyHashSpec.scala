@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.KernelExpressions
+import graft.functions.TextFunctions._
+import graft.model.Tables
+
+/** Pins the codegen'd [[KernelExpressions.PolyHashArray]] kernel to the
+  * `aggregate`-built [[polyHash31]] fold it replaces — the MinHash base
+  * hash rides on this equality, and the DuckDB candidate-audit oracle
+  * rides on polyHash31's already-proven cross-engine parity (simhash
+  * family). Any drift between the three would silently change LSH
+  * candidate sets.
+  */
+class PolyHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kernelVsAggregate(df: org.apache.spark.sql.DataFrame): Long =
+    df.select(
+        KernelExpressions.polyHashArray($"g").as("k"),
+        transform($"g", s => polyHash31(s)).as("a"))
+      .filter(not($"k" <=> $"a"))
+      .count()
+
+  test("PolyHashArray == polyHash31 on synthetic strings incl. unicode") {
+    val rows = Seq(
+      Seq("a", "ab", "abc", "a b c", "", " ", "zz zz zz"),
+      Seq("日本語 テスト 行", "café au lait", "ключ слово тест"),
+      Seq("mixed 日本 ascii", "1 2 3", "!@# $%^ &*(")
+    ).toDF("g")
+    assert(kernelVsAggregate(rows) == 0)
+  }
+
+  test("PolyHashArray == polyHash31 on the harness corpus trigrams") {
+    val sh = Tables.load(spark, sf0001, "documents")
+      .select(KernelExpressions.sortedNgramSet(tokens($"text"), 3).as("g"))
+    assert(kernelVsAggregate(sh) == 0)
+  }
+
+  test("minhash signature values stay in [0, p) with p sentinel on empty") {
+    val sig = Seq(Seq("a b c", "b c d"), Seq.empty[String])
+      .toDF("g")
+      .select(minhashSignature($"g", 64).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sig(0).forall(v => v >= 0L && v < 2147483647L))
+    assert(sig(1).forall(_ == 2147483647L))
+  }
+}
