@@ -63,6 +63,9 @@ object GraftFunctions {
     ("graft_simhash",
       info("graft_simhash", "graft_simhash(token_hashes) - 31-bit SimHash signature from an array<long> of token hashes"),
       (es: Seq[Expression]) => KernelExpressions.SimHashBits(es(0), bits = 31)),
+    ("graft_polyhash",
+      info("graft_polyhash", "graft_polyhash(strings) - element-wise 31-bit polynomial hash of an array<string> (the MinHash base hash)"),
+      (es: Seq[Expression]) => KernelExpressions.PolyHashArray(es(0))),
     ("graft_minhash",
       info("graft_minhash", "graft_minhash(base_hashes, perms) - MinHash signature (library-fixed LCG coefficients); perms literal"),
       (es: Seq[Expression]) => {

@@ -50,9 +50,8 @@ class ExtensionsSpec extends SparkSpec {
     assert(sqlSim == apiSim)
 
     val sqlMin = spark.sql(
-      """SELECT doc_id, graft_minhash(transform(
-        |  graft_ngram_set(split(text, ' '), 3),
-        |  g -> pmod(cast(hash(g) AS BIGINT), 2147483648L)), 64) AS sig
+      """SELECT doc_id, graft_minhash(
+        |  graft_polyhash(graft_ngram_set(split(text, ' '), 3)), 64) AS sig
         |FROM ext_sim_docs""".stripMargin).as[(Long, Seq[Long])].collect().toMap
     val apiMin = docs.select($"doc_id",
         graft.functions.TextFunctions.minhashSignature(

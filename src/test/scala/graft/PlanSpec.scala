@@ -67,6 +67,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bucket"), p)
   }
 
+  test("candidate audit: generators stay equi-joins; truth marker joins via broadcast") {
+    val p = plan("dedup_candidate_audit")
+    // the only non-equi join allowed is the 1-row scalar n_true
+    // crossJoin (BroadcastNestedLoopJoin over a single aggregate row)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("IVF ANN candidates come from an equi-join on the bucket id") {
     val p = plan("sim_ann_ivf")
     assert(!p.contains("CartesianProduct"), p)
