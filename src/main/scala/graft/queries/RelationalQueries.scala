@@ -567,6 +567,53 @@ object RelationalQueries {
           .otherwise(0L)).as("n_clicks_30m"))
     }),
 
+    // as-of join, DE-SKEWED: each purchase matched to the LATEST click
+    // at-or-before it for the same user. q_asof_join is the union-merge
+    // form — one window per join key, which serializes a hot key into
+    // a single sorted task. This variant is the low-key-cardinality /
+    // hot-key scale shape (the lagUsChunked idea applied to as-of):
+    // union both sides, partition by (user, 30-min time chunk) so
+    // parallelism scales with the time span, take the running max
+    // click time inside the chunk (clicks sort before purchases at
+    // equal timestamps, making the match at-or-before inclusive), and
+    // carry the latest earlier-chunk click in via a chunk-level frame
+    // (one row per non-empty (user, chunk), joined back broadcast —
+    // rows ∝ active chunks, never events). DuckDB's native ASOF JOIN
+    // is the oracle.
+    "q_asof_join_chunked" -> ((s, dir) => {
+      val chunkUs = 30L * 60 * 1000000
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          lit(0).as("kind"), lit(null).cast("long").as("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          lit(1).as("kind"), col("event_id"))
+      val u = clicks.unionByName(purchases)
+        .withColumn("_chk", floor(col("us") / chunkUs))
+      // chunk-level carry: latest click time in any EARLIER chunk
+      // (max over prior non-empty chunks; nulls — chunks with no
+      // clicks — are ignored by max, exactly "latest earlier click")
+      val chunkAgg = u.groupBy(col("user_id").as("_cu"), col("_chk").as("_cchk"))
+        .agg(max(when(col("kind") === 0, col("us"))).as("_cmax"))
+      val wPrev = Window.partitionBy(col("_cu")).orderBy(col("_cchk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = chunkAgg
+        .withColumn("_carry", max(col("_cmax")).over(wPrev))
+        .drop("_cmax")
+      val wIn = Window.partitionBy(col("user_id"), col("_chk"))
+        .orderBy(col("us"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      u.withColumn("_inchunk", max(when(col("kind") === 0, col("us"))).over(wIn))
+        .filter(col("kind") === 1)
+        .join(broadcast(carry),
+          col("user_id") === col("_cu") && col("_chk") === col("_cchk"), "left")
+        .select(col("event_id"), col("user_id"),
+          col("us").as("purchase_us"),
+          coalesce(col("_inchunk"), col("_carry")).as("click_us"),
+          (col("us") - coalesce(col("_inchunk"), col("_carry"))).as("gap_us"))
+    }),
+
     // bloom-pruned big-big join: revenue of lineitems belonging to
     // URGENT orders. The orders side is too large to broadcast at
     // scale, so the join is shuffle-hash/sort-merge — and a Bloom
@@ -905,6 +952,19 @@ object RelationalQueries {
         | AND epoch_us(c.ts) < epoch_us(p.ts)
         |WHERE p.event_type = 'purchase'
         |GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB's native ASOF JOIN picks the greatest c.ts <= p.ts —
+    // the exact semantics the chunked formulation reimplements
+    "q_asof_join_chunked" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.pus AS purchase_us,
+        |       c.cus AS click_us, p.pus - c.cus AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.pus >= c.cus""".stripMargin,
 
     // plain join: the bloom prune must not change the result
     "q_bloom_join" ->

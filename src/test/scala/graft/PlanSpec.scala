@@ -67,6 +67,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bucket"), p)
   }
 
+  test("chunked as-of join windows on (user, chunk) and broadcasts the carry frame") {
+    val p = plan("q_asof_join_chunked")
+    assert(p.contains("_chk"), p) // de-skew chunk column reaches the window spec
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("candidate audit: generators stay equi-joins; truth marker joins via broadcast") {
     val p = plan("dedup_candidate_audit")
     // the only non-equi join allowed is the 1-row scalar n_true

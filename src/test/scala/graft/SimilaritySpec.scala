@@ -121,7 +121,7 @@ class SimilaritySpec extends SparkSpec {
     val out = SimilarityQueries.queries("sim_recall_eval")(spark, sf0001).collect()
     assert(out.map(_.getString(0)).sorted.toSeq ==
       Seq("sim_ann_binary", "sim_ann_int8", "sim_ann_ivf", "sim_ann_ivfpq",
-        "sim_ann_lsh", "sim_ann_pq"))
+        "sim_ann_lsh", "sim_ann_lsh_multiprobe", "sim_ann_pq"))
     out.foreach { r =>
       val (hits, total, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
       assert(total == 50L, r)
@@ -132,6 +132,9 @@ class SimilaritySpec extends SparkSpec {
     // already bound: PQ and IVF are tuned to ≥ 0.8 on this corpus
     val byM = out.map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(byM("sim_ann_pq") >= 0.8 && byM("sim_ann_ivf") >= 0.8, byM)
+    // multi-probe exists to beat single-probe: 37 Hamming≤2 probes
+    // must strictly dominate the 1-probe recall on this corpus
+    assert(byM("sim_ann_lsh_multiprobe") > byM("sim_ann_lsh"), byM)
   }
 
   test("hyperplane LSH: deterministic planes, candidates share buckets") {
