@@ -228,6 +228,48 @@ object Windows {
       .drop("_ck", "_cchk", "_carry", "_chk")
   }
 
+  /** De-skewed as-of match: each `probe` row (key, us, id) matched to
+    * the latest `build` row (key, us) with build.us <= probe.us — the
+    * point-in-time join, chunked like [[lagUsChunked]] so parallelism
+    * scales with the time span instead of the key cardinality:
+    *
+    *  1. union both sides tagged (build kind 0 sorts before probe
+    *     kind 1 at equal `us`, making the match at-or-before INCLUSIVE);
+    *  2. within each (key, chunk) a running `max(build us)` window
+    *     answers probes whose match is in their own chunk;
+    *  3. a chunk-level frame (one row per non-empty (key, chunk) —
+    *     rows ∝ active chunks, never events) carries the latest
+    *     EARLIER-chunk build time in, joined back broadcast; `max`
+    *     ignoring nulls skips build-less chunks.
+    *
+    * Output: key, id, us, asof_us (null when no build row at-or-before).
+    * Oracle: DuckDB native ASOF JOIN (q_asof_join_chunked); crafted
+    * edge cases (equal ts, empty-chunk carry, no prior build) pinned in
+    * WindowsSpec.
+    */
+  def asofUsChunked(probe: DataFrame, build: DataFrame, chunkUs: Long): DataFrame = {
+    val u = build.select(col("key"), col("us"), lit(0).as("kind"),
+        lit(null).cast("long").as("id"))
+      .unionByName(probe.select(col("key"), col("us"), lit(1).as("kind"), col("id")))
+      .withColumn("_chk", floor(col("us") / chunkUs))
+    val chunkAgg = u.groupBy(col("key").as("_ck"), col("_chk").as("_cchk"))
+      .agg(max(when(col("kind") === 0, col("us"))).as("_cmax"))
+    val wPrev = Window.partitionBy(col("_ck")).orderBy(col("_cchk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = chunkAgg
+      .withColumn("_carry", max(col("_cmax")).over(wPrev))
+      .drop("_cmax")
+    val wIn = Window.partitionBy(col("key"), col("_chk"))
+      .orderBy(col("us"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("_inchunk", max(when(col("kind") === 0, col("us"))).over(wIn))
+      .filter(col("kind") === 1)
+      .join(broadcast(carry),
+        col("key") === col("_ck") && col("_chk") === col("_cchk"), "left")
+      .select(col("key"), col("id"), col("us"),
+        coalesce(col("_inchunk"), col("_carry")).as("asof_us"))
+  }
+
   /** Session windows: events within `gap` of the previous event (per
     * key) share a session; bounds are [min ts, max ts + gap). Not in
     * the reference's surface (SURVEY.md §2 coverage notes list session

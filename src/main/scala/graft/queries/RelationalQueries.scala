@@ -581,37 +581,17 @@ object RelationalQueries {
     // rows ∝ active chunks, never events). DuckDB's native ASOF JOIN
     // is the oracle.
     "q_asof_join_chunked" -> ((s, dir) => {
-      val chunkUs = 30L * 60 * 1000000
       val ev = Tables.load(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), unix_micros(col("ts")).as("us"),
-          lit(0).as("kind"), lit(null).cast("long").as("event_id"))
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("us"),
-          lit(1).as("kind"), col("event_id"))
-      val u = clicks.unionByName(purchases)
-        .withColumn("_chk", floor(col("us") / chunkUs))
-      // chunk-level carry: latest click time in any EARLIER chunk
-      // (max over prior non-empty chunks; nulls — chunks with no
-      // clicks — are ignored by max, exactly "latest earlier click")
-      val chunkAgg = u.groupBy(col("user_id").as("_cu"), col("_chk").as("_cchk"))
-        .agg(max(when(col("kind") === 0, col("us"))).as("_cmax"))
-      val wPrev = Window.partitionBy(col("_cu")).orderBy(col("_cchk"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val carry = chunkAgg
-        .withColumn("_carry", max(col("_cmax")).over(wPrev))
-        .drop("_cmax")
-      val wIn = Window.partitionBy(col("user_id"), col("_chk"))
-        .orderBy(col("us"), col("kind"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      u.withColumn("_inchunk", max(when(col("kind") === 0, col("us"))).over(wIn))
-        .filter(col("kind") === 1)
-        .join(broadcast(carry),
-          col("user_id") === col("_cu") && col("_chk") === col("_cchk"), "left")
-        .select(col("event_id"), col("user_id"),
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
+          col("event_id").as("id"))
+      graft.ops.Windows.asofUsChunked(purchases, clicks, chunkUs = 30L * 60 * 1000000)
+        .select(col("id").as("event_id"), col("key").as("user_id"),
           col("us").as("purchase_us"),
-          coalesce(col("_inchunk"), col("_carry")).as("click_us"),
-          (col("us") - coalesce(col("_inchunk"), col("_carry"))).as("gap_us"))
+          col("asof_us").as("click_us"),
+          (col("us") - col("asof_us")).as("gap_us"))
     }),
 
     // bloom-pruned big-big join: revenue of lineitems belonging to

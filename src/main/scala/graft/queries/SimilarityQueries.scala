@@ -32,7 +32,7 @@ object SimilarityQueries {
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .persist() // scanned as both query and corpus side of every ANN join
 
-  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+  private[graft] def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     dot(va, vb) / (na * nb)
 
   /** Memoized top-k result frames, keyed by (session, corpus dir,
@@ -715,7 +715,7 @@ object SimilarityQueries {
     * double-flip = 37 probes). One Scala source feeds both the engine's
     * explode list and the oracle's unnest literal, so the probe set
     * cannot drift between them. */
-  private[queries] val lshProbeDeltas: Seq[Long] =
+  private[graft] val lshProbeDeltas: Seq[Long] =
     (0L +: (0 until 8).map(i => 1L << i)) ++
       (for (i <- 0 until 8; j <- (i + 1) until 8) yield (1L << i) | (1L << j))
 

@@ -568,6 +568,54 @@ object StreamingJobs {
       .drop("_dim_rows")
   }
 
+  /** Online vector search: a stream of query vectors served against a
+    * FROZEN multiprobe-LSH index — the serving-time form of
+    * `sim_ann_lsh_multiprobe` (a vector store answering queries as
+    * they arrive, index built offline).
+    *
+    * The corpus is normalized and bucketed ONCE (deterministic
+    * hyperplanes — identical signatures to the batch index by
+    * construction) and persisted, so micro-batches probe the same
+    * in-memory index instead of re-hashing the corpus per trigger.
+    * Each arriving query hashes statelessly to its signature, explodes
+    * into the Hamming≤2 probe buckets
+    * ([[graft.queries.SimilarityQueries.lshProbeDeltas]] — the batch
+    * operator's exact delta list), and candidates come from the
+    * stream-static equi-join on the bucket with an exact-cosine score:
+    * no stream state at all, so throughput is bounded by the probe
+    * join alone. At 100 TB the bucketed corpus is a partitioned table
+    * and the same join shuffles the QUERY stream, never the corpus.
+    *
+    * Output (append): (query_id, neighbor_id, cos, ts) — every scored
+    * candidate for the arrival. Ranking to top-k is the consumer's
+    * sink-side step (a query's candidates land in one micro-batch);
+    * StreamingDedupSpec applies the shared ranking and proves equality
+    * with the batch operator's top-5.
+    */
+  def annSearchStreaming(queryStream: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.functions.KernelExpressions.dot
+    import graft.queries.SimilarityQueries
+    val planes = SimilarityQueries.hyperplanes(nPlanes = 8, dim = 64)
+    val idx = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vc"))
+      .withColumn("nc", sqrt(dot(col("vc"), col("vc"))))
+      .withColumn("probe", SimilarityQueries.lshBucket(col("vc"), planes))
+      .persist()
+    val q = queryStream
+      .select(col("query_id"), col("ts"),
+        transform(col("embedding"), x => x.cast("double")).as("vq"))
+      .withColumn("nq", sqrt(dot(col("vq"), col("vq"))))
+      .withColumn("bucket", SimilarityQueries.lshBucket(col("vq"), planes))
+      .withColumn("probe", explode(array(
+        SimilarityQueries.lshProbeDeltas.map(d => col("bucket").bitwiseXOR(lit(d))): _*)))
+    q.join(idx, Seq("probe"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(SimilarityQueries.cosine(col("vq"), col("vc"), col("nq"), col("nc")), 6))
+      .select("query_id", "neighbor_id", "cos", "ts")
+  }
+
   /** Stream-stream interval join: purchases matched to same-user
     * clicks in the trailing `frameSeconds` — the live form of the
     * batch bucketized interval join (RelationalQueries

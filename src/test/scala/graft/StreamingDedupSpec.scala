@@ -154,6 +154,41 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN search over the frozen index == batch multiprobe top-5") {
+    implicit val sql = spark.sqlContext
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val t0 = ts("2024-01-01 00:00:00")
+    val queries10 = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+      .map { case (id, v) => (id, v, t0) }
+    assert(queries10.size == 10)
+
+    val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val q = annSearchStreaming(
+        in.toDF().toDF("query_id", "embedding", "ts"), emb)
+      .writeStream.outputMode("append").format("memory").queryName("ann_out").start()
+    try {
+      val (b1, b2) = queries10.splitAt(5)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      // sink-side ranking: the shared top-5 rule over the streamed
+      // candidate set (a query's candidates land in one micro-batch)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy($"cos".desc, $"neighbor_id")
+      val streamed = spark.table("ann_out")
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select("query_id", "neighbor_id", "cos")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.queries.SimilarityQueries
+        .queries("sim_ann_lsh_multiprobe")(spark, sf0001)
+        .select("query_id", "neighbor_id", "cos")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"diff=${(streamed diff batch) ++ (batch diff streamed)}")
+    } finally q.stop()
+  }
+
   test("streaming DSIR scoring against a frozen index == batch weights") {
     implicit val sql = spark.sqlContext
     val d = Tables.load(spark, sf0001, "documents")

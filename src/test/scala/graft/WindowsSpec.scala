@@ -106,6 +106,42 @@ class WindowsSpec extends SparkSpec {
     assert(widest.exceptAll(tumble).isEmpty && tumble.exceptAll(widest).isEmpty)
   }
 
+  test("asofUsChunked: inclusive at equal ts, carries across empty chunks, null before first build") {
+    // chunk = 100 us. Probes per key 1:
+    //  id 10 @ us 50  — build @ 50 exists (equal ts → inclusive match)
+    //  id 11 @ us 250 — chunk 2 has no builds; latest earlier build is
+    //                   @ 60 in chunk 0, carried across EMPTY chunk 1
+    //  id 12 @ us 40  — before any build → null
+    // key 2 has no builds at all → null
+    val probe = Seq((1L, 50L, 10L), (1L, 250L, 11L), (1L, 40L, 12L), (2L, 99L, 20L))
+      .toDF("key", "us", "id")
+    val build = Seq((1L, 50L), (1L, 60L)).toDF("key", "us")
+    val out = Windows.asofUsChunked(probe, build, chunkUs = 100L)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out == Map(10L -> Some(50L), 11L -> Some(60L), 12L -> None, 20L -> None))
+  }
+
+  test("asofUsChunked == single-window as-of on the harness events") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("key"), unix_micros($"ts").as("us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("key"), unix_micros($"ts").as("us"), $"event_id".as("id"))
+    val chunked = Windows.asofUsChunked(purchases, clicks, chunkUs = 7L * 60 * 1000000)
+      .select("key", "id", "us", "asof_us")
+    // naive per-key form: union-merge with last(ignoreNulls) over one
+    // window per key — the q_asof_join shape, fine at test scale
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+      .orderBy($"us", $"kind").rowsBetween(Long.MinValue, 0)
+    val naive = clicks.select($"key", $"us", lit(0).as("kind"), lit(null).cast("long").as("id"))
+      .unionByName(purchases.select($"key", $"us", lit(1).as("kind"), $"id"))
+      .withColumn("asof_us", max(when($"kind" === 0, $"us")).over(w))
+      .filter($"kind" === 1)
+      .select("key", "id", "us", "asof_us")
+    assert(chunked.exceptAll(naive).isEmpty && naive.exceptAll(chunked).isEmpty)
+  }
+
   test("lastWindowPerKey keeps exactly one latest row per key") {
     val out = Windows.lastWindowPerKey(
       Windows.tumblingCount(tiny, $"t", $"k", "1 minute")).collect()
