@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -594,6 +594,56 @@ object RelationalQueries {
           (col("us") - col("asof_us")).as("gap_us"))
     }),
 
+    // Z-ORDER layout audit: would interleaved-bit clustering beat the
+    // default time-sorted file layout for point queries on a second
+    // dimension? The data-layout decision behind Delta/Iceberg
+    // OPTIMIZE ZORDER, measured instead of assumed: quantize
+    // (user_id, hour) to 8 bits each (min/max scalars broadcast),
+    // interleave the bits into a 16-bit z-value, split the corpus into
+    // 32 files by z-range (vs 32 files by time-range), collect per-file
+    // min/max of the user dimension — the stats a scan planner prunes
+    // with — and count, over 16 evenly-spread probe users, how many
+    // files a `user_id = ?` query must touch under each layout. Pure
+    // map + two tiny aggregates; at 100 TB this is the audit you run
+    // BEFORE rewriting petabytes into a new layout. The time-sorted
+    // layout spreads every user across all files (each probe touches
+    // ~32); z-order bounds each user to the files sharing its high
+    // bits — the measured gap is the operator's output.
+    "q_zorder_layout" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("hr", floor(col("us") / 3600000000L))
+      val bounds = ev.agg(
+        min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
+        min(col("hr")).as("hmin"), max(col("hr")).as("hmax"))
+      def q8(c: Column, lo: Column, hi: Column): Column =
+        floor((c - lo) * 256L / (hi - lo + 1L)).cast("long")
+      def interleave16(a: Column, b: Column): Column =
+        (0 until 8).foldLeft(lit(0L): Column)((acc, i) =>
+          acc + (shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)) +
+            (shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)))
+      val quant = ev.crossJoin(broadcast(bounds)) // 1-row scalar bounds
+        .withColumn("aq", q8(col("user_id"), col("umin"), col("umax")))
+        .withColumn("bq", q8(col("hr"), col("hmin"), col("hmax")))
+        .withColumn("zfile", shiftright(interleave16(col("aq"), col("bq")), 11))
+        .withColumn("tfile", shiftright(col("bq"), 3)) // 256 quanta → 32 files
+      val stats = Seq(("zorder", col("zfile")), ("time_sorted", col("tfile")))
+        .map { case (name, f) =>
+          quant.groupBy(f.as("file"))
+            .agg(min(col("aq")).as("amin"), max(col("aq")).as("amax"))
+            .select(lit(name).as("layout"), col("file"), col("amin"), col("amax"))
+        }.reduce(_ unionByName _)
+      // 16 evenly-spread probe points in the quantized user space; the
+      // range join is a broadcast nested loop over the FILE-STATS frame
+      // (≤ 64 rows × 16 probes) — index-parameter-sized, never data
+      val probes = s.range(16).select((col("id") * 16L).as("p"))
+      stats.join(broadcast(probes),
+          col("p") >= col("amin") && col("p") <= col("amax"), "left")
+        .groupBy("layout")
+        .agg(countDistinct(col("file")).as("n_files"),
+          count(col("p")).as("files_touched"))
+    }),
+
     // bloom-pruned big-big join: revenue of lineitems belonging to
     // URGENT orders. The orders side is too large to broadcast at
     // scale, so the join is shuffle-hash/sort-merge — and a Bloom
@@ -945,6 +995,35 @@ object RelationalQueries {
         |       c.cus AS click_us, p.pus - c.cus AS gap_us
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.pus >= c.cus""".stripMargin,
+
+    // same quantization, bit interleave (disjoint-bit adds), file
+    // split, and probe membership — integer-exact end to end
+    "q_zorder_layout" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events),
+        |bd AS (SELECT min(user_id) umin, max(user_id) umax,
+        |              min(hr) hmin, max(hr) hmax FROM ev),
+        |qt AS (
+        |  SELECT (user_id - umin) * 256 // (umax - umin + 1) AS aq,
+        |         (hr - hmin) * 256 // (hmax - hmin + 1) AS bq
+        |  FROM ev CROSS JOIN bd),
+        |z AS (
+        |  SELECT aq, bq,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8),
+        |           i -> (((aq >> i) & 1) << (2 * i)) + (((bq >> i) & 1) << (2 * i + 1)))),
+        |           (x, y) -> x + y) AS zv
+        |  FROM qt),
+        |f AS (SELECT zv >> 11 AS zfile, bq >> 3 AS tfile, aq FROM z),
+        |st AS (
+        |  SELECT 'zorder' AS layout, zfile AS file, min(aq) amin, max(aq) amax
+        |  FROM f GROUP BY zfile
+        |  UNION ALL
+        |  SELECT 'time_sorted', tfile, min(aq), max(aq) FROM f GROUP BY tfile),
+        |pr AS (SELECT CAST(unnest(range(0, 16)) * 16 AS BIGINT) AS p)
+        |SELECT layout, CAST(count(DISTINCT file) AS BIGINT) AS n_files,
+        |       CAST(count(p) AS BIGINT) AS files_touched
+        |FROM st LEFT JOIN pr ON pr.p >= st.amin AND pr.p <= st.amax
+        |GROUP BY layout""".stripMargin,
 
     // plain join: the bloom prune must not change the result
     "q_bloom_join" ->
