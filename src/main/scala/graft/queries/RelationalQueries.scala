@@ -622,17 +622,20 @@ object RelationalQueries {
         (0 until 8).foldLeft(lit(0L): Column)((acc, i) =>
           acc + (shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)) +
             (shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)))
-      val quant = ev.crossJoin(broadcast(bounds)) // 1-row scalar bounds
+      // both layouts' file assignments ride ONE scan: explode each row
+      // into its (layout, file) pair — a union of two groupBys would
+      // scan the fact table twice, which is the difference between one
+      // and two passes over 100 TB
+      val stats = ev.crossJoin(broadcast(bounds)) // 1-row scalar bounds
         .withColumn("aq", q8(col("user_id"), col("umin"), col("umax")))
         .withColumn("bq", q8(col("hr"), col("hmin"), col("hmax")))
-        .withColumn("zfile", shiftright(interleave16(col("aq"), col("bq")), 11))
-        .withColumn("tfile", shiftright(col("bq"), 3)) // 256 quanta → 32 files
-      val stats = Seq(("zorder", col("zfile")), ("time_sorted", col("tfile")))
-        .map { case (name, f) =>
-          quant.groupBy(f.as("file"))
-            .agg(min(col("aq")).as("amin"), max(col("aq")).as("amax"))
-            .select(lit(name).as("layout"), col("file"), col("amin"), col("amax"))
-        }.reduce(_ unionByName _)
+        .select(col("aq"), explode(array(
+          struct(lit("zorder").as("layout"),
+            shiftright(interleave16(col("aq"), col("bq")), 11).as("file")),
+          struct(lit("time_sorted").as("layout"),
+            shiftright(col("bq"), 3).as("file")))).as("lf")) // 256 quanta → 32 files
+        .groupBy(col("lf.layout").as("layout"), col("lf.file").as("file"))
+        .agg(min(col("aq")).as("amin"), max(col("aq")).as("amax"))
       // 16 evenly-spread probe points in the quantized user space; the
       // range join is a broadcast nested loop over the FILE-STATS frame
       // (≤ 64 rows × 16 probes) — index-parameter-sized, never data

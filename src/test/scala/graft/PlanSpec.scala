@@ -74,6 +74,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("zorder audit: both layouts ride one exploded scan pass") {
+    val p = plan("q_zorder_layout")
+    assert(p.contains("Generate"), p) // explode of (layout, file) pairs
+    assert(!p.contains("CartesianProduct"), p)
+    // the fact table feeds exactly two scans: the 1-row bounds
+    // bootstrap and the single exploded stats pass — a per-layout
+    // union would make it three
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"$scans scans: $p")
+  }
+
   test("candidate audit: generators stay equi-joins; truth marker joins via broadcast") {
     val p = plan("dedup_candidate_audit")
     // the only non-equi join allowed is the 1-row scalar n_true
