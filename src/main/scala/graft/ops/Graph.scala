@@ -115,4 +115,58 @@ object Graph {
       e.unpersist()
     }
   }
+
+  /** Scaled-integer PageRank over the undirected pair graph — the
+    * centrality signal behind canonical selection within a duplicate
+    * cluster (keep the most-connected member, not the smallest id).
+    *
+    * Engine-exact by construction: ranks are 10⁶-scaled longs, the
+    * damping step is `150000 + (85 · Σ(r div deg)) div 100` in pure
+    * integer arithmetic, and integer sums are order-independent — so
+    * the DuckDB oracle reproduces every iteration bit-for-bit, where a
+    * floating formulation would drift with summation order. Fixed
+    * `iters` rounds (near-dup components are tiny, diameter ≪ 8, so
+    * ranks are stationary well before the cap) keeps the oracle a
+    * finite CTE chain.
+    *
+    * Same cost discipline as [[connectedComponents]]: edge lineage
+    * materialized once, shuffles sized to the graph, each round
+    * truncated with an eager localCheckpoint so planning cost stays
+    * constant. Returns (doc_id, r) for every node with an edge.
+    */
+  def pageRankScaled(edges: DataFrame, iters: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("doc_a").as("src"), col("doc_b").as("dst")).persist()
+    val nEdges = e.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 1000000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    if (nEdges < 10000000L) spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      // (src, dst, deg) — the per-round join input, graph-sized
+      val undD = und.join(deg, "src").localCheckpoint(true)
+      var r = und.select(col("src").as("doc_id")).distinct()
+        .withColumn("r", lit(1000000L))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val contrib = undD
+          .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .select(col("dst").as("doc_id"), expr("r div deg").as("c"))
+          .groupBy("doc_id").agg(sum(col("c")).as("sc"))
+        r = r.select("doc_id")
+          .join(contrib, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (lit(150000L) + expr("(85L * coalesce(sc, 0L)) div 100L")).as("r"))
+          .localCheckpoint(true)
+      }
+      r
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+      e.unpersist()
+    }
+  }
 }

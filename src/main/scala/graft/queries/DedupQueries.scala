@@ -482,6 +482,25 @@ object DedupQueries {
     "dedup_survivors" -> ((s, dir) =>
       componentLabels(s, dir).select(col("node").as("doc_id"), col("rep"))),
 
+    // centrality-based canonical selection: min-id survivor choice is
+    // arbitrary — production dedup pipelines prefer the cluster member
+    // other members most resemble (the hub of a star of re-edits, not
+    // whichever copy got the smallest id). Scaled-integer PageRank
+    // (ops.Graph.pageRankScaled — engine-exact, see its scaladoc) over
+    // the τ=0.8 pair graph ranks members; is_canonical marks each
+    // component's top rank (ties → min id). Shares the memoized CC
+    // labels and the persisted pair frame with dedup_survivors, so the
+    // incremental cost is the 8 graph-sized iteration joins.
+    "dedup_graph_rank" -> ((s, dir) => {
+      val r = graft.ops.Graph.pageRankScaled(
+        ngramJaccardPairs(s, dir).select("doc_a", "doc_b"))
+      val w = Window.partitionBy(col("rep")).orderBy(col("r").desc, col("doc_id"))
+      r.join(componentLabels(s, dir).withColumnRenamed("node", "doc_id"), Seq("doc_id"))
+        .withColumn("is_canonical",
+          when(row_number().over(w) === 1, 1L).otherwise(0L))
+        .select(col("doc_id"), col("rep"), col("r").as("rank_scaled"), col("is_canonical"))
+    }),
+
     // survivor selection with the 100 TB edge source: at scale the
     // exact PPJoin pair generator is replaced by MinHash-LSH verified
     // pairs (sub-quadratic candidate generation), and since both pair
@@ -668,6 +687,35 @@ object DedupQueries {
     s"""$survivorsCcCtes
        |SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src""".stripMargin
 
+  /** Scaled-integer PageRank as a finite CTE chain (8 unrolled
+    * iterations — DuckDB recursive CTEs cannot aggregate over the
+    * recursive reference), reusing [[survivorsCcCtes]]'s symmetric
+    * edge set `e` and reachability labels. Integer arithmetic matches
+    * [[graft.ops.Graph.pageRankScaled]] exactly. */
+  private val graphRankSql: String = {
+    val iterCtes = (1 to 8).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS doc_id, CAST(sum(p.r // d.deg) AS BIGINT) AS sc
+         |  FROM e JOIN pr${k - 1} p ON e.src = p.doc_id
+         |  JOIN deg d ON d.doc_id = e.src
+         |  GROUP BY e.dst),
+         |pr$k AS (
+         |  SELECT n.doc_id, 150000 + (85 * COALESCE(c.sc, 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN c$k c ON c.doc_id = n.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$survivorsCcCtes,
+       |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src),
+       |deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM e),
+       |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$iterCtes
+       |SELECT p.doc_id, lab.rep, p.r AS rank_scaled,
+       |       CASE WHEN row_number() OVER (PARTITION BY lab.rep
+       |                    ORDER BY p.r DESC, p.doc_id) = 1
+       |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_canonical
+       |FROM pr8 p JOIN lab ON lab.doc_id = p.doc_id""".stripMargin
+  }
+
   /** 31-bit polynomial string hash as a DuckDB lambda body — identical
     * fold to [[graft.functions.KernelExpressions.PolyHashArray]] /
     * polyHash31 (the simhash oracle proved the idiom's cross-engine
@@ -812,6 +860,7 @@ object DedupQueries {
         |  AND len(list_filter(a.g, x -> list_contains(b.g, x))) * 10 >= len(a.g) * 9""".stripMargin,
 
     "dedup_survivors" -> survivorsSql,
+    "dedup_graph_rank" -> graphRankSql,
     // LSH-edged survivors == brute-force-edged survivors at τ=0.8
     // (pair sets proven equal), so the oracle is the same recursive CTE
     "dedup_survivors_lsh" -> survivorsSql,

@@ -26,6 +26,27 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L) && got.size == 12)
   }
 
+  test("pageRankScaled: star center outranks leaves; symmetric pair ties; matches driver replica") {
+    // star {1-2,1-3,1-4} + isolated pair {10,11}
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Graph.pageRankScaled(edges).as[(Long, Long)].collect().toMap
+    assert(got(1L) > got(2L), got)
+    assert(got(2L) == got(3L) && got(3L) == got(4L), got)
+    assert(got(10L) == got(11L), got)
+    // driver-side integer replica of the exact iteration
+    val und = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L), (4L, 1L),
+      (10L, 11L), (11L, 10L))
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var r = und.map(_._1).distinct.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 8) {
+      val contrib = und.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = r.keys.map(n => n -> (150000L + 85L * contrib.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(got == r, s"engine=$got replica=$r")
+  }
+
   test("∀ random graphs: labels == driver-side union-find") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val graphGen = for {
