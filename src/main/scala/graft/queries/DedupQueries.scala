@@ -509,6 +509,36 @@ object DedupQueries {
         .select(col("doc_id"), col("rep"), col("r").as("rank_scaled"), col("is_canonical"))
     }),
 
+    // canonical-policy comparison: before switching survivor selection
+    // from min-id to centrality, measure what actually changes — per
+    // policy, the component count (identical by construction, a
+    // consistency check), the surviving character mass (the corpus you
+    // actually keep), and how many components choose a different
+    // survivor than min-id would (n_non_minid: 0 for min_id, the
+    // divergence for centrality). Both inputs are memoized frames
+    // (CC labels, rank), so the audit costs two tiny joins against the
+    // documents' n_chars column. The min-id survivor IS the component
+    // label (rep = min node id), so that policy needs no second rank.
+    "dedup_policy_audit" -> ((s, dir) => {
+      val chars = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val rank = {
+        val r = graphRankLabels(s, dir)
+        val w = Window.partitionBy(col("rep")).orderBy(col("r").desc, col("doc_id"))
+        r.join(componentLabels(s, dir).withColumnRenamed("node", "doc_id"), Seq("doc_id"))
+          .withColumn("rn", row_number().over(w))
+      }
+      val cent = rank.filter(col("rn") === 1).select(col("rep"), col("doc_id").as("chosen"))
+      val minid = rank.select(col("rep")).distinct().select(col("rep"), col("rep").as("chosen"))
+      Seq(("min_id", minid), ("centrality", cent)).map { case (p, ch) =>
+        ch.join(chars, ch("chosen") === chars("doc_id"))
+          .agg(count(lit(1)).as("n_components"),
+            sum(col("n_chars")).as("survivor_chars"),
+            sum(when(col("chosen") =!= col("rep"), 1L).otherwise(0L)).as("n_non_minid"))
+          .select(lit(p).as("policy"), col("n_components"),
+            col("survivor_chars"), col("n_non_minid"))
+      }.reduce(_ unionByName _)
+    }),
+
     // survivor selection with the 100 TB edge source: at scale the
     // exact PPJoin pair generator is replaced by MinHash-LSH verified
     // pairs (sub-quadratic candidate generation), and since both pair
@@ -700,7 +730,7 @@ object DedupQueries {
     * recursive reference), reusing [[survivorsCcCtes]]'s symmetric
     * edge set `e` and reachability labels. Integer arithmetic matches
     * [[graft.ops.Graph.pageRankScaled]] exactly. */
-  private val graphRankSql: String = {
+  private val graphRankCtes: String = {
     val iterCtes = (1 to 8).map { k =>
       s"""c$k AS (
          |  SELECT e.dst AS doc_id, CAST(sum(p.r // d.deg) AS BIGINT) AS sc
@@ -716,13 +746,18 @@ object DedupQueries {
        |deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
        |nodes AS (SELECT DISTINCT src AS doc_id FROM e),
        |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
-       |$iterCtes
-       |SELECT p.doc_id, lab.rep, p.r AS rank_scaled,
-       |       CASE WHEN row_number() OVER (PARTITION BY lab.rep
-       |                    ORDER BY p.r DESC, p.doc_id) = 1
-       |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_canonical
-       |FROM pr8 p JOIN lab ON lab.doc_id = p.doc_id""".stripMargin
+       |$iterCtes,
+       |ranked AS (
+       |  SELECT p.doc_id, lab.rep, p.r AS rank_scaled,
+       |         CASE WHEN row_number() OVER (PARTITION BY lab.rep
+       |                      ORDER BY p.r DESC, p.doc_id) = 1
+       |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_canonical
+       |  FROM pr8 p JOIN lab ON lab.doc_id = p.doc_id)""".stripMargin
   }
+
+  private val graphRankSql: String =
+    s"""$graphRankCtes
+       |SELECT doc_id, rep, rank_scaled, is_canonical FROM ranked""".stripMargin
 
   /** 31-bit polynomial string hash as a DuckDB lambda body — identical
     * fold to [[graft.functions.KernelExpressions.PolyHashArray]] /
@@ -869,6 +904,22 @@ object DedupQueries {
 
     "dedup_survivors" -> survivorsSql,
     "dedup_graph_rank" -> graphRankSql,
+
+    // both policies' choices from the shared ranked CTE; survivor mass
+    // joins the documents table on the chosen id
+    "dedup_policy_audit" ->
+      s"""$graphRankCtes,
+         |can AS (SELECT rep, doc_id AS chosen FROM ranked WHERE is_canonical = 1),
+         |mi AS (SELECT DISTINCT rep, rep AS chosen FROM ranked),
+         |u AS (
+         |  SELECT 'centrality' AS policy, rep, chosen FROM can
+         |  UNION ALL
+         |  SELECT 'min_id', rep, chosen FROM mi)
+         |SELECT policy, CAST(count(*) AS BIGINT) AS n_components,
+         |       CAST(sum(d.n_chars) AS BIGINT) AS survivor_chars,
+         |       CAST(sum(CASE WHEN u.chosen <> u.rep THEN 1 ELSE 0 END) AS BIGINT) AS n_non_minid
+         |FROM u JOIN documents d ON d.doc_id = u.chosen
+         |GROUP BY policy""".stripMargin,
     // LSH-edged survivors == brute-force-edged survivors at τ=0.8
     // (pair sets proven equal), so the oracle is the same recursive CTE
     "dedup_survivors_lsh" -> survivorsSql,
