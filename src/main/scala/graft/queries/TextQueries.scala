@@ -336,10 +336,16 @@ object TextQueries {
     // HOF fold (struct accumulator: emitted prefix + carried token),
     // so the encode pass is 8 chained codegen'd projections — zero
     // shuffles, scan speed at 100 TB, exactly how you'd run a frozen
-    // tokenizer over a corpus. No SQL oracle: the fold's struct
-    // accumulator is outside DuckDB's list_reduce (element-typed
-    // accumulator only) — the driver records the rows-only check and
-    // TextDedupSpec pins a full driver-side reimplementation instead.
+    // tokenizer over a corpus. Oracled via a delimiter-encoding trick
+    // (the fold's struct accumulator is outside DuckDB's list_reduce):
+    // encode the token stream as chr(2)‖tok‖chr(3) concatenated, and
+    // each greedy left-to-right non-overlapping merge is EXACTLY one
+    // leftmost-first string replace of chr(2)a chr(3)chr(2)b chr(3) —
+    // the delimiters make token boundaries unambiguous (originals
+    // contain no chr(2)/chr(3), merged tokens hide their inner space
+    // inside one delimiter span, so later patterns can't match across
+    // or inside a merged token). TextDedupSpec additionally pins a
+    // driver-side reimplementation of the fold itself.
     "text_bpe_encode" -> ((s, dir) => {
       val merges = docs(s, dir)
         .select(tokens(col("text")).as("toks"))
@@ -373,7 +379,7 @@ object TextQueries {
           size(col("enc")).cast("long").as("n_bpe_tokens"),
           round(size(col("enc")).cast("double") / size(col("toks")).cast("double"), 6)
             .as("compression"),
-          md5(concat_ws("", col("enc")).cast("binary")).as("enc_digest"))
+          md5(concat_ws("\u0001", col("enc")).cast("binary")).as("enc_digest"))
     }),
 
     // corpus length distribution: documents histogrammed by token count
@@ -562,6 +568,40 @@ object TextQueries {
         |  FROM tok)
         |SELECT pair, CAST(count(*) AS BIGINT) AS freq
         |FROM prs GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+
+    // Replays the whole encode: learn the rank-ordered top-8 merge
+    // table with the bigram-merges idiom, then apply each merge as ONE
+    // leftmost-first replace over the chr(2)‖tok‖chr(3)-encoded token
+    // stream (see the query's scaladoc for why that is exactly the
+    // greedy fold). COALESCE(…, chr(1)) guards a <8-row merge table:
+    // the chr(1) pattern can never occur, so a missing rank is a
+    // no-op replace, matching the Spark fold over a short collect.
+    "text_bpe_encode" -> {
+      val levels = (1 to 8).map { k =>
+        val m = s"COALESCE((SELECT pair FROM merges WHERE rk = $k), chr(1))"
+        s"""e$k AS (SELECT doc_id, n_tokens, replace(s,
+           |  chr(2) || split_part($m, ' ', 1) || chr(3) ||
+           |  chr(2) || split_part($m, ' ', 2) || chr(3),
+           |  chr(2) || $m || chr(3)) AS s FROM e${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |prs AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |           i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1])) AS pair
+         |  FROM tok),
+         |merges AS (
+         |  SELECT pair, row_number() OVER (ORDER BY count(*) DESC, pair) AS rk
+         |  FROM prs GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 8),
+         |e0 AS (SELECT doc_id, len(toks) AS n_tokens,
+         |         chr(2) || array_to_string(toks, chr(3) || chr(2)) || chr(3) AS s FROM tok),
+         |$levels
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(len(s) - len(replace(s, chr(2), '')) AS BIGINT) AS n_bpe_tokens,
+         |       round(CAST(len(s) - len(replace(s, chr(2), '')) AS DOUBLE)
+         |             / CAST(n_tokens AS DOUBLE), 6) AS compression,
+         |       md5(trim(replace(s, chr(3) || chr(2), chr(1)), chr(2) || chr(3))) AS enc_digest
+         |FROM e8""".stripMargin
+    },
 
     // same pair enumeration; the (freq DESC, pair) top-1000 cut is a
     // total order, so the broadcast vocabulary is engine-identical and

@@ -383,7 +383,9 @@ class TextDedupSpec extends SparkSpec {
 
   test("BPE encode matches a driver-side greedy merge reimplementation") {
     val out = graft.queries.TextQueries.queries("text_bpe_encode")(spark, sf0001)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
     val docsRaw = Tables.load(spark, sf0001, "documents")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
@@ -405,14 +407,21 @@ class TextDedupSpec extends SparkSpec {
       outB.toSeq
     }
     assert(out.size == docsRaw.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
     docsRaw.foreach { case (id, toks) =>
       val enc = merges.foldLeft(toks)(applyMerge)
-      val (n, nb, ratio) = out(id)
+      val (n, nb, ratio, dig) = out(id)
       assert(n == toks.length.toLong && nb == enc.length.toLong, s"doc $id")
       assert(math.abs(ratio - enc.length.toDouble / toks.length.toDouble) <= 1e-6, s"doc $id")
+      // digest pins CONTENT, not just counts — md5 over the \u0001-joined
+      // encoded stream (the separator keeps the digest injective over
+      // token boundaries: "ab"+"c" must not collide with "a"+"bc")
+      val expDig = md.digest(enc.mkString("\u0001").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(dig == expDig, s"doc $id digest")
     }
     // the corpus has repeated bigrams: encoding must shrink somewhere
-    assert(out.values.exists { case (n, nb, _) => nb < n })
+    assert(out.values.exists { case (n, nb, _, _) => nb < n })
   }
 
   test("weighted systematic sample: stride coverage, positive weights, PPS bound") {
