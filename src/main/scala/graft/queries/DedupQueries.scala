@@ -268,6 +268,38 @@ object DedupQueries {
     // Output == brute-force pairs at τ=0.8 (recall ~1, see scaladoc).
     "dedup_minhash_lsh" -> ((s, dir) => lshVerifiedPairs(s, dir)),
 
+    // Cross-source duplication matrix — which source pairs share
+    // near-duplicate content, the observability layer under every
+    // dedup POLICY decision (dedup within-source only? drop the crawl
+    // copy when a curated source has it? license review when source A
+    // largely mirrors B?). One row per unordered source pair with its
+    // verified near-dup pair count and share of all pairs. Scale
+    // shape: the corpus-sized side is first semi-joined down to the
+    // docs that actually appear in the pair graph, so every join and
+    // shuffle here is GRAPH-sized (pairs + their endpoints), never
+    // corpus-sized — at 100 TB the matrix costs a fraction of the
+    // pair generation it rides on.
+    "dedup_cross_source_matrix" -> ((s, dir) => {
+      val pairs = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+      val ids = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+        .join(ids, Seq("doc_id"), "leftsemi") // graph-sized from here on
+      val m = pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_lo"),
+          greatest(col("sa"), col("sb")).as("source_hi"))
+        .groupBy("source_lo", "source_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+      val tot = m.agg(sum(col("n_pairs")).as("n_total"))
+      m.crossJoin(broadcast(tot)) // matrix rows × 1 scalar row
+        .select(col("source_lo"), col("source_hi"), col("n_pairs"),
+          round(col("n_pairs").cast("double") / col("n_total").cast("double"), 6)
+            .as("pair_share"))
+    }),
+
     // Candidate-generation audit — the dedup-family analogue of
     // sim_recall_eval: for each candidate generator, how many pairs it
     // proposed (n_candidates), how many survive exact verification
@@ -656,8 +688,10 @@ object DedupQueries {
     })
   )
 
-  private val bruteForceJaccardSql =
-    """WITH t AS (
+  /** Brute-force n-gram-Jaccard pair CTEs (`t`, `p`) — shared by the
+    * pair oracle and the cross-source matrix oracle. */
+  private val bruteForceJaccardCtes =
+    """t AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
       |  FROM documents),
@@ -666,8 +700,11 @@ object DedupQueries {
       |         CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
       |         (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) AS jac
       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |  WHERE len(a.g) > 0 AND len(b.g) > 0)
-      |SELECT doc_a, doc_b, jac FROM p WHERE jac >= 0.8""".stripMargin
+      |  WHERE len(a.g) > 0 AND len(b.g) > 0)""".stripMargin
+
+  private val bruteForceJaccardSql =
+    s"""WITH $bruteForceJaccardCtes
+       |SELECT doc_a, doc_b, jac FROM p WHERE jac >= 0.8""".stripMargin
 
   /** DuckDB expression for the distinct 8-token spans of `text` —
     * shared by the span-dedup and contamination oracles. */
@@ -868,6 +905,23 @@ object DedupQueries {
         |  '[^\p{L}\p{N} ]', '', 'g'), ' +', ' ', 'g')))""".stripMargin,
 
     "dedup_minhash_lsh" -> bruteForceJaccardSql,
+
+    // brute-force pair set joined to its endpoints' sources; the share
+    // is one division of exact integer counts
+    "dedup_cross_source_matrix" ->
+      s"""WITH $bruteForceJaccardCtes,
+         |pp AS (SELECT doc_a, doc_b FROM p WHERE jac >= 0.8),
+         |m AS (
+         |  SELECT least(da.source, db.source) AS source_lo,
+         |         greatest(da.source, db.source) AS source_hi,
+         |         CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM pp JOIN documents da ON da.doc_id = pp.doc_a
+         |          JOIN documents db ON db.doc_id = pp.doc_b
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM m)
+         |SELECT source_lo, source_hi, n_pairs,
+         |       round(CAST(n_pairs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS pair_share
+         |FROM m, tot""".stripMargin,
     "dedup_ngram_jaccard" -> bruteForceJaccardSql,
 
     // brute force over new-batch × (corpus ∪ later-id batch peers) —

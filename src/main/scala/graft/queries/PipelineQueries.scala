@@ -604,6 +604,43 @@ object PipelineQueries {
         .select("vec_a", "split_a", "vec_b", "split_b", "cos")
     }),
 
+    // GROUP-AWARE split — the FIX for what pipeline_semantic_leakage
+    // measures: instead of hashing each vec id independently (which
+    // lets a near-dup pair straddle train/test), hash the near-dup
+    // COMPONENT representative, so every member of a semantic
+    // component lands in the same split by construction. Singletons
+    // (no near-dup) group as themselves — their assignment is
+    // identical to the naive split, so only ambiguous ids move. The
+    // audit reports per-split mass AND replays the leakage count over
+    // the grouped labels (n_cross_pairs — 0 by construction, and the
+    // oracle proves it independently). Costs one left join against the
+    // memoized CC labels plus the pair-frame replay; at 100 TB the
+    // labels are a by-product the dedup stage already persisted, so
+    // leak-free splitting is a join, not a new pass over the corpus.
+    "pipeline_leakage_free_split" -> ((s, dir) => {
+      def split(c: org.apache.spark.sql.Column) = {
+        val h = pmod(polyHash31(c.cast("string")), lit(10L))
+        when(h < 8, lit("train")).when(h === 8, lit("val")).otherwise(lit("test"))
+      }
+      val labels = DedupQueries.componentLabelsSemantic(s, dir)
+        .select(col("node").as("vec_id"), col("rep"))
+      val grouped = Tables.load(s, dir, "embeddings").select(col("vec_id"))
+        .join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("rep"), col("vec_id")).as("grp"))
+      val bySplit = grouped
+        .groupBy(split(col("grp")).as("split"))
+        .agg(count(lit(1)).as("n_vecs"), countDistinct(col("grp")).as("n_groups"))
+      val leaks = DedupQueries.queries("dedup_semantic")(s, dir)
+        .join(grouped.withColumnRenamed("vec_id", "vec_a")
+          .withColumnRenamed("grp", "grp_a"), Seq("vec_a"))
+        .join(grouped.withColumnRenamed("vec_id", "vec_b")
+          .withColumnRenamed("grp", "grp_b"), Seq("vec_b"))
+        .filter(split(col("grp_a")) =!= split(col("grp_b")))
+        .agg(count(lit(1)).as("n_cross_pairs"))
+      bySplit.crossJoin(broadcast(leaks)) // 3 rows × 1 scalar row
+        .select(col("split"), col("n_vecs"), col("n_groups"), col("n_cross_pairs"))
+    }),
+
     "pipeline_dsir_weights" -> ((s, dir) => {
       val B = dsirB
       val ctd = dsirBucketCounts(s, dir)
@@ -1012,6 +1049,50 @@ object PipelineQueries {
          |  FROM sp)
          |SELECT vec_a, split_a, vec_b, split_b, cos
          |FROM lab WHERE split_a <> split_b""".stripMargin
+    },
+
+    // the semantic pair set under the same recursive-CTE reachability
+    // as dedup_survivors_semantic; split hash applied to the GROUP id
+    // (component rep, own id for singletons)
+    "pipeline_leakage_free_split" -> {
+      def bucketSql(id: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |           list_transform(string_split(CAST($id AS VARCHAR), ''),
+           |             c -> CAST(ascii(c) AS BIGINT))),
+           |           (h, c) -> (h * 31 + c) % 2147483647) % 10""".stripMargin
+      s"""WITH RECURSIVE ${SimilarityQueries.ivfAssignCtes},
+         |pr AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  JOIN n xn ON xn.vec_id = x.vec_id
+         |  JOIN n yn ON yn.vec_id = y.vec_id
+         |  WHERE round(list_reduce(list_prepend(0.0,
+         |          list_transform(range(1, 65), i -> xn.v[i] * yn.v[i])), (p, q) -> p + q)
+         |        / (xn.nrm * yn.nrm), 6) >= 0.4),
+         |ed AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+         |       UNION SELECT vec_b, vec_a FROM pr),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM ed
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN ed e2 ON r.dst = e2.src),
+         |lab AS (SELECT src AS vec_id, least(src, min(dst)) AS rep FROM reach GROUP BY src),
+         |g AS (
+         |  SELECT e.vec_id, coalesce(l.rep, e.vec_id) AS grp
+         |  FROM embeddings e LEFT JOIN lab l ON l.vec_id = e.vec_id),
+         |spl AS (
+         |  SELECT vec_id, grp,
+         |         CASE WHEN ${bucketSql("grp")} < 8 THEN 'train'
+         |              WHEN ${bucketSql("grp")} = 8 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM g),
+         |leaks AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cross_pairs
+         |  FROM pr JOIN spl a ON a.vec_id = pr.vec_a
+         |          JOIN spl b ON b.vec_id = pr.vec_b
+         |  WHERE a.split <> b.split)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups, n_cross_pairs
+         |FROM spl, leaks GROUP BY split, n_cross_pairs""".stripMargin
     },
 
     // same poly31 char hash as the fingerprint/CMS oracles; `//` is

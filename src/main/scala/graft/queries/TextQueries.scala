@@ -396,6 +396,56 @@ object TextQueries {
           min(col("n_tok")).as("min_tokens"),
           max(col("n_tok")).as("max_tokens"))),
 
+    // Gopher's remaining repetition signals (Rae et al. 2021 §A1.1):
+    // the fraction of document CHARACTERS covered by n-grams that
+    // occur ≥ 2 times within the doc, for n = 2,3,4 — catches
+    // scattered boilerplate repetition that the max-run-length screen
+    // (text_quality_repetition) misses and token-level Simpson
+    // diversity underweights. Coverage is POSITIONAL (union of the
+    // [i, i+n) spans of every duplicated-gram occurrence, overlaps
+    // counted once), so the arithmetic is exact-integer char sums and
+    // the fraction one division. Shuffle profile per n: one
+    // (doc, gram) window for occurrence counts, one (doc, pos)
+    // distinct for span union, one (doc, pos) join against token
+    // lengths — all keyed WITHIN documents (corpus-ngram-sized, like
+    // tf-idf's term pass), so at 100 TB the three n-passes stream in
+    // parallel with no cross-document data movement at all.
+    "text_dup_ngram_fraction" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+      val tp = base
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"),
+          length(col("tok")).cast("long").as("l"))
+      val totals = tp.groupBy("doc_id").agg(sum(col("l")).as("total_chars"))
+      def forN(n: Int): DataFrame = {
+        // sequence() descends when size(toks) < n, so guard to empty
+        val grams = base.select(col("doc_id"),
+          explode(expr(
+            s"""if(size(toks) < $n, array(),
+               |   transform(sequence(1, size(toks) - ${n - 1}),
+               |     i -> named_struct('gpos', i,
+               |            'gram', concat_ws(' ', slice(toks, i, $n)))))""".stripMargin))
+            .as("g"))
+          .select(col("doc_id"), col("g.gpos").as("gpos"), col("g.gram").as("gram"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"), col("gram"))
+        val covered = grams
+          .withColumn("cnt", count(lit(1)).over(w)).filter(col("cnt") >= 2)
+          .select(col("doc_id"),
+            explode(sequence(col("gpos"), col("gpos") + lit(n - 1))).as("pos"))
+          .distinct()
+        val dup = covered.join(tp, Seq("doc_id", "pos"))
+          .groupBy("doc_id").agg(sum(col("l")).as("dup_chars"))
+        totals.join(dup, Seq("doc_id"), "left")
+          .select(col("doc_id"), lit(n).cast("int").as("n"),
+            coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+            col("total_chars"),
+            round(coalesce(col("dup_chars"), lit(0L)).cast("double")
+              / col("total_chars").cast("double"), 6).as("dup_frac"))
+      }
+      Seq(2, 3, 4).map(forN).reduce(_ unionByName _)
+    }),
+
     // Per-document mean inverse unigram probability — a corpus-LM
     // rarity score (high = the doc is made of tokens the corpus rarely
     // uses; the LM-free stand-in for "high unigram perplexity" used to
@@ -768,6 +818,44 @@ object TextQueries {
         |       CAST(min(n_tok) AS BIGINT) AS min_tokens,
         |       CAST(max(n_tok) AS BIGINT) AS max_tokens
         |FROM t GROUP BY 1""".stripMargin,
+
+    // same positional coverage per n: duplicated grams → union of
+    // their [gpos, gpos+n) spans → exact char sums. DuckDB's range()
+    // is empty when end ≤ start, so the short-doc guard is implicit.
+    "text_dup_ngram_fraction" -> {
+      def forN(n: Int) =
+        s"""s$n AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}),
+           |           i -> struct_pack(gpos := i,
+           |                  gram := array_to_string(
+           |                    list_slice(toks, CAST(i AS INTEGER), CAST(i AS INTEGER) + ${n - 1}), ' ')))) AS u
+           |  FROM tok),
+           |g$n AS (SELECT doc_id, u.gpos AS gpos, u.gram AS gram FROM s$n),
+           |d$n AS (SELECT doc_id, gram FROM g$n GROUP BY doc_id, gram HAVING count(*) >= 2),
+           |c0$n AS (SELECT g.doc_id, unnest(range(g.gpos, g.gpos + $n)) AS pos
+           |         FROM g$n g JOIN d$n d ON d.doc_id = g.doc_id AND d.gram = g.gram),
+           |c$n AS (SELECT DISTINCT doc_id, pos FROM c0$n),
+           |a$n AS (SELECT c.doc_id, CAST(sum(tp.l) AS BIGINT) AS dup_chars
+           |        FROM c$n c JOIN tp ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+           |        GROUP BY c.doc_id),
+           |r$n AS (
+           |  SELECT t.doc_id, CAST($n AS INTEGER) AS n,
+           |         coalesce(a.dup_chars, CAST(0 AS BIGINT)) AS dup_chars, t.total_chars,
+           |         round(CAST(coalesce(a.dup_chars, CAST(0 AS BIGINT)) AS DOUBLE)
+           |               / CAST(t.total_chars AS DOUBLE), 6) AS dup_frac
+           |  FROM tot t LEFT JOIN a$n a ON a.doc_id = t.doc_id)""".stripMargin
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tp0 AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+         |           i -> struct_pack(pos := i, l := len(toks[CAST(i AS INTEGER)])))) AS u
+         |  FROM tok),
+         |tp AS (SELECT doc_id, u.pos AS pos, CAST(u.l AS BIGINT) AS l FROM tp0),
+         |tot AS (SELECT doc_id, CAST(sum(l) AS BIGINT) AS total_chars FROM tp GROUP BY doc_id),
+         |${forN(2)},
+         |${forN(3)},
+         |${forN(4)}
+         |SELECT * FROM r2 UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4""".stripMargin
+    },
 
     // fixed-point integer `//` replicates Spark's `div` (both floor on
     // positives); the two trailing divisions share Spark's association

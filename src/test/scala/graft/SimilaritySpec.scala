@@ -216,6 +216,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out == expected, s"out=$out expected=$expected")
   }
 
+  test("leakage-free split: groups never straddle, masses total, audit zero") {
+    val rows = graft.queries.PipelineQueries.queries("pipeline_leakage_free_split")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the whole point: the grouped split has zero cross-split pairs
+    assert(rows.forall(_._4 == 0L), s"cross pairs present: ${rows.toSeq}")
+    // masses cover the corpus exactly
+    val nVecs = graft.model.Tables.load(spark, sf0001, "embeddings").count()
+    assert(rows.map(_._2).sum == nVecs)
+    assert(rows.map(_._1).toSet == Set("train", "val", "test"))
+    // groups ≤ vecs per split, and strictly fewer overall iff components exist
+    assert(rows.forall { case (_, v, g, _) => g <= v && g > 0 })
+    // the fix is non-trivial on this fixture: the NAIVE per-id split
+    // leaks (semantic_leakage nonempty), so zero cross pairs here
+    // means group-hashing actually moved ids across splits
+    val naiveLeaks = graft.queries.PipelineQueries
+      .queries("pipeline_semantic_leakage")(spark, sf0001).count()
+    assert(naiveLeaks > 0, "fixture must make the naive split leak")
+  }
+
   test("hard negatives: labels always differ, ranks dense, nearest cross-label first") {
     val out = SimilarityQueries.queries("sim_hard_negatives")(spark, sf0001).collect()
     assert(out.nonEmpty)

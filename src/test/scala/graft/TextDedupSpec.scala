@@ -445,6 +445,57 @@ class TextDedupSpec extends SparkSpec {
     assert(byCum.zip(byCum.tail).forall { case (a, b) => a < b })
   }
 
+  test("cross-source matrix replays the pair set's endpoint sources") {
+    val src = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (src(a), src(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }
+      .groupBy(identity).map { case (k, o) => k -> o.length.toLong }
+    val out = DedupQueries.queries("dedup_cross_source_matrix")(spark, sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    assert(out.map(o => o._1 -> o._2).toMap == expected && out.nonEmpty)
+    // shares sum to ~1 over the matrix and each is n_pairs/total
+    val total = pairs.length.toDouble
+    out.foreach { case (_, n, share) =>
+      assert(math.abs(share - n / total) <= 1e-6)
+    }
+  }
+
+  test("duplicate n-gram char coverage matches a driver-side positional replay") {
+    val docsRaw = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    def expected(toks: Seq[String], n: Int): (Long, Long) = {
+      val total = toks.map(_.length.toLong).sum
+      if (toks.length < n) return (0L, total)
+      val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+      val dup = grams.groupBy(identity).filter(_._2.length >= 2).keySet
+      val covered = grams.zipWithIndex.collect {
+        case (g, i) if dup(g) => (i until i + n)
+      }.flatten.toSet
+      (covered.toSeq.map(p => toks(p).length.toLong).sum, total)
+    }
+    val out = graft.queries.TextQueries.queries("text_dup_ngram_fraction")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out.size == docsRaw.length * 3)
+    for ((id, toks) <- docsRaw; n <- Seq(2, 3, 4)) {
+      val (dc, tc) = expected(toks, n)
+      val (odc, otc, frac) = out((id, n))
+      assert(odc == dc && otc == tc, s"doc $id n=$n: got ($odc,$otc) want ($dc,$tc)")
+      assert(math.abs(frac - dc.toDouble / tc.toDouble) <= 1e-6, s"doc $id n=$n frac")
+    }
+    // the synthetic corpus repeats bigrams: the signal must fire somewhere
+    assert(out.exists { case ((_, n), (dc, _, _)) => n == 2 && dc > 0 })
+  }
+
   test("component-size histogram is consistent with the survivor labels") {
     val labels = DedupQueries.queries("dedup_survivors")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
