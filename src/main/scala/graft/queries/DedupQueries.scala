@@ -617,6 +617,69 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_components"),
           sum(col("csize") - lit(1L)).as("n_dropped"))),
 
+    // Near-dup graph TRIANGLE census per component — the shape
+    // diagnostic behind threshold tuning: cliquish components (high
+    // clustering coefficient) mean transitive duplication where any
+    // survivor policy is safe; chain-like components (low coefficient)
+    // mean similarity DRIFT, where min-id/centrality pick survivors
+    // that are far from the far end and a higher τ (or per-edge
+    // verification of survivor distance) is warranted. Triangle
+    // counting is the standard degree-ordered oriented wedge join
+    // (node order = (degree, id), edges oriented low→high, wedges
+    // enumerated at the lowest vertex, closed by an oriented-edge
+    // equi-join): out-degree under this orientation is O(√m), so
+    // wedge fan-out is O(m^1.5) worst-case instead of Σdeg² — the
+    // hub-skew guard that makes the same plan hold on a power-law
+    // 100 TB dup graph. All joins/aggregates are graph-sized.
+    // clustering = 3·triangles / wedges (exact integers, one rounded
+    // division; 0 when the component has no wedge).
+    "dedup_graph_triangles" -> ((s, dir) => {
+      val pairs = ngramJaccardPairs(s, dir).select("doc_a", "doc_b")
+      val sym = pairs.select(col("doc_a").as("u"))
+        .unionByName(pairs.select(col("doc_b").as("u")))
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      val withDeg = pairs
+        .join(deg.select(col("u").as("doc_a"), col("deg").as("da")), "doc_a")
+        .join(deg.select(col("u").as("doc_b"), col("deg").as("db")), "doc_b")
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("doc_a") < col("doc_b"))
+      val oriented = withDeg.select(
+        when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"))
+      val od = oriented
+        .join(deg.select(col("u").as("dst"), col("deg").as("dd")), "dst")
+        .select(col("src"), col("dst"), col("dd"))
+      val w1 = od.select(col("src"), col("dst").as("b"), col("dd").as("degb"))
+      val w2 = od.select(col("src"), col("dst").as("c"), col("dd").as("degc"))
+      val wedges = w1.join(w2, "src")
+        .filter(col("degb") < col("degc") ||
+          (col("degb") === col("degc") && col("b") < col("c")))
+      val tri = wedges
+        .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+        .select(col("src").as("node"))
+      val labels = componentLabels(s, dir)
+        .select(col("node").as("doc_id"), col("rep"))
+      val nodesC = labels.groupBy("rep").agg(count(lit(1)).as("n_nodes"))
+      val edgesC = pairs
+        .join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .groupBy("rep").agg(count(lit(1)).as("n_edges"))
+      val wedgeC = deg
+        .join(labels.withColumnRenamed("doc_id", "u"), "u")
+        .groupBy("rep")
+        .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      val triC = tri
+        .join(labels.withColumnRenamed("doc_id", "node"), "node")
+        .groupBy("rep").agg(count(lit(1)).as("n_triangles"))
+      nodesC.join(edgesC, "rep").join(wedgeC, "rep")
+        .join(triC, Seq("rep"), "left")
+        .select(col("rep"), col("n_nodes"), col("n_edges"), col("n_wedges"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          when(col("n_wedges") > 0,
+            round(lit(3.0) * coalesce(col("n_triangles"), lit(0L)).cast("double")
+              / col("n_wedges").cast("double"), 6)).otherwise(lit(0.0))
+            .as("clustering"))
+    }),
+
     // Embedding-cosine near-dup, EXACT at τ = 0.4, via triangle
     // block-partitioning instead of the round-1 BroadcastNestedLoopJoin.
     //
@@ -986,6 +1049,41 @@ object DedupQueries {
          |SELECT csize, CAST(count(*) AS BIGINT) AS n_components,
          |       CAST(sum(csize - 1) AS BIGINT) AS n_dropped
          |FROM cs GROUP BY csize""".stripMargin,
+
+    // same degree-ordered orientation ((deg, id) row comparison) and
+    // lowest-vertex wedge closure as the Spark plan
+    "dedup_graph_triangles" ->
+      s"""$survivorsCcCtes,
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src),
+         |dg AS (SELECT src AS u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         |o AS (
+         |  SELECT CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
+         |              THEN p.doc_a ELSE p.doc_b END AS src,
+         |         CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
+         |              THEN p.doc_b ELSE p.doc_a END AS dst
+         |  FROM p JOIN dg da ON da.u = p.doc_a JOIN dg db ON db.u = p.doc_b),
+         |od AS (SELECT o.src, o.dst, d.deg AS dd FROM o JOIN dg d ON d.u = o.dst),
+         |tri AS (
+         |  SELECT w1.src AS apex
+         |  FROM od w1 JOIN od w2
+         |    ON w1.src = w2.src AND (w1.dd, w1.dst) < (w2.dd, w2.dst)
+         |  JOIN o e3 ON e3.src = w1.dst AND e3.dst = w2.dst),
+         |tcnt AS (SELECT l.rep, CAST(count(*) AS BIGINT) AS n_triangles
+         |         FROM tri JOIN lab l ON l.doc_id = tri.apex GROUP BY l.rep),
+         |ncnt AS (SELECT rep, CAST(count(*) AS BIGINT) AS n_nodes FROM lab GROUP BY rep),
+         |ecnt AS (SELECT l.rep, CAST(count(*) AS BIGINT) AS n_edges
+         |         FROM p JOIN lab l ON l.doc_id = p.doc_a GROUP BY l.rep),
+         |wcnt AS (SELECT l.rep, CAST(sum(d.deg * (d.deg - 1) // 2) AS BIGINT) AS n_wedges
+         |         FROM dg d JOIN lab l ON l.doc_id = d.u GROUP BY l.rep)
+         |SELECT n.rep, n.n_nodes, ec.n_edges, w.n_wedges,
+         |       coalesce(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+         |       CASE WHEN w.n_wedges > 0
+         |            THEN round(3.0 * CAST(coalesce(t.n_triangles, CAST(0 AS BIGINT)) AS DOUBLE)
+         |                       / CAST(w.n_wedges AS DOUBLE), 6)
+         |            ELSE 0.0 END AS clustering
+         |FROM ncnt n JOIN ecnt ec ON ec.rep = n.rep
+         |            JOIN wcnt w ON w.rep = n.rep
+         |            LEFT JOIN tcnt t ON t.rep = n.rep""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $simhashSigCtes

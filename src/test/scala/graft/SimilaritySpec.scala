@@ -216,6 +216,46 @@ class SimilaritySpec extends SparkSpec {
     assert(out == expected, s"out=$out expected=$expected")
   }
 
+  test("MMR top-k matches a driver-side greedy replay and diversifies") {
+    val vs = graft.queries.SimilarityQueries.vectors(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = graft.queries.SimilarityQueries.queries("sim_mmr_topk")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(4)))).toMap
+    assert(out.size == 50)
+    (0L until 10L).foreach { q =>
+      val shortlist = vs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(vs(q), vs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(10)
+      var selected = List(shortlist.head)
+      assert(out((q, 1)) == ((shortlist.head._1, shortlist.head._2)), s"q=$q rank 1")
+      (2 to 5).foreach { t =>
+        val pick = shortlist.filterNot(c => selected.exists(_._1 == c._1))
+          .map { case (c, rel) =>
+            val pen = selected.map(s => cos(vs(c), vs(s._1))).max
+            (c, rel, round6(0.7 * rel - 0.3 * pen))
+          }
+          .minBy { case (c, _, sc) => (-sc, c) }
+        assert(out((q, t)) == ((pick._1, pick._3)), s"q=$q rank $t")
+        selected = selected :+ ((pick._1, pick._2))
+      }
+    }
+    // diversification is non-trivial on this fixture: some query's MMR
+    // set must differ from its pure top-5
+    val top5 = graft.queries.SimilarityQueries.queries("sim_topk_bruteforce")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val mmr5 = out.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._1).toSet)
+    assert((0L until 10L).exists(q => mmr5(q) != top5(q)), "MMR == top-5 everywhere")
+  }
+
   test("leakage-free split: groups never straddle, masses total, audit zero") {
     val rows = graft.queries.PipelineQueries.queries("pipeline_leakage_free_split")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -496,6 +496,36 @@ class TextDedupSpec extends SparkSpec {
     assert(out.exists { case ((_, n), (dc, _, _)) => n == 2 && dc > 0 })
   }
 
+  test("triangle census matches a driver-side brute-force replay") {
+    val pairs = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rep = DedupQueries.queries("dedup_survivors")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byComp = rep.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    val expected = byComp.map { case (r, nodes) =>
+      val edges = pairs.count { case (a, b) => rep(a) == r }
+      val wedges = nodes.toSeq.map { v =>
+        val d = adj(v).size.toLong; d * (d - 1) / 2
+      }.sum
+      val triangles = pairs.collect {
+        case (a, b) if rep(a) == r => (adj(a) & adj(b)).size.toLong
+      }.sum / 3 // each triangle counted once per edge
+      val clustering =
+        if (wedges > 0) BigDecimal(3.0 * triangles / wedges)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+      r -> ((nodes.size.toLong, edges.toLong, wedges, triangles, clustering))
+    }
+    val out = DedupQueries.queries("dedup_graph_triangles")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out == expected && out.nonEmpty, s"out=$out expected=$expected")
+  }
+
   test("component-size histogram is consistent with the survivor labels") {
     val labels = DedupQueries.queries("dedup_survivors")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
