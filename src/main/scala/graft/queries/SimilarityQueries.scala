@@ -439,6 +439,46 @@ object SimilarityQueries {
           round(sqrt(dot(col("mv"), col("mv"))), 6).as("centroid_norm"))
     }),
 
+    // INDEX CHURN — the rebuild-trigger metric for a served IVF index:
+    // after one Lloyd step (the sim_kmeans_refine centroids), what
+    // fraction of each bucket's members would move to a different
+    // bucket? Low churn = the frozen index still fits the corpus; high
+    // churn in a bucket = its region drifted and recall is decaying
+    // there (the batch analogue of monitoring assignment drift on an
+    // online vector store). The refreshed centroids are an
+    // index-parameter-sized frame (k=16 rows) broadcast back over the
+    // corpus — one scan, one per-vector argmax window; the corpus is
+    // never re-shuffled. Scores are rounded to 6dp BEFORE the argmax
+    // so the churn verdict is engine-exact even where a mean differs
+    // in the last ulp.
+    "sim_index_churn" -> ((s, dir) => {
+      val (vs, assign, _) = ivfParts(s, dir, k = 16, nprobe = 4)
+      val assigned = vs.select(col("vec_id"), col("v"), assign.as("bucket"))
+      val newCents = assigned
+        .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+        .groupBy(col("bucket"))
+        .agg(sort_array(collect_list(struct(col("pos"), (col("sx") / col("c")).as("m"))))
+          .as("pm"))
+        .select(col("bucket").as("nb"),
+          transform(col("pm"), p => p.getField("m")).as("mv"))
+        .withColumn("mnrm", sqrt(dot(col("mv"), col("mv"))))
+      val wv = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("nb").asc)
+      val reassigned = assigned.crossJoin(broadcast(newCents))
+        .withColumn("score", round(dot(col("v"), col("mv")) / col("mnrm"), 6))
+        .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("bucket"), col("nb").as("new_bucket"))
+      reassigned
+        .groupBy(col("bucket").as("old_bucket"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("new_bucket") =!= col("bucket"), 1L).otherwise(0L)).as("n_moved"))
+        .select(col("old_bucket"), col("n_members"), col("n_moved"),
+          round(col("n_moved").cast("double") / col("n_members").cast("double"), 6)
+            .as("churn"))
+    }),
+
     // Embedding-outlier filter: the 5 vectors least similar to their
     // class's ROBUST centroid (per-dimension exact median, not mean —
     // medians are selection, not summation, so they are deterministic
@@ -1302,6 +1342,36 @@ object SimilarityQueries {
          |SELECT bucket, n_members,
          |       round(sqrt(list_reduce(list_prepend(0.0,
          |               list_transform(mv, x -> x * x)), (a, b) -> a + b)), 6) AS centroid_norm
-         |FROM cent""".stripMargin
+         |FROM cent""".stripMargin,
+
+    // same Lloyd-step centroids as the refine oracle; re-assignment
+    // scored on 6dp-rounded values, first-max tie-break
+    "sim_index_churn" ->
+      s"""WITH $ivfAssignCtes,
+         |mdim AS (
+         |  SELECT a.bucket, r.pos, sum(n.v[r.pos]) AS sx, count(*) AS c
+         |  FROM assign a JOIN n ON n.vec_id = a.vec_id
+         |  CROSS JOIN range(1, 65) r(pos)
+         |  GROUP BY 1, 2),
+         |cent AS (SELECT bucket AS nb, list(sx / c ORDER BY pos) AS mv FROM mdim GROUP BY 1),
+         |cent2 AS (
+         |  SELECT nb, mv,
+         |         sqrt(list_reduce(list_prepend(0.0,
+         |           list_transform(mv, x -> x * x)), (a, b) -> a + b)) AS mnrm
+         |  FROM cent),
+         |ns AS (
+         |  SELECT a.vec_id, a.bucket, c2.nb,
+         |         round(list_reduce(list_prepend(0.0,
+         |                 list_transform(range(1, 65), i -> n.v[i] * c2.mv[i])), (x, y) -> x + y)
+         |               / c2.mnrm, 6) AS score
+         |  FROM assign a JOIN n ON n.vec_id = a.vec_id CROSS JOIN cent2 c2),
+         |na AS (
+         |  SELECT vec_id, bucket, nb AS new_bucket FROM ns
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nb ASC) = 1)
+         |SELECT bucket AS old_bucket, CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(sum(CASE WHEN new_bucket <> bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+         |       round(CAST(sum(CASE WHEN new_bucket <> bucket THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS churn
+         |FROM na GROUP BY 1""".stripMargin
   )
 }

@@ -216,6 +216,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out == expected, s"out=$out expected=$expected")
   }
 
+  test("index churn matches a driver-side Lloyd-step replay") {
+    val vs = graft.queries.SimilarityQueries.vectors(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // frozen index: centroids = first 16 vectors, assign = first-max
+    val cents = (0L until 16L).map(vs).toArray
+    def assign(v: Array[Double]): Int = {
+      val scores = cents.map(c => dot(v, c) / math.sqrt(dot(c, c)))
+      scores.indexOf(scores.max) + 1 // 1-based, first max
+    }
+    val old = vs.map { case (id, v) => id -> assign(v) }
+    // one Lloyd step: per-bucket mean, then 6dp-rounded re-assignment
+    val means = old.groupBy(_._2).map { case (b, m) =>
+      val vecs = m.keys.map(vs).toSeq
+      b -> Array.tabulate(64)(i => vecs.map(_(i)).sum / vecs.size)
+    }
+    val expected = old.groupBy(_._2).map { case (b, m) =>
+      val moved = m.keys.count { id =>
+        val v = vs(id)
+        val nb = means.toSeq.map { case (mb, mv) =>
+          (mb, round6(dot(v, mv) / math.sqrt(dot(mv, mv))))
+        }.minBy { case (mb, s) => (-s, mb) }._1
+        nb != b
+      }
+      b.toLong -> ((m.size.toLong, moved.toLong,
+        round6(moved.toDouble / m.size.toDouble)))
+    }
+    val out = graft.queries.SimilarityQueries.queries("sim_index_churn")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == expected, s"out=$out expected=$expected")
+    assert(out.values.map(_._1).sum == vs.size, "membership must total the corpus")
+  }
+
   test("MMR top-k matches a driver-side greedy replay and diversifies") {
     val vs = graft.queries.SimilarityQueries.vectors(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
