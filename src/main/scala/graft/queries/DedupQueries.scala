@@ -341,6 +341,49 @@ object DedupQueries {
           round(col("n_verified").cast("double") / col("n_candidates").cast("double"), 6))
     }),
 
+    // BANDING PARAMETER SWEEP — the candidate audit extended across
+    // the (bands × rows) S-curve: the SAME 64-perm signature banded
+    // three ways (8×8, 16×4, 32×2), each config's candidate count,
+    // verified count, recall, and efficiency against the exact τ=0.8
+    // truth in one result. This is the table you read before fixing a
+    // banding on a new corpus: more bands ⇒ recall up / efficiency
+    // down; the sweep shows where the knee is. Signature computed
+    // ONCE (the expensive pass — shingle hash × 64 perms); each
+    // banding is a cheap projection + (band, bucket) self-join; truth
+    // is the broadcast pair set, one aggregate per config.
+    "dedup_banding_sweep" -> ((s, dir) => {
+      val sig = shingled(s, dir).filter(size(col("g")) > 0)
+        .withColumn("sig", minhashSignature(col("g"), perms = 64))
+        .select("doc_id", "sig")
+      val truth = ngramJaccardPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("_t"))
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      Seq(8, 16, 32).map { b =>
+        val bands = sig.select(col("doc_id"),
+            explode(lshBands(col("sig"), perms = 64, bands = b)).as("bh"))
+          .select(col("doc_id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+        val cands = bands
+          .select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+          .join(bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+            Seq("band", "bucket"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        cands.join(broadcast(truth), Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_candidates"), count(col("_t")).as("n_verified"))
+          .select(lit(b).cast("int").as("bands"),
+            lit(64 / b).cast("int").as("rows_per_band"),
+            col("n_candidates"), col("n_verified"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(nTrue)) // 3 config rows × 1 scalar row
+        .select(col("bands"), col("rows_per_band"),
+          col("n_candidates"), col("n_verified"),
+          round(col("n_verified").cast("double") / col("n_true").cast("double"), 6)
+            .as("recall"),
+          when(col("n_candidates") > 0,
+            round(col("n_verified").cast("double") / col("n_candidates").cast("double"), 6))
+            .otherwise(lit(0.0)).as("efficiency"))
+    }),
+
     // INCREMENTAL near-dup — dedup an arriving batch against the
     // already-ingested corpus without re-pairing the corpus: the
     // continuous-crawl contract at 100 TB, where corpus×corpus is
@@ -883,8 +926,13 @@ object DedupQueries {
     * pairs; plus the PPJoin prefix-filtered candidates (document-
     * frequency prefix order, integer threshold arithmetic) — exactly
     * the plans of [[lshCandidates]] / [[ppjoinCandidates]]. */
-  private val candidateAuditSql: String =
-    s"""WITH t AS (
+  /** Shared MinHash replay prefix: shingles → polynomial hashes → the
+    * 64-LCG-permutation signature list `sl(doc_id, sg)`, plus the
+    * exact τ=0.8 truth set `tr` — built on by the candidate audit AND
+    * the banding sweep, so signature arithmetic cannot drift between
+    * them. */
+  private val minhashSigPrefixCtes: String =
+    s"""t AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
        |  FROM documents),
@@ -899,6 +947,15 @@ object DedupQueries {
        |           x -> (CAST(p.a AS BIGINT) * x + CAST(p.b AS BIGINT)) % 2147483647)) s
        |  FROM hh CROSS JOIN perms p),
        |sl AS (SELECT doc_id, list(s ORDER BY i) sg FROM sig GROUP BY doc_id),
+       |tr AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE len(a.g) > 0 AND len(b.g) > 0
+       |    AND CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
+       |        (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) >= 0.8)""".stripMargin
+
+  private val candidateAuditSql: String =
+    s"""WITH $minhashSigPrefixCtes,
        |bands AS (
        |  SELECT doc_id, bj.j,
        |         list_reduce(list_prepend(CAST(bj.j AS BIGINT),
@@ -921,12 +978,6 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
        |  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
        |  WHERE greatest(a.n, b.n) * 4 <= least(a.n, b.n) * 5),
-       |tr AS (
-       |  SELECT a.doc_id doc_a, b.doc_id doc_b
-       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-       |  WHERE len(a.g) > 0 AND len(b.g) > 0
-       |    AND CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
-       |        (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) >= 0.8),
        |aud AS (
        |  SELECT 'minhash_lsh' AS method,
        |         (SELECT CAST(count(*) AS BIGINT) FROM lshc) AS n_candidates,
@@ -944,8 +995,43 @@ object DedupQueries {
        |       round(CAST(n_verified AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6) AS efficiency
        |FROM aud""".stripMargin
 
+  /** Per-config banding replay on the shared signature CTEs: the same
+    * band-index-seeded polynomial bucket fold at (8×8, 16×4, 32×2). */
+  private val bandingSweepSql: String = {
+    def cfg(b: Int) = {
+      val rows = 64 / b
+      s"""bn$b AS (
+         |  SELECT doc_id, bj.j,
+         |         list_reduce(list_prepend(CAST(bj.j AS BIGINT),
+         |           list_transform(range(1, ${rows + 1}),
+         |             r -> sg[CAST(bj.j * $rows + r AS INTEGER)])),
+         |           (x, y) -> (x * 31 + y) % 2147483647) bucket
+         |  FROM sl CROSS JOIN (SELECT unnest(range(0, $b)) j) bj),
+         |cn$b AS (
+         |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM bn$b a JOIN bn$b b
+         |    ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |r$b AS (
+         |  SELECT CAST($b AS INTEGER) AS bands, CAST($rows AS INTEGER) AS rows_per_band,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM cn$b) AS n_candidates,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM cn$b c
+         |            JOIN tr ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b) AS n_verified)""".stripMargin
+    }
+    s"""WITH $minhashSigPrefixCtes,
+       |${Seq(8, 16, 32).map(cfg).mkString(",\n")},
+       |u AS (SELECT * FROM r8 UNION ALL SELECT * FROM r16 UNION ALL SELECT * FROM r32)
+       |SELECT bands, rows_per_band, n_candidates, n_verified,
+       |       round(CAST(n_verified AS DOUBLE)
+       |             / CAST((SELECT count(*) FROM tr) AS DOUBLE), 6) AS recall,
+       |       CASE WHEN n_candidates > 0
+       |            THEN round(CAST(n_verified AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6)
+       |            ELSE 0.0 END AS efficiency
+       |FROM u""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_candidate_audit" -> candidateAuditSql,
+    "dedup_banding_sweep" -> bandingSweepSql,
     "dedup_common_spans" ->
       s"""WITH t AS (
          |  SELECT doc_id, $spanListSql spans FROM documents),

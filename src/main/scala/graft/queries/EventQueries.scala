@@ -75,6 +75,30 @@ object EventQueries {
     "q_session_window" -> ((s, dir) =>
       Windows.sessionCount(events(s, dir), col("ts"), col("event_type"), "5 minutes")),
 
+    // SESSION PATHS — the product-analytics classic over the session
+    // family: per-user 5-minute-gap sessions (built-in session_window),
+    // each reduced to its ordered event-type path, then the top-20
+    // paths by session count. Path order is pinned by sort_array over
+    // (ts, event_id, type) — a TOTAL order (event_id unique), so the
+    // concatenated path is deterministic under any partitioning; the
+    // top-20 cut orders by (n_sessions DESC, path), also total. One
+    // session-window aggregate (shuffle by user) + one path aggregate
+    // (shuffle by path, map-side combined) + TakeOrdered — the same
+    // two-shuffle profile as word-count at 100 TB.
+    "q_session_paths" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("evs"),
+          count(lit(1)).as("n"))
+        .select(concat_ws(">",
+          transform(col("evs"), e => e.getField("event_type"))).as("path"),
+          col("n"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)),
+
     // Q1/P4/P5 — the SQL-string form of the flagship query: temp-view
     // registration + spark.sql text, mirroring the reference's inline
     // SQL path (tableEnv.sqlQuery — StreamJobSqlTumbling.java:142–153)
@@ -520,6 +544,33 @@ object EventQueries {
         |       min(ts) AS session_start,
         |       max(ts) + INTERVAL '5 minutes' AS session_end
         |FROM s GROUP BY event_type, sid""".stripMargin,
+
+    // same lag/cumsum sessionization per user (diff >= gap breaks: a
+    // session window is end-exclusive, so an event at exactly
+    // prev + gap starts a new session); path via ORDER BY (ts,
+    // event_id) string_agg — the same total order as sort_array
+    "q_session_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |p AS (
+        |  SELECT user_id, sid,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS n_events
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     "q_tumbling_count_sql" ->
       """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,

@@ -496,6 +496,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out.exists { case ((_, n), (dc, _, _)) => n == 2 && dc > 0 })
   }
 
+  test("banding sweep's 16x4 row equals the candidate audit's minhash row") {
+    val sweep = DedupQueries.queries("dedup_banding_sweep")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(sweep.keySet == Set((8, 8), (16, 4), (32, 2)))
+    val audit = DedupQueries.queries("dedup_candidate_audit")(spark, sf0001)
+      .collect().filter(_.getString(0) == "minhash_lsh")
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))
+    // the deployed 16-band config must read identically off both audits
+    assert(audit.length == 1 && sweep((16, 4)) == audit.head,
+      s"sweep=${sweep((16, 4))} audit=${audit.head}")
+    // verified never exceeds candidates, recall/efficiency in [0,1]
+    sweep.values.foreach { case (c, v, r, e) =>
+      assert(v <= c && r >= 0 && r <= 1 && e >= 0 && e <= 1)
+    }
+  }
+
   test("triangle census matches a driver-side brute-force replay") {
     val pairs = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
