@@ -377,6 +377,43 @@ object PipelineQueries {
     // range boundaries, made exact and deterministic (ties share a
     // decile; no ntile row-order dependence). Integer arithmetic
     // throughout → engine-exact.
+    // DATA SELECTION UNDER A TOKEN BUDGET — the greedy quality-first
+    // fill every "train on the best N tokens" recipe runs: rank docs
+    // by an integer quality score (type-token-ratio decile — exact
+    // integer arithmetic), admit in (score DESC, doc_id) order while
+    // the cumulative token count stays within budget = ⌊total/3⌋ (a
+    // corpus-relative budget, so the query is scale-free). The global
+    // cumulative sum is computed WITHOUT a global sort, the same
+    // two-level shape as epoch_shuffle: doc-id ranges bucket the
+    // corpus, each (score, bucket) cell cumulates locally under a
+    // partitioned window, and cell offsets come from one windowed pass
+    // over the tiny (score × bucket) aggregate frame — bucket is
+    // monotone in doc_id, so offset + local cum IS the global cum in
+    // (score DESC, doc_id) order. A 1000-executor job runs the local
+    // windows fully parallel; only the histogram frame is sequential.
+    "pipeline_token_budget" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          expr("(size(array_distinct(toks)) * 10L) div size(toks)").as("score"))
+        .withColumn("bucket", expr("doc_id div 1000"))
+      val budget = d.agg(expr("sum(n_tok) div 3").as("budget"))
+      val cells = d.groupBy("score", "bucket").agg(sum(col("n_tok")).as("gt"))
+        .withColumn("before", coalesce(
+          sum(col("gt")).over(W.orderBy(col("score").desc, col("bucket").asc)
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select("score", "bucket", "before")
+      val wLocal = W.partitionBy("score", "bucket").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      d.join(broadcast(cells), Seq("score", "bucket"))
+        .withColumn("cum", col("before") + sum(col("n_tok")).over(wLocal))
+        .crossJoin(broadcast(budget)) // corpus rows × 1 scalar row
+        .filter(col("cum") <= col("budget"))
+        .select("doc_id", "score", "n_tok", "cum")
+    }),
+
     "pipeline_curriculum_deciles" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window.orderBy("score")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -888,6 +925,24 @@ object PipelineQueries {
         |       CAST(count(dup.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
         |GROUP BY 1""".stripMargin,
+
+    // the two-level offset + local-cum decomposition collapses to one
+    // plain global cumsum in (score DESC, doc_id) order — the oracle
+    // states the SEMANTICS, the Spark plan the scale shape
+    "pipeline_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         CAST((len(list_distinct(string_split(text, ' '))) * 10)
+        |              // len(string_split(text, ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |b AS (SELECT CAST(sum(n_tok) // 3 AS BIGINT) AS budget FROM d),
+        |c AS (
+        |  SELECT doc_id, score, n_tok,
+        |         CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT doc_id, score, n_tok, cum FROM c, b WHERE cum <= budget""".stripMargin,
 
     // same strict-below histogram arithmetic; integer // division
     "pipeline_curriculum_deciles" ->

@@ -496,6 +496,28 @@ class TextDedupSpec extends SparkSpec {
     assert(out.exists { case ((_, n), (dc, _, _)) => n == 2 && dc > 0 })
   }
 
+  test("token-budget selection equals a driver-side greedy fill") {
+    val docsRaw = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val scored = docsRaw.map { case (id, toks) =>
+      (id, toks.length.toLong, toks.distinct.length.toLong * 10 / toks.length)
+    }
+    val budget = scored.map(_._2).sum / 3
+    var cum = 0L
+    val expected = scored.sortBy { case (id, _, sc) => (-sc, id) }.flatMap {
+      case (id, n, sc) =>
+        cum += n
+        if (cum <= budget) Some(id -> ((sc, n, cum))) else None
+    }.toMap
+    val out = graft.queries.PipelineQueries.queries("pipeline_token_budget")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == expected && out.nonEmpty)
+    // greedy maximality: kept mass fits, adding any one more would not
+    assert(out.values.map(_._2).sum <= budget)
+  }
+
   test("banding sweep's 16x4 row equals the candidate audit's minhash row") {
     val sweep = DedupQueries.queries("dedup_banding_sweep")(spark, sf0001)
       .collect().map(r => (r.getInt(0), r.getInt(1)) ->
