@@ -445,4 +445,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("triangle census: every wedge/closure join is an equi-join — no cartesian") {
+    val p = plan("dedup_graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("cross-source matrix: corpus semi-joins down to graph endpoints before source lookup") {
+    val p = plan("dedup_cross_source_matrix")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the documented 1-row scalar total
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("dup-ngram coverage: per-doc windows + equi-joins only, no cross-document movement") {
+    val p = plan("text_dup_ngram_fraction")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("banding sweep: three band self-joins are (band, bucket) equi-joins — no cartesian") {
+    val p = plan("dedup_banding_sweep")
+    assert(!p.contains("CartesianProduct"), p)
+    // scalar n_true cross join is the only nested-loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("token budget: histogram offsets broadcast; corpus window is (score, bucket)-local") {
+    val p = plan("pipeline_token_budget")
+    assert(!p.contains("CartesianProduct"), p)
+    // offsets + the 1-row budget scalar — never a corpus-sized nested loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("leakage-free split: CC labels join by id; the only nested-loop is the 1-row leak scalar") {
+    val p = plan("pipeline_leakage_free_split")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("session paths: two aggregates + TakeOrdered — word-count shape, no join at all") {
+    val p = plan("q_session_paths")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

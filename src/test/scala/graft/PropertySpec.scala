@@ -257,4 +257,47 @@ class PropertySpec extends SparkSpec {
         .collect().forall(_ == 64)
     })
   }
+
+  // the text_bpe_encode ORACLE's central claim, proven in general, not
+  // just on the fixture corpus: over a chr(2)‖tok‖chr(3)-encoded token
+  // stream, one leftmost-first non-overlapping string replace of the
+  // encoded pair IS the greedy carry-fold BPE merge — for any token
+  // stream and any merge sequence (including pairs absent from the
+  // stream, self-pairs like (x,x), and merges whose halves were
+  // produced by earlier merges).
+  test("∀ token streams, merge tables: delimiter-encoded replace chain == greedy BPE fold") {
+    val tokGen = Gen.oneOf("x", "y", "zz", "x y") // 'x y' can't occur raw (tokens are space-free) but stresses collisions
+    val streamGen = for {
+      n <- Gen.choose(1, 24)
+      toks <- Gen.listOfN(n, Gen.oneOf("x", "y", "zz", "w"))
+      m <- Gen.choose(1, 4)
+      merges <- Gen.listOfN(m, for {
+        a <- tokGen; b <- tokGen
+      } yield s"$a $b")
+    } yield (toks, merges)
+    def fold(toks: Seq[String], pair: String): Seq[String] = {
+      val Array(a, b) = pair.split(" ", 2)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var carry: String = null
+      toks.foreach { t =>
+        if (carry == null) carry = t
+        else if (carry == a && t == b) { out += pair; carry = null }
+        else { out += carry; carry = t }
+      }
+      if (carry != null) out += carry
+      out.toSeq
+    }
+    def replayViaReplace(toks: Seq[String], merges: Seq[String]): Seq[String] = {
+      val enc = merges.foldLeft(toks.map(t => s"\u0002$t\u0003").mkString) { (s, pair) =>
+        val Array(a, b) = pair.split(" ", 2)
+        s.replace(s"\u0002$a\u0003\u0002$b\u0003", s"\u0002$pair\u0003")
+      }
+      if (enc.isEmpty) Seq("")
+      else enc.stripPrefix("\u0002").stripSuffix("\u0003").split("\u0003\u0002", -1).toSeq
+    }
+    check(Prop.forAll(streamGen) { case (toks, merges) =>
+      val expected = merges.foldLeft(toks: Seq[String])(fold)
+      replayViaReplace(toks, merges) == expected
+    })
+  }
 }
