@@ -439,6 +439,43 @@ object SimilarityQueries {
           round(sqrt(dot(col("mv"), col("mv"))), 6).as("centroid_norm"))
     }),
 
+    // IVF STORAGE-LAYOUT AUDIT — the vector-store mirror of
+    // q_zorder_layout: lay the SAME corpus out two ways (files =
+    // IVF bucket vs files = vec_id ranges, the naive append order)
+    // and measure how many files the standard 10-query nprobe=4
+    // search must read under each. Bucket-partitioned files bound
+    // reads at nprobe files/query by construction; id-ordered files
+    // scatter every bucket's members across ~all files — the measured
+    // quantity IS the I/O argument for partitioning a 100 TB vector
+    // store by coarse quantizer cell. One scan carries both layouts
+    // (explode into (layout, file) pairs, exactly the zorder trick);
+    // file counts and probe fan-out are index-parameter-sized.
+    "sim_ivf_layout" -> ((s, dir) => {
+      val (vs, assignC, probesC) = ivfParts(s, dir, k = 16, nprobe = 4)
+      val corpus = vs
+        .select(col("vec_id"), assignC.cast("long").as("bucket"))
+        .withColumn("id_file", expr("vec_id div 100"))
+      val layouts = array(
+        struct(lit("bucket_partitioned").as("layout"), col("bucket").as("file")),
+        struct(lit("id_ordered").as("layout"), col("id_file").as("file")))
+      val qProbes = vs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), explode(probesC).as("pb"))
+        .select(col("query_id"), col("pb").cast("long").as("bucket"))
+      val read = qProbes
+        .join(corpus.select(col("bucket"), col("id_file")), Seq("bucket"))
+        .select(col("query_id"), explode(layouts).as("lf"))
+        .select(col("query_id"), col("lf.layout").as("layout"), col("lf.file").as("file"))
+        .distinct()
+        .groupBy("layout")
+        .agg(count(lit(1)).as("files_touched")) // Σ over queries of distinct files
+      corpus.select(explode(layouts).as("lf"))
+        .select(col("lf.layout").as("layout"), col("lf.file").as("file"))
+        .distinct()
+        .groupBy("layout").agg(count(lit(1)).as("n_files"))
+        .join(read, "layout")
+        .select("layout", "n_files", "files_touched")
+    }),
+
     // INDEX CHURN — the rebuild-trigger metric for a served IVF index:
     // after one Lloyd step (the sim_kmeans_refine centroids), what
     // fraction of each bucket's members would move to a different
@@ -1343,6 +1380,34 @@ object SimilarityQueries {
          |       round(sqrt(list_reduce(list_prepend(0.0,
          |               list_transform(mv, x -> x * x)), (a, b) -> a + b)), 6) AS centroid_norm
          |FROM cent""".stripMargin,
+
+    // same assignment + probe CTEs as the ivf oracle; both layouts'
+    // file identities replayed with plain integer arithmetic
+    "sim_ivf_layout" ->
+      s"""WITH $ivfAssignCtes,
+         |$ivfProbeCtes,
+         |corp AS (
+         |  SELECT a.vec_id, CAST(a.bucket AS BIGINT) AS bucket,
+         |         CAST(a.vec_id // 100 AS BIGINT) AS id_file
+         |  FROM assign a),
+         |qp AS (SELECT vec_id AS query_id, CAST(bucket AS BIGINT) AS bucket
+         |       FROM probes WHERE vec_id < 10),
+         |rd AS (SELECT qp.query_id, c.bucket, c.id_file
+         |       FROM qp JOIN corp c ON c.bucket = qp.bucket),
+         |tl AS (
+         |  SELECT 'bucket_partitioned' AS layout, query_id, bucket AS file FROM rd
+         |  UNION ALL
+         |  SELECT 'id_ordered', query_id, id_file FROM rd),
+         |ft AS (SELECT layout, CAST(count(*) AS BIGINT) AS files_touched
+         |       FROM (SELECT DISTINCT layout, query_id, file FROM tl) GROUP BY layout),
+         |fl AS (
+         |  SELECT layout, CAST(count(*) AS BIGINT) AS n_files FROM (
+         |    SELECT DISTINCT 'bucket_partitioned' AS layout, bucket AS file FROM corp
+         |    UNION ALL
+         |    SELECT DISTINCT 'id_ordered' AS layout, id_file AS file FROM corp) u
+         |  GROUP BY layout)
+         |SELECT fl.layout, fl.n_files, ft.files_touched
+         |FROM fl JOIN ft ON ft.layout = fl.layout""".stripMargin,
 
     // same Lloyd-step centroids as the refine oracle; re-assignment
     // scored on 6dp-rounded values, first-max tie-break

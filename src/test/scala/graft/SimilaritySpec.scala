@@ -216,6 +216,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out == expected, s"out=$out expected=$expected")
   }
 
+  test("IVF layout audit: bucket partitioning reads a smaller file fraction than id order") {
+    val out = graft.queries.SimilarityQueries.queries("sim_ivf_layout")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (bFiles, bTouched) = out("bucket_partitioned")
+    val (iFiles, iTouched) = out("id_ordered")
+    // nprobe=4, 10 queries: at least 4 files/query; ties can widen
+    assert(bTouched >= 40, s"bucket layout touched $bTouched")
+    // the audit's point: the touched FRACTION is smaller under
+    // bucket partitioning (id order scatters buckets across files)
+    assert(bTouched.toDouble / (bFiles * 10) < iTouched.toDouble / (iFiles * 10),
+      s"bucket $bTouched/$bFiles vs id $iTouched/$iFiles")
+  }
+
   test("index churn matches a driver-side Lloyd-step replay") {
     val vs = graft.queries.SimilarityQueries.vectors(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
