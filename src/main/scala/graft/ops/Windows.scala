@@ -285,6 +285,25 @@ object Windows {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"))
 
+  /** Per-session ordered event-type path — one row per (key, session):
+    * the session's events concatenated in (ts, event_id) order (a
+    * TOTAL order: event_id is unique, so the path is deterministic
+    * under any partitioning). Pure plan function shared by the batch
+    * top-paths query (`q_session_paths`) and the streaming form
+    * ([[graft.streaming.StreamingJobs.sessionPathsStreaming]]): on a
+    * watermarked stream the same session_window aggregate emits each
+    * session's final path once the watermark passes its end. */
+  def sessionPaths(df: DataFrame, ts: Column, key: Column, gap: String): DataFrame =
+    df.groupBy(session_window(ts, gap), key.as("key"))
+      .agg(sort_array(collect_list(
+        struct(ts.as("ts"), col("event_id"), col("event_type")))).as("evs"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("key"),
+        col("session_window.start").as("session_start"),
+        concat_ws(">", transform(col("evs"), e => e.getField("event_type"))).as("path"),
+        col("n_events"))
+
   /** Converged upsert state of the streaming jobs: last window per key.
     *
     * The reference's sinks upsert keyed on (class, window_start,

@@ -86,16 +86,9 @@ object EventQueries {
     // (shuffle by path, map-side combined) + TakeOrdered — the same
     // two-shuffle profile as word-count at 100 TB.
     "q_session_paths" -> ((s, dir) =>
-      events(s, dir)
-        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
-        .agg(sort_array(collect_list(
-          struct(col("ts"), col("event_id"), col("event_type")))).as("evs"),
-          count(lit(1)).as("n"))
-        .select(concat_ws(">",
-          transform(col("evs"), e => e.getField("event_type"))).as("path"),
-          col("n"))
+      Windows.sessionPaths(events(s, dir), col("ts"), col("user_id"), "5 minutes")
         .groupBy(col("path"))
-        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
         .orderBy(col("n_sessions").desc, col("path"))
         .limit(20)),
 

@@ -87,6 +87,20 @@ object StreamingJobs {
   def sessionCounts(events: DataFrame, tsCol: String, keyCol: String, gap: String): DataFrame =
     Windows.sessionCount(Ingest.withEventTime(events, tsCol), col(tsCol), col(keyCol), gap)
 
+  /** Streaming per-session event-type paths — the same pure plan as
+    * the batch path frame ([[graft.ops.Windows.sessionPaths]]) under a
+    * watermark: the session_window aggregate buffers each OPEN
+    * session's (ts, event_id, type) rows as state and emits the
+    * finalized ordered path once the watermark passes session end
+    * (append mode). State per key = open sessions only — eviction on
+    * emission bounds it exactly like the session-count job; the
+    * downstream top-paths count is an ordinary keyed aggregation over
+    * this append stream. Requires `event_id` / `event_type` columns
+    * (the events schema). */
+  def sessionPathsStreaming(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String): DataFrame =
+    Windows.sessionPaths(Ingest.withEventTime(events, tsCol), col(tsCol), col(keyCol), gap)
+
   /** Streaming exact dedup for a document feed: keep the first
     * occurrence of each content digest, drop later copies. State is
     * BOUNDED by the watermark: `dropDuplicatesWithinWatermark` evicts

@@ -428,6 +428,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session paths finalize in (ts, event_id) order == batch path frame") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val toEv = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("event_id", "ts", "user_id", "event_type")
+    val q = graft.streaming.StreamingJobs.sessionPathsStreaming(
+        toEv(in.toDF()), "ts", "user_id", "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("paths_out").start()
+    try {
+      // user 7: out-of-order within one session (ids pin the order);
+      // user 8: two events, same session
+      in.addData(
+        (2L, ts("2024-01-01 00:02:00"), 7L, "view"),
+        (1L, ts("2024-01-01 00:00:00"), 7L, "click"),
+        (3L, ts("2024-01-01 00:03:00"), 8L, "signup"),
+        (4L, ts("2024-01-01 00:04:00"), 8L, "purchase"))
+      q.processAllAvailable()
+      in.addData((9L, ts("2024-01-01 01:00:00"), 7L, "error")) // watermark past session ends
+      q.processAllAvailable()
+      in.addData((10L, ts("2024-01-01 02:00:00"), 7L, "error")) // flush the 01:00 session
+      q.processAllAvailable()
+      val got = spark.table("paths_out")
+        .select("key", "session_start", "path", "n_events")
+        .as[(Long, Timestamp, String, Long)].collect().toSet
+      assert(got.contains((7L, ts("2024-01-01 00:00:00"), "click>view", 2L)), got)
+      assert(got.contains((8L, ts("2024-01-01 00:03:00"), "signup>purchase", 2L)), got)
+      // batch over the same rows produces the identical path frame
+      // (same pure plan function — the duality is structural)
+      val batch = graft.ops.Windows.sessionPaths(
+          toEv(Seq(
+            (2L, ts("2024-01-01 00:02:00"), 7L, "view"),
+            (1L, ts("2024-01-01 00:00:00"), 7L, "click"),
+            (3L, ts("2024-01-01 00:03:00"), 8L, "signup"),
+            (4L, ts("2024-01-01 00:04:00"), 8L, "purchase"),
+            (9L, ts("2024-01-01 01:00:00"), 7L, "error"),
+            (10L, ts("2024-01-01 02:00:00"), 7L, "error")).toDF()),
+          $"ts", $"user_id", "5 minutes")
+        .select("key", "session_start", "path", "n_events")
+        .as[(Long, Timestamp, String, Long)].collect().toSet
+      val gotAll = spark.table("paths_out")
+        .select("key", "session_start", "path", "n_events")
+        .as[(Long, Timestamp, String, Long)].collect().toSet
+      // every finalized streaming session row appears in batch
+      assert(gotAll.subsetOf(batch), s"stream=$gotAll batch=$batch")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join: stream rows pick up broadcast dimension attributes") {
     implicit val sql = spark.sqlContext
     val dim = Seq(("11", "local"), ("14", "express")).toDF("cls", "service")
