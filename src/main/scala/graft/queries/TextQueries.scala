@@ -134,6 +134,34 @@ object TextQueries {
         .orderBy(col("freq").desc, col("token"))
         .limit(100)),
 
+    // ZIPF DEVIATION — the corpus-naturalness audit: natural language
+    // token frequencies follow rank-frequency ∝ 1/r; template/
+    // synthetic/keyword-stuffed corpora don't. Per top-100 rank:
+    // observed ppm share vs the Zipf expectation over the same 100
+    // ranks, and the absolute deviation. All arithmetic is
+    // scaled-integer (`div` on 1e6/1e12 scales), so the audit is
+    // engine-exact — no floating harmonic sums. Cost: the word-count
+    // shuffle + windows over the 100-row top frame (index-parameter-
+    // sized, single-partition by construction — the corpus never
+    // passes through the unpartitioned window).
+    "text_zipf_deviation" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wRank = W.orderBy(col("freq").desc, col("token"))
+      val wAll = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(100)
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .withColumn("tot", sum(col("freq")).over(wAll))
+        .withColumn("zw", expr("1000000000000L div rank"))
+        .withColumn("hsum", sum(col("zw")).over(wAll))
+        .select(col("rank"), col("token"), col("freq"),
+          expr("(freq * 1000000L) div tot").as("obs_ppm"),
+          expr("(zw * 1000000L) div hsum").as("exp_ppm"))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+    }),
+
     // document fingerprints: rolling polynomial hash + content digest
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
@@ -618,6 +646,26 @@ object TextQueries {
         |  FROM tok)
         |SELECT pair, CAST(count(*) AS BIGINT) AS freq
         |FROM prs GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+
+    // same (freq DESC, token) top-100 rank; identical 1e6/1e12
+    // scaled-integer arithmetic (// == div on positives)
+    "text_zipf_deviation" ->
+      """WITH v AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token ORDER BY freq DESC, token LIMIT 100),
+        |r AS (
+        |  SELECT token, freq,
+        |         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+        |         sum(freq) OVER () AS tot
+        |  FROM v),
+        |z AS (SELECT *, CAST(1000000000000 AS BIGINT) // rank AS zw FROM r),
+        |h AS (SELECT *, sum(zw) OVER () AS hsum FROM z)
+        |SELECT rank, token, freq,
+        |       CAST((freq * 1000000) // tot AS BIGINT) AS obs_ppm,
+        |       CAST((zw * 1000000) // hsum AS BIGINT) AS exp_ppm,
+        |       CAST(abs((freq * 1000000) // tot - (zw * 1000000) // hsum) AS BIGINT) AS dev_ppm
+        |FROM h""".stripMargin,
 
     // Replays the whole encode: learn the rank-ordered top-8 merge
     // table with the bigram-merges idiom, then apply each merge as ONE

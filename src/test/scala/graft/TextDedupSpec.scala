@@ -496,6 +496,28 @@ class TextDedupSpec extends SparkSpec {
     assert(out.exists { case ((_, n), (dc, _, _)) => n == 2 && dc > 0 })
   }
 
+  test("Zipf deviation matches a driver-side scaled-integer replay") {
+    val toks = Tables.load(spark, sf0001, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+    val top = toks.groupBy(identity).map { case (t, o) => (t, o.length.toLong) }
+      .toSeq.sortBy { case (t, f) => (-f, t) }.take(100)
+    val tot = top.map(_._2).sum
+    val zws = top.indices.map(i => 1000000000000L / (i + 1))
+    val hsum = zws.sum
+    val expected = top.zipWithIndex.map { case ((t, f), i) =>
+      val obs = f * 1000000L / tot
+      val exp = zws(i) * 1000000L / hsum
+      (i + 1L) -> ((t, f, obs, exp, math.abs(obs - exp)))
+    }.toMap
+    val out = graft.queries.TextQueries.queries("text_zipf_deviation")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == expected && out.nonEmpty)
+    // the synthetic corpus is near-uniform: rank-1 must deviate hugely
+    assert(out(1L)._5 > 100000L, s"rank-1 dev ${out(1L)._5}")
+  }
+
   test("token-budget selection equals a driver-side greedy fill") {
     val docsRaw = Tables.load(spark, sf0001, "documents")
       .select("doc_id", "text").collect()
