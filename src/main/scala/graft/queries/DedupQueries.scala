@@ -341,6 +341,43 @@ object DedupQueries {
           round(col("n_verified").cast("double") / col("n_candidates").cast("double"), 6))
     }),
 
+    // THRESHOLD SENSITIVITY — the τ-tuning complement to the banding
+    // sweep (which tunes candidate generation at FIXED τ): one PPJoin
+    // pass at the loosest threshold (τ = 0.7) verifies exact Jaccard
+    // once, then conditional aggregation reads off, for each τ in
+    // {0.7, 0.8, 0.9}, how many pairs and how many distinct documents
+    // the dedup decision would touch — the marginal-cost curve of
+    // tightening or loosening τ, measured before committing a corpus
+    // rewrite. Two aggregates total over the verified pair frame (one
+    // for pairs, one over exploded endpoints keyed by max jac); the
+    // prefix filter is recall-lossless at the loosest τ, so every
+    // stricter row is exact by subset.
+    "dedup_threshold_sensitivity" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val verified = jaccardFromCounts(
+        ppjoinCandidates(sh, tauNum = 7, tauDen = 10) // τ = 0.7 superset
+          .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
+        .filter(col("jac") >= 0.7)
+        .select("doc_a", "doc_b", "jac")
+      def nP(t: Double) = sum(when(col("jac") >= t, 1L).otherwise(0L))
+      val pairAgg = verified.agg(
+        nP(0.7).as("p70"), nP(0.8).as("p80"), nP(0.9).as("p90"))
+      def nD(t: Double) = sum(when(col("mx") >= t, 1L).otherwise(0L))
+      val docAgg = verified
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("d"), col("jac"))
+        .groupBy("d").agg(max(col("jac")).as("mx"))
+        .agg(nD(0.7).as("d70"), nD(0.8).as("d80"), nD(0.9).as("d90"))
+      pairAgg.crossJoin(docAgg) // 1 row × 1 row
+        .select(explode(array(
+          struct(lit(0.7).as("tau"), col("p70").as("n_pairs"), col("d70").as("n_docs")),
+          struct(lit(0.8).as("tau"), col("p80").as("n_pairs"), col("d80").as("n_docs")),
+          struct(lit(0.9).as("tau"), col("p90").as("n_pairs"), col("d90").as("n_docs"))))
+          .as("r"))
+        .select(col("r.tau").as("tau"), col("r.n_pairs").as("n_pairs"),
+          col("r.n_docs").as("n_docs"))
+    }),
+
     // BANDING PARAMETER SWEEP — the candidate audit extended across
     // the (bands × rows) S-curve: the SAME 64-perm signature banded
     // three ways (8×8, 16×4, 32×2), each config's candidate count,
@@ -1032,6 +1069,28 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dedup_candidate_audit" -> candidateAuditSql,
     "dedup_banding_sweep" -> bandingSweepSql,
+
+    // brute-force jac over all pairs, same CASE buckets per τ
+    "dedup_threshold_sensitivity" ->
+      s"""WITH $bruteForceJaccardCtes,
+         |v AS (SELECT doc_a, doc_b, jac FROM p WHERE jac >= 0.7),
+         |pa AS (
+         |  SELECT CAST(sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) p70,
+         |         CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) p80,
+         |         CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) p90
+         |  FROM v),
+         |dd AS (
+         |  SELECT d, max(jac) AS mx FROM (
+         |    SELECT doc_a AS d, jac FROM v UNION ALL SELECT doc_b, jac FROM v) u
+         |  GROUP BY d),
+         |da AS (
+         |  SELECT CAST(sum(CASE WHEN mx >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) d70,
+         |         CAST(sum(CASE WHEN mx >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) d80,
+         |         CAST(sum(CASE WHEN mx >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) d90
+         |  FROM dd)
+         |SELECT 0.7 AS tau, p70 AS n_pairs, d70 AS n_docs FROM pa, da
+         |UNION ALL SELECT 0.8, p80, d80 FROM pa, da
+         |UNION ALL SELECT 0.9, p90, d90 FROM pa, da""".stripMargin,
     "dedup_common_spans" ->
       s"""WITH t AS (
          |  SELECT doc_id, $spanListSql spans FROM documents),

@@ -540,6 +540,21 @@ class TextDedupSpec extends SparkSpec {
     assert(out.values.map(_._2).sum <= budget)
   }
 
+  test("threshold sensitivity: monotone in tau, 0.8 row equals the pair query") {
+    val out = DedupQueries.queries("dedup_threshold_sensitivity")(spark, sf0001)
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(0.7, 0.8, 0.9))
+    // tightening tau can only shrink the pair set and its doc support
+    assert(out(0.7)._1 >= out(0.8)._1 && out(0.8)._1 >= out(0.9)._1)
+    assert(out(0.7)._2 >= out(0.8)._2 && out(0.8)._2 >= out(0.9)._2)
+    // the deployed tau = 0.8 row reads identically off the pair query
+    val pairs = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs08 = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+    assert(out(0.8) == ((pairs.length.toLong, docs08)),
+      s"sweep=${out(0.8)} pairs=${pairs.length}/$docs08")
+  }
+
   test("banding sweep's 16x4 row equals the candidate audit's minhash row") {
     val sweep = DedupQueries.queries("dedup_banding_sweep")(spark, sf0001)
       .collect().map(r => (r.getInt(0), r.getInt(1)) ->
