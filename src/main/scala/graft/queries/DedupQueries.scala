@@ -176,10 +176,46 @@ object DedupQueries {
           graft.functions.KernelExpressions.sortedNgramSet(col("toks"), 3).as("g"): _*),
       passthrough)
 
-  /** LSH candidate pairs (doc_a < doc_b), deduplicated across bands. */
-  private[graft] def lshCandidates(sh: DataFrame): DataFrame = {
-    val bands = bandedFromShingles(sh)
-    val left = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+  /** A (band, bucket) group larger than this is a heavy hitter — a
+    * boilerplate template shared by m documents lands them in the SAME
+    * bucket in every band, so an uncapped bucket self-join emits Θ(m²)
+    * candidate pairs per band before verification ever runs: the one
+    * plan shape here that does not survive a 100 TB corpus. The guard
+    * is an ANCHOR cap, not the video near-dup's drop-the-group cap
+    * (MultimodalQueries.VideoHotFrameCap): a hot LSH bucket is exactly
+    * where the duplicates ARE, so dropping it would lose the whole
+    * group. Instead, a pair is probed iff its smaller doc_id ranks
+    * within the cap smallest ids of the bucket — candidate volume per
+    * bucket is ≤ cap·m (O(m·cap), not Θ(m²)), every member still pairs
+    * with the bucket's anchors (so survivor components stay connected
+    * through the anchors), and below the cap the join is EXACTLY the
+    * uncapped self-join (every member is an anchor). Nothing
+    * approaches the cap at test scale — bucket occupancy at sf0.1
+    * tops out well under 100 — so every oracle replaying candidates
+    * mirrors the identical rank filter and the results are unchanged;
+    * at 100 TB it is the safety rail. Pairs missed above the cap are
+    * exactly those whose BOTH endpoints rank above it — members of a
+    * group the anchors already stitch together for survivor selection
+    * (TextDedupSpec's planted-boilerplate case pins the bound and the
+    * anchor connectivity). */
+  private[graft] val LshBucketCap = 1024
+
+  /** Rank bucket members by doc_id within each key group — the anchor
+    * order for [[LshBucketCap]]. One window sort riding the same
+    * hash-partitioning the bucket self-join shuffles on anyway. */
+  private def withBucketRank(
+      bands: DataFrame, keys: Seq[String], idCol: String = "doc_id"): DataFrame =
+    bands.withColumn("rk", row_number().over(
+      Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))))
+
+  /** LSH candidate pairs (doc_a < doc_b), deduplicated across bands;
+    * per-bucket fan-out anchor-capped (see [[LshBucketCap]]). */
+  private[graft] def lshCandidates(sh: DataFrame, cap: Int = LshBucketCap): DataFrame = {
+    val bands = withBucketRank(bandedFromShingles(sh), Seq("band", "bucket"))
+    // doc_a < doc_b and the rank order is doc_id asc, so filtering the
+    // LEFT side keeps exactly the pairs whose smaller id is an anchor
+    val left = bands.filter(col("rk") <= cap)
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val right = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     left.join(right, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
@@ -224,7 +260,13 @@ object DedupQueries {
       passthrough = Seq("source"))
     val train = banded.filter(col("source") =!= "src0")
       .select(col("band"), col("bucket"), col("doc_id").as("train_id"))
-    val eval_ = banded.filter(col("source") === "src0")
+    // witness-side anchor cap (see LshBucketCap): a train doc in a hot
+    // bucket still probes up to cap eval witnesses — one witness is
+    // enough to drop it — and the bipartite fan-out is ≤ m_train·cap
+    // per bucket instead of m_train·m_eval
+    val eval_ = withBucketRank(
+        banded.filter(col("source") === "src0"), Seq("band", "bucket"))
+      .filter(col("rk") <= LshBucketCap)
       .select(col("band"), col("bucket"), col("doc_id").as("eval_id"))
     val cands = train.join(eval_, Seq("band", "bucket"))
       .select("train_id", "eval_id")
@@ -387,32 +429,49 @@ object DedupQueries {
     // down; the sweep shows where the knee is. Signature computed
     // ONCE (the expensive pass — shingle hash × 64 perms); each
     // banding is a cheap projection + (band, bucket) self-join; truth
-    // is the broadcast pair set, one aggregate per config.
+    // is the broadcast pair set. ALL THREE configs ride ONE
+    // (config, band, bucket) self-join + one distinct + one grouped
+    // aggregate: the config id is just another key column, exploded
+    // alongside the band rows, so the candidate shuffle is paid once
+    // over the union of configs instead of three times (round 6 ran
+    // one join + distinct per config — 3 candidate shuffles). The
+    // per-bucket anchor cap (LshBucketCap) applies per config key,
+    // exactly as in lshCandidates.
     "dedup_banding_sweep" -> ((s, dir) => {
+      import s.implicits._
       val sig = shingled(s, dir).filter(size(col("g")) > 0)
         .withColumn("sig", minhashSignature(col("g"), perms = 64))
         .select("doc_id", "sig")
       val truth = ngramJaccardPairs(s, dir)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("_t"))
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
-      Seq(8, 16, 32).map { b =>
-        val bands = sig.select(col("doc_id"),
-            explode(lshBands(col("sig"), perms = 64, bands = b)).as("bh"))
-          .select(col("doc_id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
-        val cands = bands
-          .select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-          .join(bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
-            Seq("band", "bucket"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        cands.join(broadcast(truth), Seq("doc_a", "doc_b"), "left")
-          .agg(count(lit(1)).as("n_candidates"), count(col("_t")).as("n_verified"))
-          .select(lit(b).cast("int").as("bands"),
-            lit(64 / b).cast("int").as("rows_per_band"),
-            col("n_candidates"), col("n_verified"))
-      }.reduce(_ unionByName _)
+      val cfgBands = concat(Seq(8, 16, 32).map { b =>
+        transform(lshBands(col("sig"), perms = 64, bands = b),
+          x => struct(lit(b).as("bands"),
+            x.getField("band").as("band"), x.getField("bucket").as("bucket")))
+      }: _*)
+      val banded = withBucketRank(
+        sig.select(col("doc_id"), explode(cfgBands).as("cb"))
+          .select(col("doc_id"), col("cb.bands").as("bands"),
+            col("cb.band").as("band"), col("cb.bucket").as("bucket")),
+        Seq("bands", "band", "bucket"))
+      val keys = Seq("bands", "band", "bucket")
+      val cands = banded.filter(col("rk") <= LshBucketCap)
+        .select(keys.map(col) :+ col("doc_id").as("doc_a"): _*)
+        .join(banded.select(keys.map(col) :+ col("doc_id").as("doc_b"): _*), keys)
+        .filter(col("doc_a") < col("doc_b"))
+        .select("bands", "doc_a", "doc_b").distinct()
+      val agg = cands.join(broadcast(truth), Seq("doc_a", "doc_b"), "left")
+        .groupBy("bands")
+        .agg(count(lit(1)).as("n_candidates"), count(col("_t")).as("n_verified"))
+      // literal config frame keeps a zero row for a config with no
+      // collisions at all (groupBy alone would drop it)
+      Seq(8, 16, 32).toDF("bands")
+        .join(agg, Seq("bands"), "left")
+        .na.fill(0L, Seq("n_candidates", "n_verified"))
         .crossJoin(broadcast(nTrue)) // 3 config rows × 1 scalar row
-        .select(col("bands"), col("rows_per_band"),
+        .select(col("bands"),
+          (lit(64) / col("bands")).cast("int").as("rows_per_band"),
           col("n_candidates"), col("n_verified"),
           round(col("n_verified").cast("double") / col("n_true").cast("double"), 6)
             .as("recall"),
@@ -444,10 +503,18 @@ object DedupQueries {
       val isNew = col("doc_id") % 5 === 4
       val probe = bands.filter(isNew)
         .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
-      val corpusIx = bands.filter(!isNew)
-        .select(col("band"), col("bucket"), col("doc_id").as("matched_id"))
-      val batchIx = bands.filter(isNew)
-        .select(col("band"), col("bucket"), col("doc_id").as("matched_id"))
+      // index-side anchor cap (see LshBucketCap): each new doc probes
+      // at most cap prior/peer members per bucket — one match already
+      // decides "drop the new copy", and a hot boilerplate bucket
+      // costs batch·cap instead of batch·corpus
+      def capped(ix: DataFrame) =
+        withBucketRank(ix, Seq("band", "bucket"), idCol = "matched_id")
+          .filter(col("rk") <= LshBucketCap)
+          .select(col("band"), col("bucket"), col("matched_id"))
+      val corpusIx = capped(bands.filter(!isNew)
+        .select(col("band"), col("bucket"), col("doc_id").as("matched_id")))
+      val batchIx = capped(bands.filter(isNew)
+        .select(col("band"), col("bucket"), col("doc_id").as("matched_id")))
       val cand = probe.join(corpusIx, Seq("band", "bucket"))
         .select("new_id", "matched_id")
         .unionByName(
@@ -999,10 +1066,15 @@ object DedupQueries {
        |           list_transform(range(1, 5), r -> sg[CAST(bj.j * 4 + r AS INTEGER)])),
        |           (x, y) -> (x * 31 + y) % 2147483647) bucket
        |  FROM sl CROSS JOIN (SELECT unnest(range(0, 16)) j) bj),
+       |bandsr AS (
+       |  SELECT doc_id, j, bucket,
+       |         row_number() OVER (PARTITION BY j, bucket ORDER BY doc_id) rk
+       |  FROM bands),
        |lshc AS (
        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |  FROM bandsr a JOIN bandsr b
+       |    ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE a.rk <= 1024),
        |ex AS (SELECT doc_id, len(g) n, unnest(g) s FROM tf),
        |freq AS (SELECT s, count(*) df FROM ex GROUP BY s),
        |pre AS (
@@ -1044,10 +1116,15 @@ object DedupQueries {
          |             r -> sg[CAST(bj.j * $rows + r AS INTEGER)])),
          |           (x, y) -> (x * 31 + y) % 2147483647) bucket
          |  FROM sl CROSS JOIN (SELECT unnest(range(0, $b)) j) bj),
+         |br$b AS (
+         |  SELECT doc_id, j, bucket,
+         |         row_number() OVER (PARTITION BY j, bucket ORDER BY doc_id) rk
+         |  FROM bn$b),
          |cn$b AS (
          |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-         |  FROM bn$b a JOIN bn$b b
-         |    ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |  FROM br$b a JOIN br$b b
+         |    ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  WHERE a.rk <= 1024),
          |r$b AS (
          |  SELECT CAST($b AS INTEGER) AS bands, CAST($rows AS INTEGER) AS rows_per_band,
          |         (SELECT CAST(count(*) AS BIGINT) FROM cn$b) AS n_candidates,

@@ -148,9 +148,23 @@ object StreamingJobs {
     * as non-candidates (the standard windowed-dedup contract).
     * Membership is a `Set`, so the per-document check is O(1), not a
     * linear scan of a hot bucket.
+    *
+    * Hot buckets are ANCHOR-capped, mirroring the batch guard
+    * ([[graft.queries.DedupQueries.LshBucketCap]]): state keeps only
+    * the `cap` smallest doc_ids seen in the bucket, and each arrival
+    * pairs against that anchor set — per-bucket state is O(cap) and
+    * emission is O(cap) per arrival instead of O(occupancy), so a
+    * boilerplate template flooding one bucket cannot grow state or
+    * emit Θ(m²) pairs. Below the cap (every bucket at test scale) the
+    * behavior is byte-identical to the uncapped form. Above it, a
+    * re-delivered non-anchor document may re-emit its anchor pairs
+    * (anchor membership is what dedupes re-deliveries) — an
+    * at-least-once artifact the downstream exact verification already
+    * absorbs, same as the per-band duplicate emission.
     */
   def lshCandidatesStreaming(
-      banded: Dataset[BucketDoc], retention: String = "1 hour"): Dataset[CandPair] = {
+      banded: Dataset[BucketDoc], retention: String = "1 hour",
+      cap: Int = graft.queries.DedupQueries.LshBucketCap): Dataset[CandPair] = {
     import banded.sparkSession.implicits._
     val retentionMs = {
       val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
@@ -177,6 +191,9 @@ object StreamingJobs {
                 seen.foreach(d =>
                   out += CandPair(math.min(d, r.doc_id), math.max(d, r.doc_id)))
                 seen += r.doc_id
+                // anchor cap: keep only the cap smallest ids — bounded
+                // state AND bounded fan-out on a hot bucket
+                if (seen.size > cap) seen -= seen.max
               }
             }
             state.update(seen)
@@ -229,7 +246,14 @@ object StreamingJobs {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), KernelExpressions.sortedNgramSet(col("toks"), 3).as("g"))
       .persist()
+    // witness-side anchor cap on the static index, mirroring the batch
+    // operator (DedupQueries.LshBucketCap): an arriving doc probes at
+    // most cap eval witnesses per bucket — one is enough to flag it
     val evalIdx = DedupQueries.bandedFromShingles(evalSh, passthrough = Seq("g"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= graft.queries.DedupQueries.LshBucketCap)
       .select(col("doc_id").as("eval_id"), col("band"), col("bucket"), col("g").as("gb"))
 
     val streamSh = streamDocs
@@ -606,16 +630,25 @@ object StreamingJobs {
     * StreamingDedupSpec applies the shared ranking and proves equality
     * with the batch operator's top-5.
     */
+  /** Memoized bucketed index per corpus frame (reference identity —
+    * DataFrame has no value equality): repeated [[annSearchStreaming]]
+    * calls against the same corpus reuse ONE persisted index instead
+    * of pinning a duplicate per call and evicting the caches other
+    * query families rely on. Cleared via [[graft.model.Caches]]. */
+  private val annIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, DataFrame]()
+  graft.model.Caches.register(() => annIdxMemo.clear())
+
   def annSearchStreaming(queryStream: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.functions.KernelExpressions.dot
     import graft.queries.SimilarityQueries
     val planes = SimilarityQueries.hyperplanes(nPlanes = 8, dim = 64)
-    val idx = corpus
+    val idx = annIdxMemo.computeIfAbsent(corpus, c => c
       .select(col("vec_id").as("neighbor_id"),
         transform(col("embedding"), x => x.cast("double")).as("vc"))
       .withColumn("nc", sqrt(dot(col("vc"), col("vc"))))
       .withColumn("probe", SimilarityQueries.lshBucket(col("vc"), planes))
-      .persist()
+      .persist())
     val q = queryStream
       .select(col("query_id"), col("ts"),
         transform(col("embedding"), x => x.cast("double")).as("vq"))

@@ -101,6 +101,35 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH hot bucket: anchor cap bounds state and emission to O(m·cap)") {
+    implicit val sql = spark.sqlContext
+    // 50 byte-identical boilerplate docs flood the same bucket in all
+    // 16 bands; with cap=4 each arrival pairs against at most the 4
+    // smallest ids seen, so the distinct pair set is the 4-anchor star
+    // Σ_{a≤cap}(m−a) — not the uncapped 50·49/2 = 1225 — and bucket
+    // state never exceeds cap members.
+    val m = 50
+    val cap = 4
+    val text = "common boiler plate template shared verbatim by every crawl copy"
+    val t0 = ts("2024-01-01 00:00:00")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val banded = DedupQueries
+      .bandedDocs(in.toDF().toDF("doc_id", "text", "ts"), passthrough = Seq("ts"))
+      .as[BucketDoc]
+    val q = lshCandidatesStreaming(banded, retention = "1 hour", cap = cap)
+      .writeStream.outputMode("append").format("memory").queryName("lsh_hot").start()
+    try {
+      in.addData((1 to m).map(i => (i.toLong, text, t0)): _*); q.processAllAvailable()
+      val pairs = spark.table("lsh_hot")
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pairs.size == (1 to cap).map(m - _).sum,
+        s"expected the ${cap}-anchor star (${(1 to cap).map(m - _).sum}), got ${pairs.size}")
+      assert(pairs.forall { case (a, _) => a <= cap })
+      assert(pairs.flatMap(p => Set(p._1, p._2)) == (1L to m.toLong).toSet,
+        "every member must still pair with an anchor")
+    } finally q.stop()
+  }
+
   test("streaming decontamination across batches == batch LSH decontamination") {
     implicit val sql = spark.sqlContext
     val t0 = ts("2024-01-01 00:00:00")

@@ -105,6 +105,37 @@ class TextDedupSpec extends SparkSpec {
     assert(cands2.contains((1L, 100L)))
   }
 
+  test("LSH hot-bucket anchor cap: planted boilerplate bounds candidates to O(m·cap), anchors keep the group connected") {
+    // 200 byte-identical boilerplate docs: identical shingle sets →
+    // identical signatures → the SAME bucket in all 16 bands. An
+    // uncapped bucket self-join would emit 200·199/2 = 19900 candidate
+    // pairs; the anchor cap keeps a pair iff its smaller id ranks
+    // within the cap smallest of the bucket, so volume is Σ_{a≤cap}
+    // (m−a) — O(m·cap) — while every member still pairs with anchor 1
+    // (survivor components stay connected through the anchors).
+    val m = 200
+    val cap = 8
+    val text = "common boiler plate template shared verbatim by every crawl copy"
+    val hot = (1 to m).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val sh = hot.select($"doc_id",
+      graft.functions.KernelExpressions.sortedNgramSet(tokens($"text"), 3).as("g"))
+    val capped = DedupQueries.lshCandidates(sh, cap = cap)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.size == (1 to cap).map(m - _).sum,
+      s"expected O(m·cap) = ${(1 to cap).map(m - _).sum}, got ${capped.size}")
+    assert(capped.forall { case (a, _) => a <= cap },
+      "every pair's smaller id must be an anchor (rank ≤ cap)")
+    val touched = capped.flatMap { case (a, b) => Set(a, b) }
+    assert(touched == (1L to m.toLong).toSet,
+      "every bucket member must still pair with an anchor")
+    // below the cap the capped join IS the uncapped self-join
+    val small = (1 to cap).map(i => (i.toLong, text)).toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.functions.KernelExpressions.sortedNgramSet(tokens($"text"), 3).as("g"))
+    assert(DedupQueries.lshCandidates(small, cap = cap).count() ==
+      cap.toLong * (cap - 1) / 2)
+  }
+
   test("scrub_spans: first-doc keeps text verbatim, short docs untouched, removal bounded") {
     val d = Tables.load(spark, sf0001, "documents")
     val out = graft.queries.PipelineQueries.queries("pipeline_scrub_spans")(spark, sf0001)
