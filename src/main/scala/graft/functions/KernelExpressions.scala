@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -122,50 +123,100 @@ object KernelExpressions {
     * (not just the verified pair set) replayable by the oracle.
     * PolyHashSpec pins equality with the `aggregate`-built polyHash31
     * column on the harness corpus plus unicode fixtures.
+    *
+    * The expression is exposed to arbitrary SQL as `graft_polyhash`,
+    * so the input is NOT guaranteed null-free like the internal
+    * `split()`-derived arrays: a null element hashes to a null element
+    * (the `transform` convention), instead of the NPE a blind
+    * `getUTF8String` would throw. The internal callers' inputs declare
+    * containsNull = false, so they keep the primitive-array dataType
+    * and the null branch folds away.
     */
   case class PolyHashArray(child: Expression)
       extends UnaryExpression {
     private val P = 2147483647L
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def dataType: DataType = child.dataType match {
+      case ArrayType(_, cn) => ArrayType(LongType, containsNull = cn)
+      case _ => ArrayType(LongType, containsNull = false)
+    }
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_polyhash expects array<string>, got ${t.catalogString}")
+    }
     override def nullSafeEval(a: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]
       val n = xs.numElements()
-      val out = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        val s = xs.getUTF8String(i).toString
-        var h = 0L
-        var k = 0
-        while (k < s.length) {
-          val cp = s.codePointAt(k)
-          h = (h * 31L + cp) % P
-          k += Character.charCount(cp)
+      if (dataType.asInstanceOf[ArrayType].containsNull) {
+        // null-tolerant path (SQL-facing inputs)
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          out(i) = if (xs.isNullAt(i)) null else hashOne(xs.getUTF8String(i).toString)
+          i += 1
         }
-        out(i) = h
-        i += 1
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      } else {
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          out(i) = hashOne(xs.getUTF8String(i).toString)
+          i += 1
+        }
+        UnsafeArrayData.fromPrimitiveArray(out)
       }
-      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    private def hashOne(s: String): Long = {
+      var h = 0L
+      var k = 0
+      while (k < s.length) {
+        val cp = s.codePointAt(k)
+        h = (h * 31L + cp) % P
+        k += Character.charCount(cp)
+      }
+      h
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, x => {
         val (i, n, s, h, k, cp, out) = (ctx.freshName("i"), ctx.freshName("n"),
           ctx.freshName("s"), ctx.freshName("h"), ctx.freshName("k"),
           ctx.freshName("cp"), ctx.freshName("out"))
-        s"""
-        int $n = $x.numElements();
-        long[] $out = new long[$n];
-        for (int $i = 0; $i < $n; $i++) {
-          String $s = $x.getUTF8String($i).toString();
-          long $h = 0L;
-          int $k = 0;
-          while ($k < $s.length()) {
-            int $cp = $s.codePointAt($k);
-            $h = ($h * 31L + $cp) % ${P}L;
-            $k += Character.charCount($cp);
+        if (dataType.asInstanceOf[ArrayType].containsNull) {
+          // boxed path: input may carry null elements; emitted only for
+          // SQL-facing plans whose input type declares containsNull
+          s"""
+          int $n = $x.numElements();
+          Object[] $out = new Object[$n];
+          for (int $i = 0; $i < $n; $i++) {
+            if ($x.isNullAt($i)) { $out[$i] = null; continue; }
+            String $s = $x.getUTF8String($i).toString();
+            long $h = 0L;
+            int $k = 0;
+            while ($k < $s.length()) {
+              int $cp = $s.codePointAt($k);
+              $h = ($h * 31L + $cp) % ${P}L;
+              $k += Character.charCount($cp);
+            }
+            $out[$i] = $h;
           }
-          $out[$i] = $h;
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"""
+        } else {
+          s"""
+          int $n = $x.numElements();
+          long[] $out = new long[$n];
+          for (int $i = 0; $i < $n; $i++) {
+            String $s = $x.getUTF8String($i).toString();
+            long $h = 0L;
+            int $k = 0;
+            while ($k < $s.length()) {
+              int $cp = $s.codePointAt($k);
+              $h = ($h * 31L + $cp) % ${P}L;
+              $k += Character.charCount($cp);
+            }
+            $out[$i] = $h;
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);"""
         }
-        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);"""
       })
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -360,4 +411,12 @@ object KernelExpressions {
 
   def maxRunLength(sorted: Column): Column =
     Bridge.column(MaxRunLength(Bridge.expression(sorted)))
+
+  /** Exact integer division (the SQL `div` operator) — unlike `/`,
+    * which Spark evaluates as DOUBLE division (+ floor), this stays in
+    * long arithmetic, so it matches DuckDB's `//` beyond 2^53 where a
+    * double mantissa would silently round the quotient. */
+  def longDiv(a: Column, b: Column): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      Bridge.expression(a), Bridge.expression(b)))
 }

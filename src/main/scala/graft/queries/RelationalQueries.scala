@@ -610,14 +610,18 @@ object RelationalQueries {
     // ~32); z-order bounds each user to the files sharing its high
     // bits — the measured gap is the operator's output.
     "q_zorder_layout" -> ((s, dir) => {
+      import graft.functions.KernelExpressions.longDiv
       val ev = Tables.load(s, dir, "events")
+        // integer `div`, not `/`+floor: the double path matches DuckDB's
+        // `//` only while the numerator stays under 2^53 — a future id
+        // range could silently diverge the engines
         .select(col("user_id"), unix_micros(col("ts")).as("us"))
-        .withColumn("hr", floor(col("us") / 3600000000L))
+        .withColumn("hr", longDiv(col("us"), lit(3600000000L)))
       val bounds = ev.agg(
         min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
         min(col("hr")).as("hmin"), max(col("hr")).as("hmax"))
       def q8(c: Column, lo: Column, hi: Column): Column =
-        floor((c - lo) * 256L / (hi - lo + 1L)).cast("long")
+        longDiv((c - lo) * 256L, hi - lo + 1L)
       def interleave16(a: Column, b: Column): Column =
         (0 until 8).foldLeft(lit(0L): Column)((acc, i) =>
           acc + (shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)) +

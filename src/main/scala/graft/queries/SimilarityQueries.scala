@@ -424,16 +424,25 @@ object SimilarityQueries {
     // the corpus is never re-partitioned, collected, or joined.
     // Output: per-cluster size + refined-centroid norm (the scalar
     // summary of the 64-dim mean, so the oracle hash stays compact).
+    // Per-dimension sums are FIXED-POINT (floor(x·1e6) longs): a double
+    // sum's value depends on accumulation order, which Spark does not
+    // fix across partitionings — a mean could land on a 6dp rounding
+    // boundary and flip the hash on a different parallelism. Long sums
+    // are exact and order-free (and still map-side combined), the mean
+    // is two IEEE divisions in a canonical order, and the oracle
+    // quantizes identically — engine-exact by construction, same
+    // scaled-integer discipline as PageRank.
     "sim_kmeans_refine" -> ((s, dir) => {
       val (vs, assign, _) = ivfParts(s, dir, k = 16, nprobe = 4)
       val byDim = vs.select(col("vec_id"), col("v"), assign.as("bucket"))
         .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("bucket"), col("pos"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+        .agg(sum(floor(col("x") * 1e6)).as("sxq"), count(lit(1)).as("c"))
       byDim
         .groupBy(col("bucket"))
         .agg(max(col("c")).as("n_members"),
-          sort_array(collect_list(struct(col("pos"), (col("sx") / col("c")).as("m")))).as("pm"))
+          sort_array(collect_list(struct(col("pos"),
+            (col("sxq").cast("double") / lit(1e6) / col("c")).as("m")))).as("pm"))
         .withColumn("mv", transform(col("pm"), p => p.getField("m")))
         .select(col("bucket"), col("n_members"),
           round(sqrt(dot(col("mv"), col("mv"))), 6).as("centroid_norm"))
@@ -485,19 +494,22 @@ object SimilarityQueries {
     // online vector store). The refreshed centroids are an
     // index-parameter-sized frame (k=16 rows) broadcast back over the
     // corpus — one scan, one per-vector argmax window; the corpus is
-    // never re-shuffled. Scores are rounded to 6dp BEFORE the argmax
-    // so the churn verdict is engine-exact even where a mean differs
-    // in the last ulp.
+    // never re-shuffled. The Lloyd-step means use the same FIXED-POINT
+    // long sums as sim_kmeans_refine (floor(x·1e6) — exact and
+    // accumulation-order-free, unlike a double sum), so the centroids
+    // — and therefore every reassignment argmax — are bit-identical
+    // under any partitioning; the 6dp score round then closes the
+    // remaining dot-product path.
     "sim_index_churn" -> ((s, dir) => {
       val (vs, assign, _) = ivfParts(s, dir, k = 16, nprobe = 4)
       val assigned = vs.select(col("vec_id"), col("v"), assign.as("bucket"))
       val newCents = assigned
         .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("bucket"), col("pos"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+        .agg(sum(floor(col("x") * 1e6)).as("sxq"), count(lit(1)).as("c"))
         .groupBy(col("bucket"))
-        .agg(sort_array(collect_list(struct(col("pos"), (col("sx") / col("c")).as("m"))))
-          .as("pm"))
+        .agg(sort_array(collect_list(struct(col("pos"),
+          (col("sxq").cast("double") / lit(1e6) / col("c")).as("m")))).as("pm"))
         .select(col("bucket").as("nb"),
           transform(col("pm"), p => p.getField("m")).as("mv"))
         .withColumn("mnrm", sqrt(dot(col("mv"), col("mv"))))
@@ -1361,20 +1373,24 @@ object SimilarityQueries {
         |FROM s
         |QUALIFY rank <= 5""".stripMargin,
 
-    // per-dimension mean = sum/count exactly as the Spark plan computes
-    // it (sum first, one division), then the same ascending-index
-    // 0-seeded fold for the norm; round(…, 6) absorbs summation-order
-    // jitter (≤ 1e-13 relative at these magnitudes)
+    // per-dimension mean over FIXED-POINT floor(x·1e6) longs, exactly
+    // as the Spark plan computes it: long sums are exact and
+    // accumulation-order-free (a double sum could land a mean on the
+    // 6dp rounding boundary and diverge between engines), the mean is
+    // the same canonical double/1e6/c division chain, then the same
+    // ascending-index 0-seeded fold for the norm
     "sim_kmeans_refine" ->
       s"""WITH $ivfAssignCtes,
          |mdim AS (
-         |  SELECT a.bucket, r.pos, sum(n.v[r.pos]) AS sx, count(*) AS c
+         |  SELECT a.bucket, r.pos,
+         |         sum(CAST(floor(n.v[r.pos] * 1000000.0) AS BIGINT)) AS sxq,
+         |         count(*) AS c
          |  FROM assign a JOIN n ON n.vec_id = a.vec_id
          |  CROSS JOIN range(1, 65) r(pos)
          |  GROUP BY 1, 2),
          |cent AS (
          |  SELECT bucket, CAST(max(c) AS BIGINT) AS n_members,
-         |         list(sx / c ORDER BY pos) AS mv
+         |         list(CAST(sxq AS DOUBLE) / 1000000.0 / c ORDER BY pos) AS mv
          |  FROM mdim GROUP BY 1)
          |SELECT bucket, n_members,
          |       round(sqrt(list_reduce(list_prepend(0.0,
@@ -1409,16 +1425,20 @@ object SimilarityQueries {
          |SELECT fl.layout, fl.n_files, ft.files_touched
          |FROM fl JOIN ft ON ft.layout = fl.layout""".stripMargin,
 
-    // same Lloyd-step centroids as the refine oracle; re-assignment
-    // scored on 6dp-rounded values, first-max tie-break
+    // same fixed-point Lloyd-step centroids as the refine oracle;
+    // re-assignment scored on 6dp-rounded values, first-max tie-break
     "sim_index_churn" ->
       s"""WITH $ivfAssignCtes,
          |mdim AS (
-         |  SELECT a.bucket, r.pos, sum(n.v[r.pos]) AS sx, count(*) AS c
+         |  SELECT a.bucket, r.pos,
+         |         sum(CAST(floor(n.v[r.pos] * 1000000.0) AS BIGINT)) AS sxq,
+         |         count(*) AS c
          |  FROM assign a JOIN n ON n.vec_id = a.vec_id
          |  CROSS JOIN range(1, 65) r(pos)
          |  GROUP BY 1, 2),
-         |cent AS (SELECT bucket AS nb, list(sx / c ORDER BY pos) AS mv FROM mdim GROUP BY 1),
+         |cent AS (SELECT bucket AS nb,
+         |         list(CAST(sxq AS DOUBLE) / 1000000.0 / c ORDER BY pos) AS mv
+         |         FROM mdim GROUP BY 1),
          |cent2 AS (
          |  SELECT nb, mv,
          |         sqrt(list_reduce(list_prepend(0.0,

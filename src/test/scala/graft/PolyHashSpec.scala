@@ -38,6 +38,23 @@ class PolyHashSpec extends SparkSpec {
     assert(kernelVsAggregate(sh) == 0)
   }
 
+  test("graft_polyhash tolerates null elements (null→null) and rejects non-string arrays") {
+    // SQL-facing inputs are not null-free like the internal split()
+    // arrays: a null element must hash to a null element, not NPE
+    graft.GraftFunctions.register(spark)
+    val out = spark.sql("SELECT graft_polyhash(array('ab', NULL, '')) AS h")
+      .as[Seq[Option[Long]]].collect().head
+    assert(out.length == 3)
+    assert(out(0).contains(('a'.toLong * 31 + 'b'.toLong) % 2147483647L))
+    assert(out(1).isEmpty)
+    assert(out(2).contains(0L))
+    // and both engines' null-free fast path is unaffected
+    assert(spark.sql("SELECT graft_polyhash(split('x y', ' ')) AS h").count() == 1)
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_polyhash(array(1, 2))").collect())
+    assert(err.getMessage.contains("array<string>"))
+  }
+
   test("minhash signature values stay in [0, p) with p sentinel on empty") {
     val sig = Seq(Seq("a b c", "b c d"), Seq.empty[String])
       .toDF("g")
