@@ -84,6 +84,18 @@ object Bench {
   private def f3(v: Double): String =
     if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Box-drift gauge: two cache-free scan-speed queries whose cost is
+    * pinned at round-1 levels — their warm times calibrate whether a
+    * cross-round total moved because the code changed or because the
+    * box did. Emitted as a top-level field so the ratio is
+    * machine-checkable without reading BASELINE.md prose. */
+  private[graft] val driftGaugeSet: Seq[String] = Seq("text_stats", "q_filter_pushdown")
+
+  private[graft] def driftGaugeJson(rs: Seq[(String, Double, Double)]): String =
+    driftGaugeSet.flatMap(g => rs.find(_._1 == g))
+      .map { case (k, _, w) => "\"" + k + "\":" + f3(w) }
+      .mkString("{", ",", "}")
+
   /** (cold total, warm total, baseline44 warm, baseline44 matched):
     * any failed query (-1) poisons the totals — a broken run must
     * never look fast. A partial run's totals cover only what finished;
@@ -109,6 +121,7 @@ object Bench {
       + s""","total_warm":$totalWarm,"baseline44_warm":$b44Warm"""
       + s""","baseline44_n":$b44N"""
       + s""","n":${rs.size},"sf":"$sfDir""""
+      + s""","drift_gauge":${driftGaugeJson(rs)}"""
       + (if (partial) ""","partial":true""" else "")
       + s""","bench_variants":${benchVariants.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       + s""","run_policy":"value=cold total (each one-time shared cost paid exactly once, in family order); queries=best-of-2 steady state; caches released after the dedup/pipeline/sim block and after multimodal; frame-heavy multimodal queries benched at frameLen=64/stride=4 (registered forms stay oracle-checked)"}""")
@@ -128,6 +141,7 @@ object Bench {
         s""","queries":$m,"total_warm":${f3(totalWarm)}""" +
         s""","baseline44_warm":${f3(b44Warm)},"baseline44_n":$b44N""" +
         s""","n":${rs.size}""" +
+        s""","drift_gauge":${driftGaugeJson(rs)}""" +
         (if (partial) ""","partial":true""" else "") +
         s""","sf":"$sfDir","detail":"$detailPath"}"""
     }
@@ -195,11 +209,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // optional subset filter (comma-separated names or prefixes) for
+    // targeted runs, e.g. the headline families at a scaled-up SF dir:
+    //   SPARK_GRAFT_QUERIES="dedup_,sim_ann,q_tumbling" SPARK_GRAFT_SF_DIR=…
+    val onlySel: String => Boolean = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .map(pats => (n: String) => pats.exists(p => n == p || n.startsWith(p)))
+      .getOrElse((_: String) => true)
+
     // family order: the cache-sharing block (dedup/pipeline/sim) first,
     // then families that pin nothing; alphabetical inside a family
     val familyOrder = Seq("dedup", "pipeline", "sim", "multimodal", "q", "text")
     def family(name: String): String = name.takeWhile(_ != '_')
-    val byFamily = SparkEntry.queries.toSeq.sortBy(_._1).groupBy(q => family(q._1))
+    val byFamily = SparkEntry.queries.toSeq.filter(q => onlySel(q._1))
+      .sortBy(_._1).groupBy(q => family(q._1))
     val orderedFamilies =
       familyOrder.filter(byFamily.contains) ++
         byFamily.keys.toSeq.filterNot(familyOrder.contains).sorted

@@ -45,26 +45,36 @@ object Sources {
     * Position values accepted by both: `LATEST`, `TRIM_HORIZON`
     * (the reference's `flink.stream.initpos` values map 1:1).
     */
+  /** The exact option-key contract each connector documents, as pure
+    * data — [[kinesis]] is `format(connector).options(this).load()`,
+    * and SourcesSpec pins these keys so the one-line production swap
+    * cannot rot silently while the connector jar is absent here. */
+  private[graft] def kinesisOptions(
+      streamName: String,
+      region: String,
+      initialPosition: String,
+      connector: String): Map[String, String] = connector match {
+    case "aws-kinesis" => // awslabs DSv2 connector: namespaced keys
+      Map(
+        "kinesis.streamName" -> streamName,
+        "kinesis.region" -> region,
+        "kinesis.startingPosition" -> initialPosition)
+    case _ => // qubole-fork flat keys; region rides the endpoint URL
+      Map(
+        "streamName" -> streamName,
+        "endpointUrl" -> s"https://kinesis.$region.amazonaws.com",
+        "startingPosition" -> initialPosition)
+  }
+
   def kinesis(
       spark: SparkSession,
       streamName: String,
       region: String,
       initialPosition: String = "LATEST",
-      connector: String = "aws-kinesis"): DataFrame = {
-    val reader = spark.readStream.format(connector)
-    (connector match {
-      case "aws-kinesis" => // awslabs DSv2 connector: namespaced keys
-        reader
-          .option("kinesis.streamName", streamName)
-          .option("kinesis.region", region)
-          .option("kinesis.startingPosition", initialPosition)
-      case _ => // qubole-fork flat keys; region rides the endpoint URL
-        reader
-          .option("streamName", streamName)
-          .option("endpointUrl", s"https://kinesis.$region.amazonaws.com")
-          .option("startingPosition", initialPosition)
-    }).load()
-  }
+      connector: String = "aws-kinesis"): DataFrame =
+    spark.readStream.format(connector)
+      .options(kinesisOptions(streamName, region, initialPosition, connector))
+      .load()
 
   /** Streaming file source over a directory of JSON lines — the
     * connector-free stand-in with identical downstream semantics. */

@@ -62,6 +62,19 @@ class BenchSpec extends SparkSpec {
     assert(math.abs(m("baseline44_warm").asInstanceOf[Double] - 0.1) < 1e-9)
   }
 
+  test("drift gauge rides both artifacts as a machine-checkable field") {
+    val rs = Seq(("text_stats", 0.2, 0.115), ("q_filter_pushdown", 0.3, 0.154),
+      ("q_fake_000", 1.0, 0.9))
+    val line = Bench.compactLine(rs, "/sf", partial = false, "d.json")
+    assert(line.contains("\"drift_gauge\":{\"text_stats\":0.115,\"q_filter_pushdown\":0.154}"))
+    parsable(line) // still strict JSON
+    assert(Bench.detailJson(rs, "/sf", partial = false)
+      .contains("\"drift_gauge\":{\"text_stats\":0.115,\"q_filter_pushdown\":0.154}"))
+    // a partial run missing a gauge query emits what it has
+    assert(Bench.compactLine(Seq(("text_stats", 0.2, 0.115)), "/sf",
+      partial = true, "d.json").contains("\"drift_gauge\":{\"text_stats\":0.115}"))
+  }
+
   test("bench variants are declared in the detail artifact") {
     val detail = Bench.detailJson(rows(1), "/sf", partial = false)
     assert(detail.contains("\"bench_variants\":[\"multimodal_frame_sample\",\"multimodal_video_neardup\"]"))

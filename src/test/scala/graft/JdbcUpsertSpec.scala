@@ -123,6 +123,27 @@ class JdbcUpsertSpec extends SparkSpec {
     }
   }
 
+  test("Postgres-dialect golden text locks the reference tumbling_pkey shape") {
+    // reference README.MD:88 — tumbling(railway_class, railway_class_count,
+    // window_start, window_end, PRIMARY KEY(railway_class, window_start,
+    // window_end)); SinkDataApiTumblingBatch.java:153–155 upserts on that
+    // constraint updating only the count. No Postgres binary exists in
+    // this sandbox, so the generated dialect text itself is the pinned
+    // swap surface.
+    val sql = UpsertSink.upsertSql(
+      "tumbling",
+      Seq("railway_class", "railway_class_count", "window_start", "window_end"),
+      Seq("railway_class", "window_start", "window_end"))
+    assert(sql ==
+      "INSERT INTO tumbling (railway_class, railway_class_count, window_start, window_end) " +
+        "VALUES (?, ?, ?, ?) " +
+        "ON CONFLICT (railway_class, window_start, window_end) " +
+        "DO UPDATE SET railway_class_count = EXCLUDED.railway_class_count")
+    // all-key table degenerates to DO NOTHING, never an empty SET list
+    assert(UpsertSink.upsertSql("t", Seq("k"), Seq("k")) ==
+      "INSERT INTO t (k) VALUES (?) ON CONFLICT (k) DO NOTHING")
+  }
+
   test("SQL identifiers are validated, not spliced") {
     intercept[IllegalArgumentException] {
       UpsertSink.upsertSql("t; DROP TABLE x", Seq("a"), Seq("a"))

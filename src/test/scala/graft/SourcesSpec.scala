@@ -31,6 +31,23 @@ class SourcesSpec extends SparkSpec {
     Files.move(tmp, dir.resolve(name)) // atomic publish, like a real feed
   }
 
+  test("kinesis option contract: exact keys per connector (S1 swap surface)") {
+    // the awslabs spark-sql-kinesis-connector documents exactly these
+    // namespaced option keys; the qubole fork the flat ones — if either
+    // map drifts, the documented one-line production swap
+    // (StarterDemo) silently stops configuring the stream
+    assert(Sources.kinesisOptions("input", "us-east-1", "TRIM_HORIZON", "aws-kinesis") ==
+      Map(
+        "kinesis.streamName" -> "input",
+        "kinesis.region" -> "us-east-1",
+        "kinesis.startingPosition" -> "TRIM_HORIZON"))
+    assert(Sources.kinesisOptions("input", "eu-west-1", "LATEST", "kinesis") ==
+      Map(
+        "streamName" -> "input",
+        "endpointUrl" -> "https://kinesis.eu-west-1.amazonaws.com",
+        "startingPosition" -> "LATEST"))
+  }
+
   test("GeoJSON file stream → tumbling counts → upsert converges to batch (S1)") {
     val dir = Files.createTempDirectory("graft_geojson_src")
     val ckpt = Files.createTempDirectory("graft_geojson_ckpt").toString

@@ -337,6 +337,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding OVER state tracks live keys under 10× key churn (scale guard)") {
+    // 10 generations of 20 fresh keys each, 10 minutes apart — every
+    // generation goes idle long before the next (frame 60s + idle
+    // retention 60s). On an unbounded feed this is the state contract
+    // that matters: rows must track the LIVE key set, never the
+    // cumulative 200 keys the stream has seen.
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val q = slidingCountStreaming(
+        in.toDS().withWatermark("ts", "0 seconds"), 60L, evictIdleAfter = Some("1 minute"))
+      .writeStream.outputMode("append").format("memory").queryName("sliding_churn").start()
+    try {
+      val base = ts("2024-01-01 00:00:00.0").getTime
+      val gens = 10
+      val keysPerGen = 20
+      (0 until gens).foreach { g =>
+        val t = new Timestamp(base + g * 600000L)
+        in.addData((0 until keysPerGen).map(i => KeyedEvent(s"g${g}_k$i", t)): _*)
+        q.processAllAvailable()
+      }
+      // two watermark pushes let the final generation's timeouts fire
+      // (event-time timeouts run on the batch AFTER the watermark moves)
+      in.addData(KeyedEvent("pusher", new Timestamp(base + gens * 600000L)))
+      q.processAllAvailable()
+      in.addData(KeyedEvent("pusher", new Timestamp(base + (gens + 1) * 600000L)))
+      q.processAllAvailable()
+      val stateRows = q.recentProgress
+        .filter(_.stateOperators.nonEmpty).map(_.stateOperators(0).numRowsTotal)
+      assert(stateRows.nonEmpty)
+      // timeouts fire one batch late, so at most the incoming + the
+      // not-yet-evicted previous generation coexist — never the 200
+      // cumulative keys
+      assert(stateRows.max <= 2L * keysPerGen + 1,
+        s"state peaked at ${stateRows.max} (history: ${stateRows.mkString(",")})")
+      assert(stateRows.last <= keysPerGen + 1,
+        s"dead generations accumulated: ${stateRows.mkString(",")}")
+      // churn must not corrupt results: every event is alone in its frame
+      val got = spark.table("sliding_churn").as[SlidingCount].collect()
+      assert(got.length == gens * keysPerGen + 2)
+      assert(got.forall(_.trailing_cnt == 1L))
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes without duplicating upserts (F1+X3)") {
     implicit val sql = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
