@@ -506,7 +506,10 @@ object DedupQueries {
       // index-side anchor cap (see LshBucketCap): each new doc probes
       // at most cap prior/peer members per bucket — one match already
       // decides "drop the new copy", and a hot boilerplate bucket
-      // costs batch·cap instead of batch·corpus
+      // costs batch·cap instead of batch·corpus. Each side ranks its
+      // own pre-filtered membership, so the two rank windows together
+      // sort each banded row exactly once (the probe side needs no
+      // rank at all).
       def capped(ix: DataFrame) =
         withBucketRank(ix, Seq("band", "bucket"), idCol = "matched_id")
           .filter(col("rk") <= LshBucketCap)
