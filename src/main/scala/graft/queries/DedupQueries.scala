@@ -208,10 +208,41 @@ object DedupQueries {
     bands.withColumn("rk", row_number().over(
       Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))))
 
+  /** Persisted (doc_id, sig) 64-perm MinHash signature frame for the
+    * corpus — the expensive pass (polynomial hash × 64 LCG
+    * permutations over every shingle) shared by the whole LSH family
+    * (minhash_lsh, survivors_lsh, candidate audit, banding sweep,
+    * incremental). The CacheManager dedupes the identical persisted
+    * plan, so the pass runs once per (session, dataset); the frame is
+    * |corpus| × 65 longs — negligible next to the shingle index it
+    * derives from. Cleared with the rest via Tables.clearCaches. */
+  private def corpusSignatures(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir).filter(size(col("g")) > 0)
+      .withColumn("sig", minhashSignature(col("g"), perms = 64))
+      .select("doc_id", "sig")
+      .persist()
+
+  /** The 16-band (doc_id, band, bucket) projection of
+    * [[corpusSignatures]] — value-identical to
+    * `bandedFromShingles(shingled(s, dir))` (PlanSpec-free guarantee:
+    * same expressions over the same filter), but a cheap projection
+    * off the signature cache instead of a signature recompute. */
+  private def corpusBands(s: SparkSession, dir: String): DataFrame =
+    corpusSignatures(s, dir)
+      .select(col("doc_id"),
+        explode(lshBands(col("sig"), perms = 64, bands = 16)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+
   /** LSH candidate pairs (doc_a < doc_b), deduplicated across bands;
     * per-bucket fan-out anchor-capped (see [[LshBucketCap]]). */
-  private[graft] def lshCandidates(sh: DataFrame, cap: Int = LshBucketCap): DataFrame = {
-    val bands = withBucketRank(bandedFromShingles(sh), Seq("band", "bucket"))
+  private[graft] def lshCandidates(sh: DataFrame, cap: Int = LshBucketCap): DataFrame =
+    lshCandidatesFromBands(bandedFromShingles(sh), cap)
+
+  /** The candidate join itself, over any (doc_id, band, bucket) frame
+    * — corpus callers pass the signature-cached [[corpusBands]]. */
+  private[graft] def lshCandidatesFromBands(
+      bands0: DataFrame, cap: Int = LshBucketCap): DataFrame = {
+    val bands = withBucketRank(bands0, Seq("band", "bucket"))
     // doc_a < doc_b and the rank order is doc_id asc, so filtering the
     // LEFT side keeps exactly the pairs whose smaller id is an anchor
     val left = bands.filter(col("rk") <= cap)
@@ -230,7 +261,7 @@ object DedupQueries {
   private[graft] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
     jaccardFromCounts(
-      lshCandidates(sh)
+      lshCandidatesFromBands(corpusBands(s, dir))
         .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
       .filter(col("jac") >= 0.8)
@@ -369,7 +400,7 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), lit(1L).as("_t"))
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
       Seq(
-        ("minhash_lsh", lshCandidates(sh)),
+        ("minhash_lsh", lshCandidatesFromBands(corpusBands(s, dir))),
         ("ppjoin", ppjoinCandidates(sh, tauNum = 4, tauDen = 5))
       ).map { case (m, cands) =>
         cands.join(broadcast(truth), Seq("doc_a", "doc_b"), "left")
@@ -439,9 +470,7 @@ object DedupQueries {
     // exactly as in lshCandidates.
     "dedup_banding_sweep" -> ((s, dir) => {
       import s.implicits._
-      val sig = shingled(s, dir).filter(size(col("g")) > 0)
-        .withColumn("sig", minhashSignature(col("g"), perms = 64))
-        .select("doc_id", "sig")
+      val sig = corpusSignatures(s, dir)
       val truth = ngramJaccardPairs(s, dir)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("_t"))
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
@@ -499,7 +528,7 @@ object DedupQueries {
     // new copy) reads directly off the result.
     "dedup_incremental" -> ((s, dir) => {
       val sh = shingled(s, dir)
-      val bands = bandedFromShingles(sh)
+      val bands = corpusBands(s, dir)
       val isNew = col("doc_id") % 5 === 4
       val probe = bands.filter(isNew)
         .select(col("band"), col("bucket"), col("doc_id").as("new_id"))

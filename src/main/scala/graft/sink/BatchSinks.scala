@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   *
   *  - date-partitioned parquet: directory pruning for downstream
   *    time-range scans (`PartitionFilters` instead of reading
-  *    everything);
+  *    everything) — including DYNAMIC partition pruning when the kept
+  *    partitions only emerge from a dimension-side filter at runtime
+  *    (the star-schema scan pattern; BatchSinksSpec pins the
+  *    `dynamicpruning` subquery in the fact scan);
   *  - sized output files: `repartition(n)` before write controls file
   *    count, avoiding the small-files problem that kills object-store
   *    listings at scale.

@@ -30,6 +30,35 @@ class BatchSinksSpec extends SparkSpec {
     assert(ranged.count() == expected && expected > 0)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // the star-schema 100 TB pattern the static range read can't
+    // cover: the kept dates aren't known until the dimension filter
+    // runs, so the fact scan must receive its partition list at
+    // RUNTIME (a dynamicpruning subquery on dt), not read everything
+    // and filter after the join
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val events = Tables.load(spark, sf0001, "events")
+    BatchSinks.writeDatePartitioned(events, "ts", out)
+    val fact = spark.read.parquet(out)
+    val dates = fact.select($"dt".cast("string")).distinct().as[String].collect().sorted
+    assert(dates.length > 1)
+    // the dim must be a real scan with the filter still in the plan —
+    // a pre-filtered local relation carries no selective predicate, so
+    // the optimizer would (correctly) see nothing to prune WITH
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    dates.zipWithIndex.toSeq
+      .map { case (d, i) => (d, if (i % 2 == 0) "keep" else "drop") }
+      .toDF("dts", "tag").select($"dts".cast("date").as("dt"), $"tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"tag" === "keep")
+    val joined = fact.join(dim, "dt")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"fact scan not dynamically pruned: $plan")
+    val keepSet = dates.zipWithIndex.collect { case (d, i) if i % 2 == 0 => d }.toSet
+    val expected = events.filter(to_date($"ts").cast("string").isInCollection(keepSet)).count()
+    assert(joined.count() == expected && expected > 0)
+  }
+
   test("bucketed tables join co-located — no shuffle exchange in the join") {
     // warehouse dir is a static conf — tables land in the default
     // ./spark-warehouse (gitignored) and are dropped below
