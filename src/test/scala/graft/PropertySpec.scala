@@ -238,6 +238,32 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("∀ corpora: capped LSH candidates ⊆ uncapped, equal below cap, anchors keep every co-bucketed doc paired") {
+    import graft.queries.DedupQueries
+    import graft.functions.KernelExpressions
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(2, 50)
+      templates <- Gen.listOfN(n, Gen.choose(0, 4))
+    } yield templates.zipWithIndex.map { case (t, i) =>
+      (i.toLong, s"template$t alpha beta gamma delta epsilon zeta eta theta")
+    }
+    check(Prop.forAll(corpusGen) { docs =>
+      val sh = docs.toDF("doc_id", "text").select($"doc_id",
+        KernelExpressions.sortedNgramSet(tokens($"text"), 3).as("g"))
+      val unc = DedupQueries.lshCandidates(sh, cap = Int.MaxValue)
+        .as[(Long, Long)].collect().toSet
+      val tight = DedupQueries.lshCandidates(sh, cap = 3)
+        .as[(Long, Long)].collect().toSet
+      val loose = DedupQueries.lshCandidates(sh, cap = 1024)
+        .as[(Long, Long)].collect().toSet
+      // capping only removes pairs, a cap above every bucket occupancy
+      // is the identity, and every doc that co-occupies any bucket
+      // still pairs with that bucket's anchors
+      tight.subsetOf(unc) && loose == unc &&
+        tight.flatMap(p => Set(p._1, p._2)) == unc.flatMap(p => Set(p._1, p._2))
+    })
+  }
+
   test("∀ texts: jaccard(shingles(x), shingles(x)) == 1 for docs with ≥3 tokens") {
     check(Prop.forAll(Gen.listOfN(5, textGen)) { texts =>
       val df = texts.toDF("text")
