@@ -238,6 +238,75 @@ object DedupQueries {
   private[graft] def lshCandidates(sh: DataFrame, cap: Int = LshBucketCap): DataFrame =
     lshCandidatesFromBands(bandedFromShingles(sh), cap)
 
+  private def simhashBlockBits(c: org.apache.spark.sql.Column, i: Int) = {
+    val off = i * 8
+    val width = if (i == 3) 7 else 8
+    shiftrightunsigned(c, off).bitwiseAND(lit((1L << width) - 1))
+  }
+
+  /** Candidate signature pairs (sha < shb) from the pigeonhole block
+    * banding over a DISTINCT-signature frame `sigs(sh)` — 4 blocks of
+    * 8+8+8+7 bits; Hamming ≤ 3 ⇒ ≥ 1 identical block, so the 4
+    * (block, bits) equi-joins are recall-complete. Each pair is kept
+    * once via its FIRST equal block (a per-row bitwise when-chain —
+    * no distinct() shuffle).
+    *
+    * An 8-bit block has only 256 values, so at corpus scale a bucket
+    * holds ~n_distinct/256 signatures and the self-join would go
+    * quadratic — the simhash analogue of the hot LSH bucket. The same
+    * ANCHOR cap applies: a pair survives iff its smaller signature
+    * ranks within `cap` in the first-equal-block's bucket. Below the
+    * cap (every bucket at test scale — sf0.1 has 2675 distinct sigs
+    * over 1021 buckets) this is the identity, and the brute-force
+    * Hamming oracle stays exact; above it, per-bucket fan-out is
+    * ≤ cap·m. The recall-lossless PRODUCTION fix at 10⁹+ distinct
+    * signatures is wider blocks (e.g. a 62-bit dual-polynomial
+    * signature with 4×15-bit blocks → 2¹⁵ buckets, 128× less
+    * fan-out); this engine keeps the 31-bit form because the whole
+    * signature is oracle-expressible, and rails the join instead. */
+  private[graft] def simhashBlockCandidates(
+      sigs: DataFrame, cap: Int = LshBucketCap): DataFrame = {
+    val blocks = array((0 until 4).map { i =>
+      struct(lit(i).as("blk"), simhashBlockBits(col("sh"), i).as("bits"))
+    }: _*)
+    val banded = withBucketRank(
+      sigs.select(col("sh"), explode(blocks).as("b"))
+        .select(col("sh"), col("b.blk").as("blk"), col("b.bits").as("bits")),
+      Seq("blk", "bits"), idCol = "sh")
+    val a = banded.filter(col("rk") <= cap)
+      .select(col("blk"), col("bits"), col("sh").as("sha"))
+    val b = banded.select(col("blk"), col("bits"), col("sh").as("shb"))
+    val firstEqualBlock = (0 until 4).foldRight(lit(-1)) { (i, acc) =>
+      when(simhashBlockBits(col("sha"), i) === simhashBlockBits(col("shb"), i), lit(i))
+        .otherwise(acc)
+    }
+    a.join(b, Seq("blk", "bits"))
+      .filter(col("sha") < col("shb"))
+      .filter(col("blk") === firstEqualBlock)
+      .select("sha", "shb")
+  }
+
+  /** SimHash near-dup document pairs (ham ≤ 3) from a (doc_id, sh)
+    * frame: block-banded candidates over DISTINCT signatures, one
+    * xor+popcount verification each, then pure equi-join expansion
+    * back to document pairs (plus the ham=0 same-signature groups). */
+  private[graft] def simhashPairs(d: DataFrame, cap: Int = LshBucketCap): DataFrame = {
+    val sigPairs = simhashBlockCandidates(d.select("sh").distinct(), cap)
+      .withColumn("ham", hamming(col("sha"), col("shb")))
+      .filter(col("ham") <= 3)
+    val da = d.select(col("doc_id").as("ida"), col("sh").as("sha"))
+    val db = d.select(col("doc_id").as("idb"), col("sh").as("shb"))
+    val cross = sigPairs
+      .join(da, "sha").join(db, "shb")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("ham"))
+    val same = d.select(col("doc_id").as("ida"), col("sh"))
+      .join(d.select(col("doc_id").as("idb"), col("sh")), "sh")
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"), lit(0L).as("ham"))
+    cross.unionByName(same)
+  }
+
   /** The candidate join itself, over any (doc_id, band, bucket) frame
     * — corpus callers pass the signature-cached [[corpusBands]]. */
   private[graft] def lshCandidatesFromBands(
@@ -630,49 +699,12 @@ object DedupQueries {
     // Comparison count is Σ_block Σ_value distinctSigFreq², independent
     // of how many documents share a signature (the round-1 plan was an
     // O(n²) BroadcastNestedLoopJoin over documents; PlanSpec asserts
-    // that shape never returns).
-    "dedup_simhash" -> ((s, dir) => {
-      def blockBits(c: org.apache.spark.sql.Column, i: Int) = {
-        val off = i * 8
-        val width = if (i == 3) 7 else 8
-        shiftrightunsigned(c, off).bitwiseAND(lit((1L << width) - 1))
-      }
-      val d = docs(s, dir).select(col("doc_id"), simhash31(col("text")).as("sh")).persist()
-      val sigs = d.select("sh").distinct()
-      val blocks = array((0 until 4).map { i =>
-        struct(lit(i).as("blk"), blockBits(col("sh"), i).as("bits"))
-      }: _*)
-      val banded = sigs
-        .select(col("sh"), explode(blocks).as("b"))
-        .select(col("sh"), col("b.blk").as("blk"), col("b.bits").as("bits"))
-      val a = banded.select(col("blk"), col("bits"), col("sh").as("sha"))
-      val b = banded.select(col("blk"), col("bits"), col("sh").as("shb"))
-      // a signature pair collides once per equal block; instead of a
-      // distinct() shuffle over all candidate pairs, keep only the row
-      // whose join block is the pair's FIRST equal block — a per-row
-      // bitwise when-chain recomputed from the signatures themselves,
-      // so each surviving pair is emitted exactly once, shuffle-free
-      val firstEqualBlock = (0 until 4).foldRight(lit(-1)) { (i, acc) =>
-        when(blockBits(col("sha"), i) === blockBits(col("shb"), i), lit(i)).otherwise(acc)
-      }
-      val sigPairs = a.join(b, Seq("blk", "bits"))
-        .filter(col("sha") < col("shb"))
-        .filter(col("blk") === firstEqualBlock)
-        .withColumn("ham", hamming(col("sha"), col("shb")))
-        .filter(col("ham") <= 3)
-        .select("sha", "shb", "ham")
-      val da = d.select(col("doc_id").as("ida"), col("sh").as("sha"))
-      val db = d.select(col("doc_id").as("idb"), col("sh").as("shb"))
-      val cross = sigPairs
-        .join(da, "sha").join(db, "shb")
-        .select(least(col("ida"), col("idb")).as("doc_a"),
-          greatest(col("ida"), col("idb")).as("doc_b"), col("ham"))
-      val same = d.select(col("doc_id").as("ida"), col("sh"))
-        .join(d.select(col("doc_id").as("idb"), col("sh")), "sh")
-        .filter(col("ida") < col("idb"))
-        .select(col("ida").as("doc_a"), col("idb").as("doc_b"), lit(0L).as("ham"))
-      cross.unionByName(same)
-    }),
+    // that shape never returns), and each block bucket is anchor-capped
+    // (see [[simhashBlockCandidates]]) so a saturated 8-bit block value
+    // cannot go quadratic in distinct signatures at corpus scale.
+    "dedup_simhash" -> ((s, dir) =>
+      simhashPairs(
+        docs(s, dir).select(col("doc_id"), simhash31(col("text")).as("sh")).persist())),
 
     // exact substring-span dedup (the fixed-k core of suffix-array
     // substring dedup, Lee et al.'s "Deduplicating Training Data Makes

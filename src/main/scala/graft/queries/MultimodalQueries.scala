@@ -152,10 +152,20 @@ object MultimodalQueries {
       val blocks = array((0 until 4).map { i =>
         struct(lit(i).as("blk"), blockBits(col("ahash"), i).as("bits"))
       }: _*)
+      // anchor-cap each (block, bits) bucket, mirroring
+      // DedupQueries.simhashBlockCandidates: 14-bit blocks saturate
+      // far later than simhash's 8-bit ones (2^14 values), but at
+      // billions of distinct signatures a bucket still grows to
+      // n/2^14 — the cap rails the self-join; untriggered at any
+      // test scale, so the brute-force oracle stays exact
       val banded = sigs
         .select(col("ahash"), explode(blocks).as("b"))
         .select(col("ahash"), col("b.blk").as("blk"), col("b.bits").as("bits"))
-      val a = banded.select(col("blk"), col("bits"), col("ahash").as("sha"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("blk"), col("bits")).orderBy(col("ahash"))))
+      val a = banded.filter(col("rk") <= graft.queries.DedupQueries.LshBucketCap)
+        .select(col("blk"), col("bits"), col("ahash").as("sha"))
       val b = banded.select(col("blk"), col("bits"), col("ahash").as("shb"))
       val firstEqualBlock = (0 until 4).foldRight(lit(-1)) { (i, acc) =>
         when(blockBits(col("sha"), i) === blockBits(col("shb"), i), lit(i)).otherwise(acc)

@@ -136,6 +136,33 @@ class TextDedupSpec extends SparkSpec {
       cap.toLong * (cap - 1) / 2)
   }
 
+  test("simhash block banding: anchor cap bounds a saturated block value") {
+    // signatures i << 8 put i into block 1 and ZERO into blocks 0, 2,
+    // 3 — three saturated buckets. Every pair's first equal block is
+    // 0, so uncapped candidates are all m(m-1)/2 pairs through that
+    // one bucket; the anchor cap keeps a pair iff its smaller
+    // signature ranks within cap there.
+    val m = 100
+    val cap = 4
+    val sigs = (1 to m).map(i => Tuple1(i.toLong << 8)).toDF("sh")
+    val unc = DedupQueries.simhashBlockCandidates(sigs, cap = Int.MaxValue)
+    assert(unc.count() == m.toLong * (m - 1) / 2)
+    val capped = DedupQueries.simhashBlockCandidates(sigs, cap = cap)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.size == (1 to cap).map(m - _).sum)
+    assert(capped.subsetOf(unc.as[(Long, Long)].collect().toSet))
+    // every signature still meets the bucket's anchors
+    assert(capped.flatMap(p => Set(p._1, p._2)) == (1 to m).map(_.toLong << 8).toSet)
+    // and the full pair operator is unchanged on realistic data where
+    // nothing approaches the cap
+    val d = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", simhash31($"text").as("sh"))
+    val dflt = DedupQueries.simhashPairs(d).as[(Long, Long, Long)].collect().toSet
+    val huge = DedupQueries.simhashPairs(d, cap = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dflt == huge && dflt.nonEmpty)
+  }
+
   test("scrub_spans: first-doc keeps text verbatim, short docs untouched, removal bounded") {
     val d = Tables.load(spark, sf0001, "documents")
     val out = graft.queries.PipelineQueries.queries("pipeline_scrub_spans")(spark, sf0001)
