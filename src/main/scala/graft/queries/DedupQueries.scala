@@ -238,11 +238,14 @@ object DedupQueries {
   private[graft] def lshCandidates(sh: DataFrame, cap: Int = LshBucketCap): DataFrame =
     lshCandidatesFromBands(bandedFromShingles(sh), cap)
 
-  private def simhashBlockBits(c: org.apache.spark.sql.Column, i: Int) = {
-    val off = i * 8
-    val width = if (i == 3) 7 else 8
+  private def simhashBlockBits(c: org.apache.spark.sql.Column, off: Int, width: Int) =
     shiftrightunsigned(c, off).bitwiseAND(lit((1L << width) - 1))
-  }
+
+  /** Default 31-bit layout: 4 blocks of 8+8+8+7 bits. The WIDE layout
+    * ([[graft.functions.TextFunctions.simhash62]]) is 16+16+15+15 —
+    * 2¹⁵⁺ bucket values per block, the production-scale banding. */
+  private[graft] val Simhash31Blocks: Seq[Int] = Seq(8, 8, 8, 7)
+  private[graft] val Simhash62Blocks: Seq[Int] = Seq(16, 16, 15, 15)
 
   /** Candidate signature pairs (sha < shb) from the pigeonhole block
     * banding over a DISTINCT-signature frame `sigs(sh)` — 4 blocks of
@@ -265,9 +268,12 @@ object DedupQueries {
     * fan-out); this engine keeps the 31-bit form because the whole
     * signature is oracle-expressible, and rails the join instead. */
   private[graft] def simhashBlockCandidates(
-      sigs: DataFrame, cap: Int = LshBucketCap): DataFrame = {
-    val blocks = array((0 until 4).map { i =>
-      struct(lit(i).as("blk"), simhashBlockBits(col("sh"), i).as("bits"))
+      sigs: DataFrame, cap: Int = LshBucketCap,
+      widths: Seq[Int] = Simhash31Blocks): DataFrame = {
+    val offs = widths.scanLeft(0)(_ + _).init
+    val blocks = array(widths.indices.map { i =>
+      struct(lit(i).as("blk"),
+        simhashBlockBits(col("sh"), offs(i), widths(i)).as("bits"))
     }: _*)
     val banded = withBucketRank(
       sigs.select(col("sh"), explode(blocks).as("b"))
@@ -276,8 +282,9 @@ object DedupQueries {
     val a = banded.filter(col("rk") <= cap)
       .select(col("blk"), col("bits"), col("sh").as("sha"))
     val b = banded.select(col("blk"), col("bits"), col("sh").as("shb"))
-    val firstEqualBlock = (0 until 4).foldRight(lit(-1)) { (i, acc) =>
-      when(simhashBlockBits(col("sha"), i) === simhashBlockBits(col("shb"), i), lit(i))
+    val firstEqualBlock = widths.indices.foldRight(lit(-1)) { (i, acc) =>
+      when(simhashBlockBits(col("sha"), offs(i), widths(i)) ===
+          simhashBlockBits(col("shb"), offs(i), widths(i)), lit(i))
         .otherwise(acc)
     }
     a.join(b, Seq("blk", "bits"))
@@ -290,8 +297,10 @@ object DedupQueries {
     * frame: block-banded candidates over DISTINCT signatures, one
     * xor+popcount verification each, then pure equi-join expansion
     * back to document pairs (plus the ham=0 same-signature groups). */
-  private[graft] def simhashPairs(d: DataFrame, cap: Int = LshBucketCap): DataFrame = {
-    val sigPairs = simhashBlockCandidates(d.select("sh").distinct(), cap)
+  private[graft] def simhashPairs(
+      d: DataFrame, cap: Int = LshBucketCap,
+      widths: Seq[Int] = Simhash31Blocks): DataFrame = {
+    val sigPairs = simhashBlockCandidates(d.select("sh").distinct(), cap, widths)
       .withColumn("ham", hamming(col("sha"), col("shb")))
       .filter(col("ham") <= 3)
     val da = d.select(col("doc_id").as("ida"), col("sh").as("sha"))
@@ -706,6 +715,20 @@ object DedupQueries {
       simhashPairs(
         docs(s, dir).select(col("doc_id"), simhash31(col("text")).as("sh")).persist())),
 
+    // the WIDE form of dedup_simhash: 62-bit dual-polynomial signature
+    // (TextFunctions.simhash62) banded as 4×15–16-bit blocks — the
+    // production configuration the narrow form's scaladoc points to.
+    // Same two-level plan (distinct signatures, pigeonhole block
+    // equi-joins, first-equal-block dedup, anchor cap); what changes
+    // is the block-value space (2¹⁵⁺ instead of 2⁸ — saturation ~128×
+    // later) and the sharpness of the threshold (ham ≤ 3 of 62 bits:
+    // unrelated docs expect ~31 differing bits, so the pair set is
+    // near-dups only, not the saturated 31-bit neighborhood).
+    "dedup_simhash_wide" -> ((s, dir) =>
+      simhashPairs(
+        docs(s, dir).select(col("doc_id"), simhash62(col("text")).as("sh")).persist(),
+        widths = Simhash62Blocks)),
+
     // exact substring-span dedup (the fixed-k core of suffix-array
     // substring dedup, Lee et al.'s "Deduplicating Training Data Makes
     // Language Models Better" restricted to k = 8 token spans): every
@@ -1010,6 +1033,45 @@ object DedupQueries {
       |           (x, y) -> x + y) > 0
       |      THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
       |    (x, y) -> x + y) sh
+      |  FROM h)""".stripMargin
+
+  /** 62-bit dual signature replay: the [[simhashSigCtes]] fold over
+    * plain token hashes (low 31 bits) plus the same fold over '~'-
+    * salted token hashes shifted up 31 — exactly
+    * [[graft.functions.TextFunctions.simhash62]]. */
+  private val simhash62SigCtes =
+    """h AS (
+      |  SELECT doc_id,
+      |    list_transform(string_split(text,' '),
+      |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 2147483647)) th,
+      |    list_transform(string_split(text,' '),
+      |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(string_split('~' || t,''), c -> CAST(ascii(c) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 2147483647)) th2
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, 31), b ->
+      |        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |               list_transform(th, hh ->
+      |                 CASE WHEN (hh // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+      |                      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+      |             (x, y) -> x + y) > 0
+      |        THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |      (x, y) -> x + y)
+      |    +
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, 31), b ->
+      |        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |               list_transform(th2, hh ->
+      |                 CASE WHEN (hh // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+      |                      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+      |             (x, y) -> x + y) > 0
+      |        THEN CAST(pow(2, CAST(b AS INTEGER) + 31) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |      (x, y) -> x + y) sh
       |  FROM h)""".stripMargin
 
   /** Reachability CTE chain over the τ=0.8 n-gram-Jaccard pair graph —
@@ -1373,6 +1435,15 @@ object DedupQueries {
 
     "dedup_simhash" ->
       s"""WITH $simhashSigCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    // 62-bit dual-signature brute force — banding is recall-exact by
+    // pigeonhole, so the engine's block plan must reproduce this set
+    "dedup_simhash_wide" ->
+      s"""WITH $simhash62SigCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
          |FROM s a JOIN s b ON a.doc_id < b.doc_id

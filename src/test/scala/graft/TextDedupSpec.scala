@@ -163,6 +163,24 @@ class TextDedupSpec extends SparkSpec {
     assert(dflt == huge && dflt.nonEmpty)
   }
 
+  test("wide simhash (62-bit): block plan == in-memory brute force; no looser than 31-bit") {
+    val pairs = DedupQueries.queries("dedup_simhash_wide")(spark, sf0001)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val sigs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", simhash62($"text").as("sh")).as[(Long, Long)].collect()
+    val brute = (for {
+      (i, si) <- sigs; (j, sj) <- sigs
+      if i < j && java.lang.Long.bitCount(si ^ sj) <= 3
+    } yield (i, j)).toSet
+    assert(pairs == brute, s"plan=${pairs.size} brute=${brute.size}")
+    assert(pairs.nonEmpty, "planted near-duplicates must survive the sharper 62-bit test")
+    // 62 bits separates harder: the saturated 31-bit neighborhood
+    // (unrelated docs at expected ham ~15.5) cannot reappear
+    val narrow = DedupQueries.queries("dedup_simhash")(spark, sf0001)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.size <= narrow.size)
+  }
+
   test("scrub_spans: first-doc keeps text verbatim, short docs untouched, removal bounded") {
     val d = Tables.load(spark, sf0001, "documents")
     val out = graft.queries.PipelineQueries.queries("pipeline_scrub_spans")(spark, sf0001)
