@@ -205,6 +205,79 @@ object StreamingJobs {
       }
   }
 
+  /** One signed document for the streaming SimHash operator: the full
+    * signature rides along so verification happens in-state. */
+  case class SimhashDoc(doc_id: Long, sh: Long, ts: Timestamp)
+
+  /** Streaming SimHash near-dup detection (ham ≤ 3) — the online form
+    * of the batch block-banded plan (DedupQueries.simhashPairs): each
+    * arriving document's signature is exploded into its 4 pigeonhole
+    * blocks; per (block, bits) bucket the state holds the member
+    * (doc_id, signature) set, and the arrival is xor+popcount-verified
+    * against the members — ham ≤ 3 guarantees ≥ 1 shared block, so
+    * recall within the retention window equals the batch operator's.
+    * A pair sharing several blocks is emitted once per block;
+    * consumers dedup, same as the per-band LSH contract.
+    *
+    * Signature-width agnostic: pass [[graft.functions.TextFunctions
+    * .simhash31]] signatures with the default 8+8+8+7 layout, or
+    * [[graft.functions.TextFunctions.simhash62]] with 16+16+15+15 —
+    * the block arithmetic derives from `widths` exactly as in batch.
+    *
+    * State carries the same bounds as [[lshCandidatesStreaming]]:
+    * eviction once the watermark passes the bucket's newest member by
+    * `retention`, and the anchor cap keeps only the `cap` smallest
+    * doc_ids — O(cap) state and O(cap) verifications per arrival even
+    * when one block value saturates. */
+  def simhashCandidatesStreaming(
+      sigs: Dataset[SimhashDoc], retention: String = "1 hour",
+      widths: Seq[Int] = graft.queries.DedupQueries.Simhash31Blocks,
+      cap: Int = graft.queries.DedupQueries.LshBucketCap): Dataset[CandPair] = {
+    import sigs.sparkSession.implicits._
+    val offs = widths.scanLeft(0)(_ + _).init
+    val retentionMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(retention))
+      require(iv.months == 0, s"retention must be day-time, got: $retention")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    val masks = widths.map(w => (1L << w) - 1)
+    sigs
+      .flatMap(d => widths.indices.map(i =>
+        (d.doc_id, d.sh, i, (d.sh >>> offs(i)) & masks(i), d.ts)))
+      .toDF("doc_id", "sh", "blk", "bits", "ts")
+      .as[(Long, Long, Int, Long, Timestamp)]
+      .withWatermark("ts", retention)
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, Long, Int, Long, Timestamp)],
+         state: GroupState[Set[(Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Set.empty[(Long, Long)])
+            var maxTsMs = Long.MinValue
+            val out = List.newBuilder[CandPair]
+            rows.foreach { case (id, sh, _, _, ts) =>
+              val t = ts.getTime
+              if (t > maxTsMs) maxTsMs = t
+              if (!seen.exists(_._1 == id)) {
+                seen.foreach { case (d, s) =>
+                  if (java.lang.Long.bitCount(s ^ sh) <= 3)
+                    out += CandPair(math.min(d, id), math.max(d, id))
+                }
+                seen += ((id, sh))
+                if (seen.size > cap) seen -= seen.maxBy(_._1)
+              }
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(maxTsMs + retentionMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming decontamination — the ingest-time form of
     * `pipeline_decontaminate_lsh`: every arriving document is screened
     * against a STATIC held-out corpus (eval suites, a licensed set)

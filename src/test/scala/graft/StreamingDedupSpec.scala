@@ -130,6 +130,38 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash candidates == batch block-banded pairs, narrow and wide") {
+    implicit val sql = spark.sqlContext
+    val t0 = ts("2024-01-01 00:00:00")
+    def run(sigCol: org.apache.spark.sql.Column, widths: Seq[Int], name: String,
+        batch: Set[(Long, Long)]): Unit = {
+      val docs = Tables.load(spark, sf0001, "documents")
+        .select($"doc_id", sigCol.as("sh")).as[(Long, Long)].collect().toSeq
+      val in = MemoryStream[SimhashDoc]
+      val q = simhashCandidatesStreaming(in.toDS(), retention = "1 hour", widths = widths)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        val (b1, b2) = docs.splitAt(docs.size / 2)
+        in.addData(b1.map { case (id, sh) => SimhashDoc(id, sh, t0) }: _*)
+        q.processAllAvailable()
+        in.addData(b2.map { case (id, sh) => SimhashDoc(id, sh, t0) }: _*)
+        q.processAllAvailable()
+        val streamed = spark.table(name)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        assert(streamed == batch, s"$name: stream=${streamed.size} batch=${batch.size}")
+        assert(batch.nonEmpty)
+      } finally q.stop()
+    }
+    run(graft.functions.TextFunctions.simhash31($"text"),
+      DedupQueries.Simhash31Blocks, "simhash_stream",
+      DedupQueries.queries("dedup_simhash")(spark, sf0001)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
+    run(graft.functions.TextFunctions.simhash62($"text"),
+      DedupQueries.Simhash62Blocks, "simhash_stream_wide",
+      DedupQueries.queries("dedup_simhash_wide")(spark, sf0001)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
+  }
+
   test("streaming decontamination across batches == batch LSH decontamination") {
     implicit val sql = spark.sqlContext
     val t0 = ts("2024-01-01 00:00:00")
