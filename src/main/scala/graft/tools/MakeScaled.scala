@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   *    cross-copy candidates); n_chars is recomputed;
   *  - `embeddings`: vec_id shifts; each copy's vectors are cyclically
   *    DIMENSION-ROTATED by 7·c (mod 64) — rotation is orthogonal, so
-  *    within-copy cosines are bit-preserved, while cross-copy cosines
-  *    fall back to the unrelated-pair distribution;
+  *    within-copy cosines are preserved (up to last-ulp fold order —
+  *    the product SET is identical), while cross-copy cosines fall
+  *    back to the unrelated-pair distribution;
   *  - `events`: event_id/user_id shift — 10× users over the same time
   *    range (windows carry 10× rows, the realistic scale direction);
   *  - relational tables: all foreign keys shift by the same per-table
