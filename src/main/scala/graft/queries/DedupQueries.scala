@@ -21,7 +21,14 @@ import graft.model.Tables
   *    scale the LSH variant replaces it, and the DuckDB oracle checks
   *    they agree;
   *  - SimHash: 31-bit polynomial-hash variant so the whole signature is
-  *    oracle-expressible; pairs within Hamming distance 3.
+  *    oracle-expressible; pairs within Hamming distance 3. The 62-bit
+  *    dual-polynomial WIDE form (`dedup_simhash_wide`) is the
+  *    production banding — 2¹⁵⁺ bucket values per block and a sharper
+  *    threshold — in the same oracle-expressible arithmetic.
+  *
+  * Every bucket/block self-join in the file carries the
+  * [[LshBucketCap]] anchor rail, so no boilerplate template or
+  * saturated block value can make candidate generation quadratic.
   *
   * The planted near-duplicates in the harness data sit at j ≈ 0.99 with
   * everything else below 0.5, so τ = 0.8 cleanly separates; at that gap
