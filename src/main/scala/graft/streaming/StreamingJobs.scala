@@ -310,12 +310,44 @@ object StreamingJobs {
     */
   def decontaminateStreaming(
       streamDocs: DataFrame, evalDocs: DataFrame,
-      retention: String = "1 hour"): DataFrame = {
+      retention: String = "1 hour"): DataFrame =
+    screenAgainstStaticIndex(streamDocs, evalDocs, retention,
+      streamIdCol = "train_id", staticIdCol = "eval_id")
+
+  /** Streaming incremental near-dup ingest — the online form of
+    * `dedup_incremental`'s new×corpus screen: each arriving (crawl)
+    * document probes the persisted (band, bucket) index of the
+    * already-ingested corpus and is flagged the moment it near-matches
+    * prior content (the drop-the-new-copy policy reads directly off
+    * the directed output). Identical economics to the batch operator:
+    * the corpus's banding cost was paid once at its own ingest, and
+    * the join shuffles the ARRIVALS, never the corpus. Within-feed
+    * peer pairs are [[lshCandidatesStreaming]]'s job — compose both
+    * on the same feed for the full incremental contract (the split
+    * mirrors the batch operator's corpus-probe ∪ batch-peer union).
+    * Output (append): (new_id, matched_id, jac, ts). */
+  def incrementalDedupStreaming(
+      streamDocs: DataFrame, corpusDocs: DataFrame,
+      retention: String = "1 hour"): DataFrame =
+    screenAgainstStaticIndex(streamDocs, corpusDocs, retention,
+      streamIdCol = "new_id", staticIdCol = "matched_id")
+
+  /** Shared core of [[decontaminateStreaming]] and
+    * [[incrementalDedupStreaming]]: screen a document stream against a
+    * STATIC corpus via its MinHash-LSH (band, bucket) index —
+    * stream-static equi-join candidates, exact sorted-merge Jaccard
+    * τ = 0.8 verification, directed stream→static output, per-pair
+    * watermark-bounded dedup. The static index persists once
+    * (anchor-capped per bucket — one witness decides the policy), so
+    * micro-batches probe instead of re-shingling. */
+  private def screenAgainstStaticIndex(
+      streamDocs: DataFrame, staticDocs: DataFrame, retention: String,
+      streamIdCol: String, staticIdCol: String): DataFrame = {
     import graft.functions.KernelExpressions
     import graft.functions.TextFunctions.tokens
     import graft.queries.DedupQueries
 
-    val evalSh = evalDocs
+    val evalSh = staticDocs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), KernelExpressions.sortedNgramSet(col("toks"), 3).as("g"))
       .persist()
@@ -327,21 +359,21 @@ object StreamingJobs {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))))
       .filter(col("rk") <= graft.queries.DedupQueries.LshBucketCap)
-      .select(col("doc_id").as("eval_id"), col("band"), col("bucket"), col("g").as("gb"))
+      .select(col("doc_id").as(staticIdCol), col("band"), col("bucket"), col("g").as("gb"))
 
     val streamSh = streamDocs
       .select(col("doc_id"), col("ts"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("ts"),
         KernelExpressions.sortedNgramSet(col("toks"), 3).as("g"))
     val streamBands = DedupQueries.bandedFromShingles(streamSh, passthrough = Seq("ts", "g"))
-      .select(col("doc_id").as("train_id"), col("ts"), col("g").as("ga"),
+      .select(col("doc_id").as(streamIdCol), col("ts"), col("g").as("ga"),
         col("band"), col("bucket"))
 
     DedupQueries.jaccardFromCounts(streamBands.join(evalIdx, Seq("band", "bucket")))
       .filter(col("jac") >= 0.8)
-      .select("train_id", "eval_id", "jac", "ts")
+      .select(streamIdCol, staticIdCol, "jac", "ts")
       .withWatermark("ts", retention)
-      .dropDuplicatesWithinWatermark("train_id", "eval_id")
+      .dropDuplicatesWithinWatermark(streamIdCol, staticIdCol)
   }
 
   /** Ingest-time DSIR scoring against a FROZEN importance index — the

@@ -490,4 +490,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the runtime complement to q_salted_join's manual salting: when
+    // skew only shows up in real shuffle sizes, AQE must re-plan the
+    // sort-merge join with split skewed partitions — the no-code-change
+    // rail for hot keys at 100 TB. Thresholds are forced down so the
+    // fixture-sized hot key (one key carrying ~100k padded rows vs 1k
+    // singletons) crosses the detection bar.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, rpad}
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = spark.range(100000)
+        .select(lit(0L).as("k"), rpad($"id".cast("string"), 64, "p").as("pad"))
+        .unionByName(spark.range(1000).select(($"id" + 1).as("k"), lit("y").as("pad")))
+      val right = spark.range(1001).select($"id".as("k"), lit("r").as("v"))
+      val j = left.join(right, "k")
+      // execute THIS QueryExecution (count() would build its own plan);
+      // AQE finalizes the adaptive plan only once its query has run
+      assert(j.collect().length == 101000)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not split the skewed partition:\n${p.take(3000)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -162,6 +162,33 @@ class StreamingDedupSpec extends SparkSpec {
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
   }
 
+  test("streaming incremental ingest == batch dedup_incremental corpus-probe component") {
+    implicit val sql = spark.sqlContext
+    val t0 = ts("2024-01-01 00:00:00")
+    val d = Tables.load(spark, sf0001, "documents")
+    val corpus = d.filter($"doc_id" % 5 =!= 4).select("doc_id", "text")
+    val newDocs = d.filter($"doc_id" % 5 === 4)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = incrementalDedupStreaming(
+        in.toDF().toDF("doc_id", "text", "ts"), corpus, retention = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("incr_out").start()
+    try {
+      val (b1, b2) = newDocs.splitAt(newDocs.size / 2)
+      in.addData(b1.map { case (id, t) => (id, t, t0) }: _*); q.processAllAvailable()
+      in.addData(b2.map { case (id, t) => (id, t, t0) }: _*); q.processAllAvailable()
+      val streamed = spark.table("incr_out")
+        .select("new_id", "matched_id").as[(Long, Long)].collect().toSet
+      // the stream job covers the new×corpus screen; within-feed peer
+      // pairs are lshCandidatesStreaming's half of the contract
+      val batch = DedupQueries.queries("dedup_incremental")(spark, sf0001)
+        .filter($"matched_id" % 5 =!= 4)
+        .select("new_id", "matched_id").as[(Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming decontamination across batches == batch LSH decontamination") {
     implicit val sql = spark.sqlContext
     val t0 = ts("2024-01-01 00:00:00")
