@@ -74,6 +74,11 @@ object DedupQueries {
       graft.ops.Graph.connectedComponents(
         queries("dedup_simhash")(s, dir).select("doc_a", "doc_b")))
 
+  private[queries] def componentLabelsSimhashWide(s: SparkSession, dir: String): DataFrame =
+    ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "simhash_wide"), _ =>
+      graft.ops.Graph.connectedComponents(
+        queries("dedup_simhash_wide")(s, dir).select("doc_a", "doc_b")))
+
   private[queries] def componentLabelsSemantic(s: SparkSession, dir: String): DataFrame =
     ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "semantic"), _ =>
       graft.ops.Graph.connectedComponents(
@@ -834,6 +839,16 @@ object DedupQueries {
     "dedup_survivors_simhash" -> ((s, dir) =>
       componentLabelsSimhash(s, dir).select(col("node").as("doc_id"), col("rep"))),
 
+    // survivor selection over the WIDE simhash edge set — at the sharp
+    // ham ≤ 3-of-62 threshold the components are true near-dup
+    // clusters (the narrow 31-bit edge set is neighborhood-saturated:
+    // 486 survivor rows at sf0.01 vs this query's near-dup-only
+    // clusters), so this pairing — cheapest signature, production
+    // banding, trustworthy components — is the one a 100 TB ingest
+    // would actually run for simhash-policy dedup.
+    "dedup_survivors_wide" -> ((s, dir) =>
+      componentLabelsSimhashWide(s, dir).select(col("node").as("doc_id"), col("rep"))),
+
     // survivor selection over the SEMANTIC edge set — the fourth edge
     // source (n-gram Jaccard, MinHash-LSH, simhash, embedding): CC over
     // SemDeDup's within-cluster cosine pairs turns "these documents
@@ -1460,6 +1475,22 @@ object DedupQueries {
     // set is the simhash ham ≤ 3 pairs instead of Jaccard τ = 0.8
     "dedup_survivors_simhash" ->
       s"""WITH RECURSIVE $simhashSigCtes,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src""".stripMargin,
+
+    // the survivor rule over the 62-bit edge set, replaying the dual
+    // signature fold
+    "dedup_survivors_wide" ->
+      s"""WITH RECURSIVE $simhash62SigCtes,
          |p AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
