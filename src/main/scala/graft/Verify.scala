@@ -54,7 +54,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val byName = SparkEntry.queries
+    // optional subset filter (comma-separated names or prefixes) for
+    // targeted local iteration; the driver sets no filter and gets all
+    val onlySel: String => Boolean = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .map(pats => (n: String) => pats.exists(p => n == p || n.startsWith(p)))
+      .getOrElse((_: String) => true)
+    val byName = SparkEntry.queries.filter { case (n, _) => onlySel(n) }
     val ordered = dumpOrder(byName.keys.toSeq).map(n => (n, byName(n)))
     ordered.foreach { case (name, fn) =>
       try {

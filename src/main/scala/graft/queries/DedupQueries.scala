@@ -1004,6 +1004,28 @@ object DedupQueries {
         .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
         .filter(col("cos") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("cos"))
+    }),
+
+    // Winnowing-fingerprint near-dup candidates (the MOSS pipeline,
+    // Schleimer et al. 2003): docs sharing ≥ 1 SELECTED fingerprint
+    // (hash value, position ignored) with the shared count — the
+    // FIFTH candidate edge source, whose inverted index is ~2/(w+1)
+    // the size of the full 8-token span index yet still guaranteed to
+    // catch every verbatim run of ≥ w+k−1 = 8 tokens (the threshold
+    // stays at 1 because that is exactly what the SWA guarantee
+    // promises — TextDedupSpec pins that the verified τ=0.8 LSH pairs
+    // are a subset; n_shared is the ranking signal consumers cut on).
+    // One distinct on (fp, doc_id), one fp-keyed self-join, one
+    // pair-keyed count — fan-out bounded by the hottest fingerprint's
+    // df, the word-count profile at 100 TB.
+    "dedup_winnow" -> ((s, dir) => {
+      val sel = TextQueries.winnowSelected(docs(s, dir),
+          TextQueries.WinnowK, TextQueries.WinnowW)
+        .select(col("doc_id"), col("fp")).distinct()
+      sel.as("a").join(sel.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
     })
   )
 
@@ -1550,6 +1572,14 @@ object DedupQueries {
          |  SELECT src, dst FROM ed
          |  UNION
          |  SELECT r.src, e2.dst FROM reach r JOIN ed e2 ON r.dst = e2.src)
-         |SELECT src AS vec_id, least(src, min(dst)) AS rep FROM reach GROUP BY src""".stripMargin
+         |SELECT src AS vec_id, least(src, min(dst)) AS rep FROM reach GROUP BY src""".stripMargin,
+
+    "dedup_winnow" ->
+      s"""WITH ${TextQueries.winnowSelCtes},
+         |wfp AS (SELECT DISTINCT doc_id, fp FROM wsel)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin
   )
 }

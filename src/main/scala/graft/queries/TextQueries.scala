@@ -24,6 +24,63 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Winnowing parameters: k-token grams, w-gram windows. Guarantee
+    * threshold t = w + k − 1 = 8 tokens — aligned with the 8-token
+    * span screens so the winnowed index detects exactly the runs the
+    * full span index does, at ~2/(w+1) of its size. */
+  private[queries] val WinnowK = 5
+  private[queries] val WinnowW = 4
+
+  /** Position-encoding base for the winnow window argmin: encoded =
+    * (hash+1)·C − pos packs (hash, rightmost-pos) into ONE long so the
+    * per-window rightmost-minimal gram is a plain `array_min` — no
+    * struct ordering relied on, and the identical integer arithmetic
+    * replays in the DuckDB oracle. hash < 2^31 ⇒ encoded < 2^51; pos
+    * (gram index) must stay < C = 2^20, i.e. docs under ~1M tokens —
+    * beyond that, raise C (headroom to 2^43-token docs at long range).
+    */
+  private[queries] val WinnowPosBase = 1L << 20
+
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 §4): hash every k-token gram POSITIONALLY (polyHash31
+    * of the space-joined gram — the codegen'd [[KernelExpressions
+    * .polyHashArray]] loop), slide a w-gram window over the hash
+    * sequence, and select each window's minimal hash, rightmost on
+    * ties (robust winnowing — repeated content re-selects the same
+    * position). Output: (doc_id, pos, fp), distinct per doc.
+    *
+    * Everything is per-row array arithmetic inside one projection —
+    * zero shuffle, scan-speed at 100 TB, and the selected set is the
+    * ~2/(w+1)-density index that makes fingerprint inverted indexes
+    * (dedup_winnow) w× cheaper than full span indexes. Docs shorter
+    * than k tokens have no grams and drop out (same guard in the
+    * oracle); docs with fewer than w grams winnow over one
+    * all-gram window (least/greatest clamp, both engines).
+    */
+  private[graft] def winnowSelected(d: DataFrame, k: Int, w: Int): DataFrame = {
+    import graft.functions.KernelExpressions.{longDiv, polyHashArray}
+    val C = WinnowPosBase
+    val hs = d
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), polyHashArray(
+        transform(sequence(lit(1), size(col("toks")) - lit(k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as("hs"))
+    val m = size(col("hs"))
+    hs
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), greatest(m - lit(w - 1), lit(1))),
+          i => array_min(transform(sequence(i, least(i + lit(w - 1), m)),
+            j => (element_at(col("hs"), j) + lit(1L)) * lit(C)
+              - j.cast("long"))))).as("sel"))
+      .select(col("doc_id"), explode(col("sel")).as("e"))
+      .select(col("doc_id"),
+        (lit(C) - pmod(col("e"), lit(C))).as("pos"),
+        (longDiv(col("e") + (lit(C) - pmod(col("e"), lit(C))), lit(C)) - lit(1L))
+          .as("fp"))
+  }
+
   /** The Gopher rule battery as a pure frame function over
     * (doc_id, text) — entirely stateless map-side column arithmetic,
     * so the SAME plan serves the batch query and the streaming ingest
@@ -573,10 +630,48 @@ object TextQueries {
           when(coalesce(col("n_spans"), lit(0L)) === 0L, lit(0.0))
             .otherwise(round(col("novel_spans").cast("double")
               / col("n_spans").cast("double"), 6)).as("novelty"))
-    })
+    }),
+
+    // Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken,
+    // SIGMOD 2003): one row per SELECTED (pos, fp) — the w×-smaller
+    // shift-robust fingerprint index with the paper's guarantee that
+    // any verbatim run of ≥ w+k−1 tokens (here 8, matching the span
+    // screens) shares at least one selected fingerprint. See
+    // [[winnowSelected]] for the plan shape (map-side HOFs, zero
+    // shuffle — the selection never leaves the scan task).
+    "text_winnow_fingerprint" -> ((s, dir) =>
+      winnowSelected(docs(s, dir), WinnowK, WinnowW))
   )
 
+  /** DuckDB replay of [[winnowSelected]] — the same positional gram
+    * polyhash, the same (hash+1)·C − pos window argmin encoding, the
+    * same clamps; shared with the dedup_winnow oracle. Ends in CTE
+    * `wsel(doc_id, pos, fp)`. */
+  private[queries] val winnowSelCtes: String = {
+    val k = WinnowK; val w = WinnowW; val c = WinnowPosBase
+    val gram = (0 until k).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+       |      WHERE len(string_split(text,' ')) >= $k),
+       |g AS (SELECT doc_id, list_transform(range(1, len(toks) - ${k - 2}), i ->
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split($gram, ''),
+       |            ch -> CAST(ascii(ch) AS BIGINT))),
+       |        (h, ch) -> (h * 31 + ch) % 2147483647)) AS hs FROM t),
+       |sw AS (SELECT doc_id, list_distinct(
+       |        list_transform(range(1, greatest(len(hs) - ${w - 1}, 1) + 1), i ->
+       |          list_min(list_transform(range(i, least(i + ${w - 1}, len(hs)) + 1), j ->
+       |            (hs[j] + 1) * $c - j)))) AS sel FROM g),
+       |wu AS (SELECT doc_id, unnest(sel) AS e FROM sw),
+       |wsel AS (SELECT doc_id, CAST($c - (e % $c) AS BIGINT) AS pos,
+       |                CAST((e + ($c - (e % $c))) // $c - 1 AS BIGINT) AS fp
+       |         FROM wu)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_winnow_fingerprint" ->
+      s"""WITH $winnowSelCtes
+         |SELECT doc_id, pos, fp FROM wsel""".stripMargin,
+
     // integer aggregates, single rounded divisions — order-insensitive,
     // so no float-summation caveats; CAST(n*n) multiplies as BIGINT
     // exactly like Spark's long*long before the double cast

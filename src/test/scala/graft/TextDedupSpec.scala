@@ -688,4 +688,81 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == expected && out.nonEmpty, s"out=$out expected=$expected")
   }
+
+  // --- winnowing fingerprints (Schleimer et al. 2003) ---
+
+  /** Driver-side reimplementation of the winnow selection: positional
+    * k-gram polyhash, per-window rightmost-min. */
+  private def winnowRef(toks: Array[String], k: Int, w: Int): Set[(Long, Long)] = {
+    def ph(s: String): Long = {
+      var h = 0L
+      s.codePoints().forEach(cp => h = (h * 31L + cp) % 2147483647L)
+      h
+    }
+    if (toks.length < k) return Set.empty
+    val hs = toks.sliding(k).map(g => ph(g.mkString(" "))).toArray
+    val m = hs.length
+    (1 to math.max(m - w + 1, 1)).map { i =>
+      val hi = math.min(i + w - 1, m)
+      var bj = i; var bv = hs(i - 1)
+      (i to hi).foreach { j =>
+        if (hs(j - 1) <= bv) { bj = j; bv = hs(j - 1) } // <= ⇒ rightmost min
+      }
+      (bj.toLong, bv)
+    }.toSet
+  }
+
+  test("winnowing: operator == driver-side rightmost-min reimplementation") {
+    val docsDf = Tables.load(spark, sf0001, "documents")
+    val expected = docsDf.select($"doc_id", $"text").collect().flatMap { r =>
+      winnowRef(r.getString(1).split(" "), 5, 4)
+        .map { case (p, f) => (r.getLong(0), p, f) }
+    }.toSet
+    val out = graft.queries.TextQueries.queries("text_winnow_fingerprint")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == expected && out.nonEmpty)
+  }
+
+  test("winnowing guarantee: any shared ≥ w+k−1 = 8-token run shares a fingerprint") {
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens
+    val d = Seq(
+      (1L, s"one two three $shared nine ten"),
+      (2L, s"completely different preamble here $shared and another tail"))
+      .toDF("doc_id", "text")
+    val sel = graft.queries.TextQueries.winnowSelected(d, 5, 4)
+    val byDoc = sel.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "winnow must select a common fingerprint inside the shared run")
+  }
+
+  test("winnowing density: selection compresses the gram index, covers every window") {
+    val docsDf = Tables.load(spark, sf0001, "documents")
+    docsDf.select($"doc_id", $"text").collect().take(20).foreach { r =>
+      val toks = r.getString(1).split(" ")
+      if (toks.length >= 8) {
+        val m = toks.length - 4
+        val sel = winnowRef(toks, 5, 4)
+        assert(sel.size <= math.max(m - 3, 1), "at most one selection per window")
+        assert(sel.size >= (m + 3) / 4, "each selection covers at most w windows")
+        // every window of 4 consecutive grams contains a selected position
+        val pos = sel.map(_._1.toInt)
+        (1 to math.max(m - 3, 1)).foreach { i =>
+          assert((i to math.min(i + 3, m)).exists(pos.contains),
+            s"window $i of doc ${r.getLong(0)} has no selected fingerprint")
+        }
+      }
+    }
+  }
+
+  test("dedup_winnow finds the planted near-duplicates lsh finds") {
+    val winnow = DedupQueries.queries("dedup_winnow")(spark, sf0001)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQueries.queries("dedup_minhash_lsh")(spark, sf0001)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // τ=0.8 near-dups share long verbatim runs ⇒ many shared fingerprints
+    assert(lsh.subsetOf(winnow),
+      s"missing=${lsh -- winnow} — winnow candidates must cover the verified near-dups")
+    assert(winnow.nonEmpty)
+  }
 }
