@@ -1026,6 +1026,28 @@ object DedupQueries {
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // storage-dedup audit over the content-defined chunks: total vs
+    // distinct chunk mass — what chunk-level dedup would actually save
+    // on this corpus (the rsync/backup-tool measurement, robust to
+    // shifted content where whole-doc digests see nothing). Two
+    // map-side-combined aggregates over the scan-speed chunk stream
+    // (one global, one after a chunk_hash distinct) cross-joined as
+    // 1-row scalars; at 100 TB the distinct is the only shuffle and it
+    // carries (hash, n_tokens) pairs, never text.
+    "dedup_cdc_storage" -> ((s, dir) => {
+      val ch = PipelineQueries.cdcChunks(docs(s, dir))
+      val tot = ch.agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("tokens_total"))
+      val dis = ch.select(col("chunk_hash"), col("n_tokens")).distinct()
+        .agg(count(lit(1)).as("n_distinct_chunks"),
+          sum(col("n_tokens")).as("tokens_stored"))
+      tot.crossJoin(dis) // 1 row × 1 row
+        .select(col("n_chunks"), col("n_distinct_chunks"),
+          col("tokens_total"), col("tokens_stored"),
+          round(col("tokens_stored").cast("double")
+            / col("tokens_total").cast("double"), 6).as("dedup_ratio"))
     })
   )
 
@@ -1580,6 +1602,18 @@ object DedupQueries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       CAST(count(*) AS BIGINT) AS n_shared
          |FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+
+    "dedup_cdc_storage" ->
+      s"""WITH ${PipelineQueries.cdcChunkCtes},
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+         |               CAST(sum(n_tokens) AS BIGINT) AS tokens_total FROM cchunks),
+         |dis AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         |               CAST(sum(n_tokens) AS BIGINT) AS tokens_stored
+         |        FROM (SELECT DISTINCT chunk_hash, n_tokens FROM cchunks))
+         |SELECT n_chunks, n_distinct_chunks, tokens_total, tokens_stored,
+         |       round(CAST(tokens_stored AS DOUBLE)
+         |             / CAST(tokens_total AS DOUBLE), 6) AS dedup_ratio
+         |FROM tot, dis""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -27,6 +27,82 @@ import graft.model.Tables
   * than its most expensive stage. Output: kept (doc_id, n_tokens).
   */
 object PipelineQueries {
+
+  /** CDC boundary parameters: a chunk boundary falls after token i iff
+    * the polyhash of the CdcK-token gram ending at i is ≡ 0 mod
+    * CdcDivisor — mean chunk length ≈ CdcDivisor tokens. */
+  private[graft] val CdcK = 3
+  private[graft] val CdcDivisor = 16L
+
+  /** Content-defined chunking: one row per chunk with its token span
+    * and md5 identity (md5, not the 31-bit polyhash, because chunk
+    * identity feeds a DISTINCT — at corpus scale a 31-bit space
+    * birthday-collides and would silently overcount dedup savings).
+    * Boundary grams are hashed with the codegen'd polyHashArray loop;
+    * boundary selection, chunk starts, and the explode are per-row
+    * array arithmetic — zero shuffle. Docs shorter than CdcK tokens
+    * (no full boundary gram) are a single chunk, same clamp in the
+    * oracle. */
+  private[graft] def cdcChunks(d: DataFrame): DataFrame = {
+    import graft.functions.KernelExpressions.polyHashArray
+    val k = CdcK
+    val withStarts = d
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        when(size(col("toks")) >= k, polyHashArray(
+          transform(sequence(lit(1), size(col("toks")) - lit(k - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(k))))))
+          .otherwise(array().cast("array<bigint>")).as("bh"))
+      .select(col("doc_id"), col("toks"),
+        concat(array(lit(1)),
+          transform(filter(sequence(lit(1), greatest(size(col("bh")) - lit(1), lit(1))),
+            i => i <= size(col("bh")) - lit(1) &&
+              pmod(element_at(col("bh"), i), lit(CdcDivisor)) === 0L),
+            i => i + lit(k))).as("starts"))
+    def startAt(j: Column) = element_at(col("starts"), j)
+    def endAt(j: Column) = when(j === size(col("starts")), size(col("toks")))
+      .otherwise(element_at(col("starts"), j + lit(1)) - lit(1))
+    withStarts
+      .select(col("doc_id"), col("toks"), col("starts"),
+        explode(sequence(lit(1), size(col("starts")))).as("j"))
+      .select(col("doc_id"),
+        col("j").cast("long").as("chunk_idx"),
+        startAt(col("j")).cast("long").as("start_tok"),
+        (endAt(col("j")) - startAt(col("j")) + lit(1)).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), startAt(col("j")),
+          endAt(col("j")) - startAt(col("j")) + lit(1))).cast("binary"))
+          .as("chunk_hash"))
+  }
+
+  /** DuckDB replay of [[cdcChunks]] — same boundary polyhash, same
+    * starts construction, same md5 chunk identity. Ends in CTE
+    * `cchunks(doc_id, chunk_idx, start_tok, n_tokens, chunk_hash)`. */
+  private[graft] val cdcChunkCtes: String = {
+    val k = CdcK; val d = CdcDivisor
+    val gram = (0 until k).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+    s"""ct AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |cb AS (SELECT doc_id, toks,
+       |         CASE WHEN len(toks) >= $k THEN
+       |           list_transform(range(1, len(toks) - ${k - 2}), i ->
+       |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(string_split($gram, ''),
+       |                 ch -> CAST(ascii(ch) AS BIGINT))),
+       |             (h, ch) -> (h * 31 + ch) % 2147483647))
+       |         ELSE CAST([] AS BIGINT[]) END AS bh FROM ct),
+       |cs AS (SELECT doc_id, toks,
+       |         list_prepend(CAST(1 AS BIGINT),
+       |           list_transform(list_filter(range(1, len(bh)), i ->
+       |             bh[i] % $d = 0), i -> i + $k)) AS starts FROM cb),
+       |cchunks AS (
+       |  SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+       |         CAST(starts[j] AS BIGINT) AS start_tok,
+       |         CAST((CASE WHEN j = len(starts) THEN len(toks)
+       |               ELSE starts[j+1] - 1 END) - starts[j] + 1 AS BIGINT) AS n_tokens,
+       |         md5(array_to_string(list_slice(toks, CAST(starts[j] AS INTEGER),
+       |           CAST(CASE WHEN j = len(starts) THEN len(toks)
+       |                ELSE starts[j+1] - 1 END AS INTEGER)), ' ')) AS chunk_hash
+       |  FROM cs, UNNEST(range(1, len(starts) + 1)) AS u(j))""".stripMargin
+  }
 
   /** DSIR hashed-feature space: B buckets of polyHash31(unigram|bigram). */
   private[graft] val dsirB = 1024L
@@ -701,10 +777,30 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_feats"),
           round(col("sum_r").cast("double") / lit(10000.0)
             / col("n_feats").cast("double"), 6).as("dsir_weight"))
-    })
+    }),
+
+    // content-defined chunking (the rsync/LBFS/restic boundary rule,
+    // token-level): a chunk boundary falls AFTER token i exactly when
+    // the rolling hash of the k=3-token gram ending at i is ≡ 0
+    // mod 16 (mean chunk ≈ 16 tokens) — boundaries depend only on
+    // LOCAL content, so inserting or deleting one token re-aligns
+    // every boundary past the edit instead of shifting the whole grid
+    // the way pipeline_chunk_windows' fixed stride does. That makes
+    // chunk-hash dedup shift-robust: the storage/transfer dedup under
+    // incremental crawls, where page edits move content without
+    // changing most of it. All per-row HOF arithmetic + one explode —
+    // zero shuffle, scan speed at 100 TB (the companion
+    // dedup_cdc_storage pays the only aggregate).
+    "pipeline_cdc_chunks" -> ((s, dir) =>
+      cdcChunks(Tables.load(s, dir, "documents")))
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_cdc_chunks" ->
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_hash
+         |FROM cchunks""".stripMargin,
+
     // each CTE mirrors an already-validated single-stage oracle
     "pipeline_clean_corpus" ->
       s"""WITH RECURSIVE ek AS (

@@ -765,4 +765,58 @@ class TextDedupSpec extends SparkSpec {
       s"missing=${lsh -- winnow} — winnow candidates must cover the verified near-dups")
     assert(winnow.nonEmpty)
   }
+
+  // --- content-defined chunking ---
+
+  test("cdc chunks exactly partition every document's token range") {
+    import graft.queries.PipelineQueries
+    val docsDf = Tables.load(spark, sf0001, "documents")
+    val chunks = PipelineQueries.cdcChunks(docsDf)
+      .collect().groupBy(_.getLong(0))
+    docsDf.select($"doc_id", $"text").collect().foreach { r =>
+      val n = r.getString(1).split(" ").length
+      val cs = chunks(r.getLong(0)).sortBy(_.getLong(1))
+      assert(cs.head.getLong(2) == 1L, "first chunk starts at token 1")
+      cs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) == a.getLong(2) + a.getLong(3),
+            "chunks are consecutive: start[j+1] = start[j] + n_tokens[j]")
+        case _ =>
+      }
+      assert(cs.map(_.getLong(3)).sum == n.toLong,
+        s"chunk token mass must equal doc ${r.getLong(0)}'s $n tokens")
+    }
+  }
+
+  test("cdc is shift-robust where fixed-stride chunking is not") {
+    import graft.queries.PipelineQueries
+    val base = (1 to 200).map(i => s"tok${i % 57}w${(i * 31) % 43}").mkString(" ")
+    val edited = "INSERTED " + base // one token prepended: everything shifts
+    val d = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = PipelineQueries.cdcChunks(d).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getString(4)).toSet }
+    val sharedCdc = ch(1L).intersect(ch(2L)).size
+    // every boundary is content-determined, so all chunks strictly after
+    // the edited first chunk carry identical text → identical hashes
+    assert(sharedCdc >= ch(1L).size - 1,
+      s"cdc shares $sharedCdc of ${ch(1L).size} chunks — boundaries must re-align after the edit")
+    // a fixed 128/96 grid on the same pair shifts every window by one
+    // token, so no window text (hence no fingerprint) survives the edit
+    def fixedWindows(text: String): Set[String] = {
+      val toks = text.split(" ")
+      val nChunks = if (toks.length <= 128) 1 else 1 + (toks.length - 33) / 96
+      (0 until nChunks).map(c => toks.slice(c * 96, c * 96 + 128).mkString(" ")).toSet
+    }
+    val sharedFixed = fixedWindows(base).intersect(fixedWindows(edited)).size
+    assert(sharedFixed == 0 && sharedCdc > 0,
+      s"fixed-stride shares $sharedFixed windows, cdc shares $sharedCdc chunks")
+  }
+
+  test("dedup_cdc_storage: ratio in (0,1], planted duplicates compress") {
+    val r = DedupQueries.queries("dedup_cdc_storage")(spark, sf0001).collect().head
+    val (nc, nd, tt, ts, ratio) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(nd <= nc && ts <= tt && ratio > 0.0 && ratio <= 1.0)
+    assert(ratio < 1.0, "planted duplicate docs must produce shared chunks")
+  }
 }
