@@ -21,6 +21,35 @@ object EventQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  /** CEP step bound: each pattern step must follow the previous within
+    * this many minutes (shared by the batch chain and the streaming
+    * operator's replay — they MUST move together). */
+  private[graft] val CepStepMinutes = 240
+
+  /** The q_cep_first_match chain as a pure frame function over
+    * (user_id, event_type, ts) — so the streaming operator's
+    * finalization replay and the spec's parity check run the IDENTICAL
+    * semantics on the identical rows. */
+  private[graft] def cepFirstMatch(e0: DataFrame): DataFrame = {
+    val step = expr(s"INTERVAL $CepStepMinutes MINUTES")
+    val e = e0.select(col("user_id"),
+      to_date(col("ts")).as("day"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id", "day").agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id", "day"))
+      .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + step)
+      .groupBy("user_id", "day")
+      .agg(min(col("t_view")).as("t_view"), min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id", "day"))
+      .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + step)
+      .groupBy("user_id", "day")
+      .agg(min(col("t_view")).as("t_view"), min(col("t_click")).as("t_click"),
+        min(col("ts")).as("t_purchase"))
+    p.select("user_id", "day", "t_view", "t_click", "t_purchase")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // idempotent-ingest windowed dedup — the batch form of the
     // streaming retention contract (StreamingJobs.exactDedupStreaming /
@@ -318,6 +347,23 @@ object EventQueries {
         .crossJoin(f2.agg(count(lit(1)).as("n_click_after")))
         .crossJoin(f3.agg(count(lit(1)).as("n_purchase_after")))
     }),
+
+    // CEP first-match with time constraints (Flink-CEP parity:
+    // begin("view").next-by-time("click").next-by-time("purchase")
+    // .within(4 h per step), AFTER MATCH SKIP — the greedy
+    // earliest-occurrence semantics): per (user, day), the day's FIRST
+    // view, then the first click within 4 h AFTER it, then the
+    // first purchase within 4 h after THAT; one row per completed
+    // match with all three timestamps. Greedy-from-first is the
+    // deterministic, constant-state contract (a later view never
+    // reopens the pattern once the first view's window lapses) and the
+    // day scope is what bounds streaming state — the live form
+    // ([[graft.streaming.StreamingJobs.cepStreaming]]) buffers a
+    // (user, day) group until the watermark closes the day, replays
+    // this exact chain, and evicts. Same chained conditional-min plan
+    // as the funnel: every shuffle keyed (user, day), map-side
+    // combined, no new shape at 100 TB.
+    "q_cep_first_match" -> ((s, dir) => cepFirstMatch(events(s, dir))),
 
     // hourly conversion funnel: the windowed form of q_funnel_stages —
     // stage ordering evaluated WITHIN each (user, hour) scope, so the
@@ -630,6 +676,27 @@ object EventQueries {
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM f1) AS n_view,
         |       (SELECT CAST(count(*) AS BIGINT) FROM f2) AS n_click_after,
         |       (SELECT CAST(count(*) AS BIGINT) FROM f3) AS n_purchase_after""".stripMargin,
+
+    "q_cep_first_match" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT e.user_id, v.day, min(v.t_view) AS t_view, min(e.ts) AS t_click
+        |  FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND CAST(e.ts AS DATE) = v.day
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 240 MINUTE
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT e.user_id, c.day, min(c.t_view) AS t_view,
+        |         min(c.t_click) AS t_click, min(e.ts) AS t_purchase
+        |  FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND CAST(e.ts AS DATE) = c.day
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 240 MINUTE
+        |  GROUP BY 1, 2)
+        |SELECT user_id, day, t_view, t_click, t_purchase FROM p""".stripMargin,
 
     "q_funnel_hourly" ->
       """WITH f1 AS (

@@ -574,6 +574,78 @@ object StreamingJobs {
       }
   }
 
+  /** One day-scoped event for the streaming CEP operator. */
+  case class CepEvent(user_id: Long, bucket: Timestamp, event_type: String, ts: Timestamp)
+
+  /** One completed pattern match, emitted at day finalization. */
+  case class CepMatch(user_id: Long, day: java.time.LocalDate, t_view: Timestamp,
+      t_click: Timestamp, t_purchase: Timestamp)
+
+  /** Streaming CEP first-match — the live form of `q_cep_first_match`
+    * (Flink-CEP parity: view → click → purchase, each step within
+    * [[graft.queries.EventQueries.CepStepMinutes]] of the previous,
+    * greedy from the day's first view, one match per (user, day)).
+    *
+    * Greedy-from-first is not incrementally decidable under
+    * out-of-order arrival — a late-arriving EARLIER view rebases the
+    * whole chain — so, exactly like the hourly funnel, the operator
+    * buffers a (user, day) group's relevant events and replays the
+    * batch chain once, when the watermark passes the day end; state is
+    * evicted at emission, and rows older than the watermark never
+    * reach the operator. Buffered state is bounded by one user-day of
+    * view/click/purchase events (other types are dropped before the
+    * shuffle); the (user, day) key is the shuffle key at scale.
+    * StreamingSpec pins out-of-order convergence to the batch chain
+    * and the no-backtracking ruling (a later click that WOULD complete
+    * the pattern does not resurrect a lapsed first-click window).
+    */
+  def cepStreaming(events: DataFrame, tsCol: String, userCol: String,
+      lateness: String = "1 hour"): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    val dayMillis = 86400000L
+    val stepUs = graft.queries.EventQueries.CepStepMinutes * 60L * 1000000L
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .select(col(userCol).cast("long").as("user_id"),
+        date_trunc("day", col(tsCol)).as("bucket"),
+        col("event_type"), col(tsCol).as("ts"))
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withWatermark("ts", lateness)
+      .as[CepEvent]
+      .groupByKey(r => (r.user_id, r.bucket.getTime))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), rows: Iterator[CepEvent], state: GroupState[List[(String, Long)]]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            def minIn(tpe: String, lo: Long, hi: Long): Option[Long] = {
+              val ts = buf.collect { case (t, us) if t == tpe && us > lo && us <= hi => us }
+              if (ts.isEmpty) None else Some(ts.min)
+            }
+            val t1 = minIn("view", Long.MinValue, Long.MaxValue)
+            val t2 = t1.flatMap(v => minIn("click", v, v + stepUs))
+            val t3 = t2.flatMap(c => minIn("purchase", c, c + stepUs))
+            (t1, t2, t3) match {
+              case (Some(v), Some(c), Some(p)) => Iterator.single(CepMatch(
+                key._1, java.time.LocalDate.ofEpochDay(key._2 / dayMillis),
+                toTs(v), toTs(c), toTs(p)))
+              case _ => Iterator.empty
+            }
+          } else {
+            val buf = state.getOption.getOrElse(Nil) ++
+              rows.map(r => (r.event_type, micros(r.ts)))
+            state.update(buf)
+            state.setTimeoutTimestamp(key._2 + dayMillis) // finalize at day end
+            Iterator.empty
+          }
+      }
+  }
+
   /** One hour-bucketed event for the streaming Top-N operator. */
   case class TopNEvent(user_id: Long, bucket: Timestamp, ts: Timestamp)
 

@@ -114,6 +114,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CEP first-match replays the batch chain at day end; greedy, out-of-order safe") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val rows = Seq(
+      // user 1: full match — view 00:05, click 02:00 (≤ 4 h), purchase 05:30 (≤ 4 h after click)
+      (1L, "view", ts("2024-01-01 00:05:00")),
+      (1L, "click", ts("2024-01-01 02:00:00")),
+      (1L, "purchase", ts("2024-01-01 05:30:00")),
+      // user 2: click 6 h after the first view — window lapsed, no match
+      (2L, "view", ts("2024-01-01 01:00:00")),
+      (2L, "click", ts("2024-01-01 07:00:00")),
+      (2L, "purchase", ts("2024-01-01 07:30:00")),
+      // user 5: GREEDY ruling — first click 00:20 opens the purchase
+      // window (ends 04:20); the 05:00 purchase would qualify via the
+      // 02:00 click but greedy does NOT backtrack → no match
+      (5L, "view", ts("2024-01-01 00:10:00")),
+      (5L, "click", ts("2024-01-01 00:20:00")),
+      (5L, "click", ts("2024-01-01 02:00:00")),
+      (5L, "purchase", ts("2024-01-01 05:00:00")))
+    val q = cepStreaming(in.toDF().toDF("user_id", "event_type", "t"), "t", "user_id",
+        lateness = "6 hours") // wide enough that user 1's view, fed hours out of order, is not late
+      .writeStream.outputMode("append").format("memory").queryName("cep_out")
+      .start()
+    try {
+      // deliver OUT OF ORDER: user 1's purchase and click arrive before
+      // the view that anchors their chain
+      in.addData((1L, "purchase", ts("2024-01-01 05:30:00")), (1L, "click", ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      in.addData(rows.filterNot(r => r._1 == 1L && r._2 != "view"): _*)
+      q.processAllAvailable()
+      // advance the watermark past the day end so groups finalize
+      in.addData((9L, "view", ts("2024-01-02 06:30:00")))
+      q.processAllAvailable()
+      in.addData((9L, "view", ts("2024-01-02 06:31:00")))
+      q.processAllAvailable()
+      val got = spark.table("cep_out")
+        .select($"user_id", $"day".cast("string"), $"t_view", $"t_click", $"t_purchase")
+        .as[(Long, String, Timestamp, Timestamp, Timestamp)].collect().toSet
+      assert(got == Set((1L, "2024-01-01",
+        ts("2024-01-01 00:05:00"), ts("2024-01-01 02:00:00"), ts("2024-01-01 05:30:00"))))
+      // parity: the batch chain on the same rows produces the same matches
+      val batch = graft.queries.EventQueries
+        .cepFirstMatch(rows.toDF("user_id", "event_type", "ts"))
+        .select($"user_id", $"day".cast("string"), $"t_view", $"t_click", $"t_purchase")
+        .as[(Long, String, Timestamp, Timestamp, Timestamp)].collect().toSet
+      assert(batch == got, s"batch=$batch streaming=$got")
+    } finally q.stop()
+  }
+
   test("streaming cumulate count converges to the batch slice-optimized result") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]
