@@ -40,6 +40,18 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Winnow shared-fingerprint pairs with counts — the dedup_winnow
+    * body, shared with the candidate audit so both consume ONE plan. */
+  private def winnowSharedCounts(s: SparkSession, dir: String): DataFrame = {
+    val sel = TextQueries.winnowSelected(docs(s, dir),
+        TextQueries.WinnowK, TextQueries.WinnowW)
+      .select(col("doc_id"), col("fp")).distinct()
+    sel.as("a").join(sel.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Memoized connected-components labels per (session, dataset, edge
     * source). The CC result is an eagerly checkpointed frame produced
     * by an iterative job — it cannot be shared through the CacheManager
@@ -491,7 +503,8 @@ object DedupQueries {
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
       Seq(
         ("minhash_lsh", lshCandidatesFromBands(corpusBands(s, dir))),
-        ("ppjoin", ppjoinCandidates(sh, tauNum = 4, tauDen = 5))
+        ("ppjoin", ppjoinCandidates(sh, tauNum = 4, tauDen = 5)),
+        ("winnow", winnowSharedCounts(s, dir).select("doc_a", "doc_b"))
       ).map { case (m, cands) =>
         cands.join(broadcast(truth), Seq("doc_a", "doc_b"), "left")
           .agg(count(lit(1)).as("n_candidates"), count(col("_t")).as("n_verified"))
@@ -1018,15 +1031,7 @@ object DedupQueries {
     // One distinct on (fp, doc_id), one fp-keyed self-join, one
     // pair-keyed count — fan-out bounded by the hottest fingerprint's
     // df, the word-count profile at 100 TB.
-    "dedup_winnow" -> ((s, dir) => {
-      val sel = TextQueries.winnowSelected(docs(s, dir),
-          TextQueries.WinnowK, TextQueries.WinnowW)
-        .select(col("doc_id"), col("fp")).distinct()
-      sel.as("a").join(sel.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
-    }),
+    "dedup_winnow" -> ((s, dir) => winnowSharedCounts(s, dir)),
 
     // storage-dedup audit over the content-defined chunks: total vs
     // distinct chunk mass — what chunk-level dedup would actually save
@@ -1252,6 +1257,10 @@ object DedupQueries {
 
   private val candidateAuditSql: String =
     s"""WITH $minhashSigPrefixCtes,
+       |${TextQueries.winnowSelCtes.replaceFirst("^t AS", "wt AS").replace("FROM t)", "FROM wt)")},
+       |wfp AS (SELECT DISTINCT doc_id, fp FROM wsel),
+       |wc AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |       FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
        |bands AS (
        |  SELECT doc_id, bj.j,
        |         list_reduce(list_prepend(CAST(bj.j AS BIGINT),
@@ -1288,6 +1297,11 @@ object DedupQueries {
        |  SELECT 'ppjoin',
        |         (SELECT CAST(count(*) AS BIGINT) FROM ppc),
        |         (SELECT CAST(count(*) AS BIGINT) FROM ppc c
+       |            JOIN tr ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b)
+       |  UNION ALL
+       |  SELECT 'winnow',
+       |         (SELECT CAST(count(*) AS BIGINT) FROM wc),
+       |         (SELECT CAST(count(*) AS BIGINT) FROM wc c
        |            JOIN tr ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b))
        |SELECT method, n_candidates, n_verified,
        |       (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_true,

@@ -340,6 +340,15 @@ object StreamingJobs {
     * watermark-bounded dedup. The static index persists once
     * (anchor-capped per bucket — one witness decides the policy), so
     * micro-batches probe instead of re-shingling. */
+  /** Memoized shingled static side per corpus frame (reference
+    * identity, like annIdxMemo): two screens against the same static
+    * corpus — or a restarted query — reuse ONE persisted frame instead
+    * of pinning a duplicate per call and evicting the caches other
+    * query families rely on. Cleared via [[graft.model.Caches]]. */
+  private val staticShMemo =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, DataFrame]()
+  graft.model.Caches.register(() => staticShMemo.clear())
+
   private def screenAgainstStaticIndex(
       streamDocs: DataFrame, staticDocs: DataFrame, retention: String,
       streamIdCol: String, staticIdCol: String): DataFrame = {
@@ -347,10 +356,10 @@ object StreamingJobs {
     import graft.functions.TextFunctions.tokens
     import graft.queries.DedupQueries
 
-    val evalSh = staticDocs
+    val evalSh = staticShMemo.computeIfAbsent(staticDocs, sd => sd
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), KernelExpressions.sortedNgramSet(col("toks"), 3).as("g"))
-      .persist()
+      .persist())
     // witness-side anchor cap on the static index, mirroring the batch
     // operator (DedupQueries.LshBucketCap): an arriving doc probes at
     // most cap eval witnesses per bucket — one is enough to flag it
