@@ -526,4 +526,34 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("winnow selection never leaves the scan task — zero shuffle, one explode") {
+    val p = plan("text_winnow_fingerprint")
+    assert(!p.contains("Exchange"), s"winnowing must not shuffle: $p")
+    assert(p.contains("Generate"), p) // the selected-set explode
+  }
+
+  test("winnow pairs are an fp equi-join, never a cartesian plan") {
+    val p = plan("dedup_winnow")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("cdc chunking never leaves the scan task — zero shuffle") {
+    val p = plan("pipeline_cdc_chunks")
+    assert(!p.contains("Exchange"), s"cdc chunking must not shuffle: $p")
+  }
+
+  test("cdc storage audit: the chunk-identity distinct is the only wide chunk op") {
+    val p = plan("dedup_cdc_storage")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"chunk aggregates must map-side combine: $p")
+  }
+
+  test("cep chain joins are (user, day)-keyed equi-joins, never nested loops") {
+    val p = plan("q_cep_first_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -311,16 +311,18 @@ class TextDedupSpec extends SparkSpec {
     assert(out.except(slice).isEmpty && slice.except(out).isEmpty)
   }
 
-  test("candidate audit: both generators at full recall, sane efficiency") {
+  test("candidate audit: all three generators at full recall, sane efficiency") {
     val rows = DedupQueries.queries("dedup_candidate_audit")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r).toMap
-    assert(rows.keySet == Set("minhash_lsh", "ppjoin"), rows.keySet)
+    assert(rows.keySet == Set("minhash_lsh", "ppjoin", "winnow"), rows.keySet)
     rows.foreach { case (m, r) =>
       val (nc, nv, nt) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(nt > 0, "empty truth set makes the audit vacuous")
-      // both generators are recall-lossless on this corpus: LSH by the
+      // all generators are recall-lossless on this corpus: LSH by the
       // banding guarantee at the harness similarity gap (asserted
-      // against brute force above), PPJoin structurally
+      // against brute force above), PPJoin structurally, winnow because
+      // τ=0.8 near-dups here share ≥ 8-token runs (the SWA guarantee;
+      // the subset test above pins it directly)
       assert(r.getDouble(4) == 1.0, s"$m recall=${r.getDouble(4)}")
       assert(nv <= nc, s"$m verified $nv > candidates $nc")
       assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, s"$m efficiency")
