@@ -43,35 +43,36 @@ object PipelineQueries {
     * array arithmetic — zero shuffle. Docs shorter than CdcK tokens
     * (no full boundary gram) are a single chunk, same clamp in the
     * oracle. */
-  private[graft] def cdcChunks(d: DataFrame): DataFrame = {
+  private[graft] def cdcChunks(d: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     import graft.functions.KernelExpressions.polyHashArray
     val k = CdcK
+    val pt = passthrough.map(col)
     val withStarts = d
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
+      .select(col("doc_id") +: tokens(col("text")).as("toks") +: pt: _*)
+      .select(col("doc_id") +: col("toks") +: pt :+
         when(size(col("toks")) >= k, polyHashArray(
           transform(sequence(lit(1), size(col("toks")) - lit(k - 1)),
             i => concat_ws(" ", slice(col("toks"), i, lit(k))))))
-          .otherwise(array().cast("array<bigint>")).as("bh"))
-      .select(col("doc_id"), col("toks"),
+          .otherwise(array().cast("array<bigint>")).as("bh"): _*)
+      .select(col("doc_id") +: col("toks") +: pt :+
         concat(array(lit(1)),
           transform(filter(sequence(lit(1), greatest(size(col("bh")) - lit(1), lit(1))),
             i => i <= size(col("bh")) - lit(1) &&
               pmod(element_at(col("bh"), i), lit(CdcDivisor)) === 0L),
-            i => i + lit(k))).as("starts"))
+            i => i + lit(k))).as("starts"): _*)
     def startAt(j: Column) = element_at(col("starts"), j)
     def endAt(j: Column) = when(j === size(col("starts")), size(col("toks")))
       .otherwise(element_at(col("starts"), j + lit(1)) - lit(1))
     withStarts
-      .select(col("doc_id"), col("toks"), col("starts"),
-        explode(sequence(lit(1), size(col("starts")))).as("j"))
-      .select(col("doc_id"),
-        col("j").cast("long").as("chunk_idx"),
-        startAt(col("j")).cast("long").as("start_tok"),
-        (endAt(col("j")) - startAt(col("j")) + lit(1)).cast("long").as("n_tokens"),
+      .select(col("doc_id") +: col("toks") +: col("starts") +: pt :+
+        explode(sequence(lit(1), size(col("starts")))).as("j"): _*)
+      .select(col("doc_id") +:
+        col("j").cast("long").as("chunk_idx") +:
+        startAt(col("j")).cast("long").as("start_tok") +:
+        (endAt(col("j")) - startAt(col("j")) + lit(1)).cast("long").as("n_tokens") +:
         md5(concat_ws(" ", slice(col("toks"), startAt(col("j")),
           endAt(col("j")) - startAt(col("j")) + lit(1))).cast("binary"))
-          .as("chunk_hash"))
+          .as("chunk_hash") +: pt: _*)
   }
 
   /** DuckDB replay of [[cdcChunks]] — same boundary polyhash, same

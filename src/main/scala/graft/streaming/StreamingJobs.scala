@@ -314,6 +314,49 @@ object StreamingJobs {
     screenAgainstStaticIndex(streamDocs, evalDocs, retention,
       streamIdCol = "train_id", staticIdCol = "eval_id")
 
+  /** Memoized distinct chunk-hash index per corpus frame (reference
+    * identity, like staticShMemo): the corpus is chunked and
+    * distinct-ed ONCE, then every micro-batch probes it. Cleared via
+    * [[graft.model.Caches]]. */
+  private val cdcIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, DataFrame]()
+  graft.model.Caches.register(() => cdcIdxMemo.clear())
+
+  /** Streaming content-defined-chunk ingest — the online form of
+    * `dedup_cdc_storage`'s economics: each arriving document is
+    * chunked at its content-defined boundaries (a PURE map — the same
+    * [[graft.queries.PipelineQueries.cdcChunks]] frame function runs
+    * unchanged on the stream, no state, no watermark needed for the
+    * chunking itself) and each chunk is marked `is_new` by probing the
+    * persisted distinct chunk-hash index of the already-stored corpus.
+    * Only is_new chunks cost storage/transfer — the incremental-backup
+    * / incremental-crawl contract, shift-robust by the CDC boundary
+    * rule. The probe is a stream-static left join on chunk_hash:
+    * shuffle moves the ARRIVALS, never the corpus index (broadcast
+    * when small, hash-partitioned when not — at 100 TB the index is
+    * bucketed by chunk_hash and the join co-locates).
+    *
+    * Within-batch repeats of a chunk all report the corpus verdict
+    * (exactly the batch semantics of re-chunking the same frame);
+    * cross-batch novelty tracking would need the sink to feed stored
+    * chunks back into the corpus — the compose-at-the-sink design
+    * every incremental operator here follows. Output (append): one row
+    * per arriving chunk (doc_id, ts, chunk_idx, n_tokens, chunk_hash,
+    * is_new). StreamingDedupSpec pins streamed == batch on identical
+    * rows. */
+  def cdcIngestStreaming(streamDocs: DataFrame, corpusDocs: DataFrame): DataFrame = {
+    import graft.queries.PipelineQueries
+    val idx = cdcIdxMemo.computeIfAbsent(corpusDocs, cd =>
+      PipelineQueries.cdcChunks(cd)
+        .select(col("chunk_hash")).distinct()
+        .withColumn("_stored", lit(1L))
+        .persist())
+    PipelineQueries.cdcChunks(streamDocs, passthrough = Seq("ts"))
+      .join(idx, Seq("chunk_hash"), "left")
+      .select(col("doc_id"), col("ts"), col("chunk_idx"), col("n_tokens"),
+        col("chunk_hash"), col("_stored").isNull.as("is_new"))
+  }
+
   /** Streaming incremental near-dup ingest — the online form of
     * `dedup_incremental`'s new×corpus screen: each arriving (crawl)
     * document probes the persisted (band, bucket) index of the

@@ -189,6 +189,38 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC ingest marks exactly the chunks absent from the corpus index") {
+    implicit val sql = spark.sqlContext
+    val t0 = ts("2024-01-01 00:00:00")
+    val d = Tables.load(spark, sf0001, "documents")
+    val corpus = d.filter($"doc_id" % 5 =!= 4).select("doc_id", "text")
+    val newDocs = d.filter($"doc_id" % 5 === 4)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = cdcIngestStreaming(in.toDF().toDF("doc_id", "text", "ts"), corpus)
+      .writeStream.outputMode("append").format("memory").queryName("cdc_out").start()
+    try {
+      val (b1, b2) = newDocs.splitAt(newDocs.size / 2)
+      in.addData(b1.map { case (id, t) => (id, t, t0) }: _*); q.processAllAvailable()
+      in.addData(b2.map { case (id, t) => (id, t, t0) }: _*); q.processAllAvailable()
+      val streamed = spark.table("cdc_out")
+        .select($"doc_id", $"chunk_idx", $"chunk_hash", $"is_new")
+        .as[(Long, Long, String, Boolean)].collect().toSet
+      // batch replica: chunk the arrivals, left-anti the corpus index
+      val arrivals = graft.queries.PipelineQueries.cdcChunks(
+        d.filter($"doc_id" % 5 === 4).select("doc_id", "text"))
+      val storedHashes = graft.queries.PipelineQueries.cdcChunks(corpus)
+        .select("chunk_hash").distinct().as[String].collect().toSet
+      val batch = arrivals.select($"doc_id", $"chunk_idx", $"chunk_hash")
+        .as[(Long, Long, String)].collect()
+        .map { case (id, ci, h) => (id, ci, h, !storedHashes.contains(h)) }.toSet
+      assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+      // the planted duplicates give both verdicts: some chunks are
+      // already stored, some are genuinely new
+      assert(streamed.exists(_._4) && streamed.exists(!_._4))
+    } finally q.stop()
+  }
+
   test("streaming decontamination across batches == batch LSH decontamination") {
     implicit val sql = spark.sqlContext
     val t0 = ts("2024-01-01 00:00:00")
