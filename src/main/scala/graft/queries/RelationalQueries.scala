@@ -483,6 +483,46 @@ object RelationalQueries {
       d.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
     }),
 
+    // QUANTILE SKETCH (bottom-k hash sample): q_quantiles_exact's
+    // histogram is the right plan while |distinct values| is bounded;
+    // when the value domain is unbounded (latencies, prices) the
+    // histogram IS the data and the 100 TB path is a mergeable
+    // fixed-size sample. Sampling by k smallest row-hashes is the
+    // deterministic, merge-order-free form (bottom-k of a union =
+    // merge of bottom-k's — the same property KMV exploits), so the
+    // same TypedImperativeAggregate carries it: pack (hash, value)
+    // into one long (value ∈ [0,64) rides the low 6 bits; ordering is
+    // by hash first, so the sample stays uniform), keep the 256
+    // smallest per group, unpack and read ranks ⌈p·m/100⌉ from the
+    // sorted sample. Per (partition × group) the shuffle carries ≤
+    // 256 longs regardless of input size or value cardinality.
+    "q_quantiles_sketch" -> ((s, dir) => {
+      val packed = t(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"),
+          // row id folds in l_partkey: (orderkey, linenumber) is not
+          // unique in the harness data; residual full-row collisions
+          // just merge sample entries and replay in the oracle. The
+          // id is mod-reduced BEFORE the multiplier so the product
+          // stays under 2^63 (ANSI overflow; DuckDB BIGINT likewise)
+          (((((col("l_orderkey") * 8 + col("l_linenumber")) * lit(200001L)
+            + col("l_partkey")) % lit(2147483647L))
+            * lit(2654435761L) + lit(104729L))
+            % lit(2147483647L)).as("h"),
+          col("l_quantity").cast("long").as("q"))
+        .select(col("l_returnflag"), (col("h") * 64 + col("q")).as("key"))
+      val ranks = Seq(25, 50, 75, 90, 99)
+      val est = ranks.map(p => element_at(col("vals"),
+        ((col("m") * p + 99) / 100).cast("int")).as(s"p$p"))
+      packed
+        .groupBy("l_returnflag")
+        .agg(graft.functions.Sketches.kmvMinima(col("key"), 256).as("ks"))
+        .select(col("l_returnflag"),
+          array_sort(transform(col("ks"), x => x % 64)).as("vals"),
+          size(col("ks")).cast("long").as("m"))
+        .select(col("l_returnflag") +: est :+ col("m").as("n_sample"): _*)
+    }),
+
     // changelog → snapshot compaction: latest order per customer, via
     // the native argmax aggregate (graft.functions.ArgMax). The window
     // formulation (row_number ... = 1) would sort every customer's
@@ -971,6 +1011,36 @@ object RelationalQueries {
         |       max(CASE WHEN cum >= (n*99+99)//100 AND cum - c < (n*99+99)//100 THEN v END) AS p99,
         |       CAST(max(n) AS BIGINT) AS n_rows
         |FROM cum GROUP BY 1""".stripMargin,
+
+    // same packed (hash, value) key, bottom-256 DISTINCT keys per
+    // group via row_number, same ⌈p·m/100⌉ rank reads; ties in v share
+    // the value, so any stable tie order yields the same rank-r value
+    "q_quantiles_sketch" ->
+      """WITH k AS (
+        |  SELECT DISTINCT l_returnflag,
+        |         (((((l_orderkey*8 + l_linenumber)*200001
+        |            + l_partkey) % 2147483647)*2654435761 + 104729)
+        |          % 2147483647) * 64
+        |           + CAST(l_quantity AS BIGINT) AS key
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, key,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY key) AS rn
+        |  FROM k),
+        |s AS (SELECT l_returnflag, key % 64 AS v FROM r WHERE rn <= 256),
+        |o AS (
+        |  SELECT l_returnflag, v,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS vr,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS m
+        |  FROM s)
+        |SELECT l_returnflag,
+        |       max(CASE WHEN vr = (m*25+99)//100 THEN v END) AS p25,
+        |       max(CASE WHEN vr = (m*50+99)//100 THEN v END) AS p50,
+        |       max(CASE WHEN vr = (m*75+99)//100 THEN v END) AS p75,
+        |       max(CASE WHEN vr = (m*90+99)//100 THEN v END) AS p90,
+        |       max(CASE WHEN vr = (m*99+99)//100 THEN v END) AS p99,
+        |       CAST(max(m) AS BIGINT) AS n_sample
+        |FROM o GROUP BY 1""".stripMargin,
 
     "q_latest_snapshot" ->
       """SELECT o_custkey, o_orderkey AS last_orderkey, o_orderdate AS last_orderdate,

@@ -191,6 +191,47 @@ object TextQueries {
         .orderBy(col("freq").desc, col("token"))
         .limit(100)),
 
+    // KMV SET-OPERATION estimates (the theta-sketch workflow): how
+    // much vocabulary do two sources share? Per source a k=64
+    // bottom-hash sketch of the distinct token set; per source-pair
+    // the merged bottom-k yields union / intersection / Jaccard
+    // estimates — sound because the combined bottom-k of A∪B is a
+    // uniform hash sample of the union, and membership-in-both is
+    // checkable against the two component sketches (Beyer et al.
+    // 2007). At 100 TB the exact answer shuffles every distinct
+    // (source, token) pair; here each source crosses the wire as 64
+    // longs and the pair frame is |sources|² sketch rows, data-size-
+    // independent. All estimator arithmetic is integer division, so
+    // the oracle replays it bit-for-bit.
+    "text_vocab_overlap_kmv" -> ((s, dir) => {
+      val mins = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .select(col("source"), polyHash31(col("token")).as("h"))
+        .groupBy("source")
+        .agg(graft.functions.Sketches.kmvMinima(col("h"), 64).as("minima"))
+      val a = mins.select(col("source").as("source_a"), col("minima").as("ma"))
+      val b = mins.select(col("source").as("source_b"), col("minima").as("mb"))
+      // sketch-frame self-join: 20 rows × 64 longs a side — broadcast,
+      // the corpus itself is never rescanned or reshuffled
+      a.join(broadcast(b), col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"), col("ma"), col("mb"),
+          slice(array_sort(array_union(col("ma"), col("mb"))), 1, 64).as("comb"))
+        .select(col("source_a"), col("source_b"),
+          size(col("comb")).cast("long").as("n_combined"),
+          size(filter(col("comb"),
+            x => array_contains(col("ma"), x) && array_contains(col("mb"), x)))
+            .cast("long").as("n_both"),
+          element_at(col("comb"), size(col("comb"))).as("kth"))
+        .select(col("source_a"), col("source_b"), col("n_combined"), col("n_both"),
+          when(col("n_combined") < 64, col("n_combined"))
+            // 63·(2^31−1) pre-folded, as in q_distinct_kmv
+            .otherwise(expr("135291469761 div kth")).as("union_est"))
+        .select(col("source_a"), col("source_b"), col("n_combined"), col("n_both"),
+          col("union_est"),
+          expr("(n_both * union_est) div n_combined").as("inter_est"),
+          expr("(1000000 * n_both) div n_combined").as("jaccard_ppm"))
+    }),
+
     // ZIPF DEVIATION — the corpus-naturalness audit: natural language
     // token frequencies follow rank-frequency ∝ 1/r; template/
     // synthetic/keyword-stuffed corpora don't. Per top-100 rank:
@@ -729,6 +770,55 @@ object TextQueries {
       """SELECT token, CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    // same poly31 token hash, per-source bottom-64 via row_number,
+    // per-pair combined bottom-64 and the same integer estimators
+    "text_vocab_overlap_kmv" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT source,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(token,''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |           (h, ch) -> (h*31+ch)%2147483647) AS h
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)),
+        |mins AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM tok) WHERE rn <= 64),
+        |srcs AS (SELECT DISTINCT source FROM mins),
+        |pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |u AS (
+        |  SELECT DISTINCT p.sa, p.sb, m.h
+        |  FROM pairs p JOIN mins m ON m.source IN (p.sa, p.sb)),
+        |comb AS (
+        |  SELECT sa, sb, h FROM (
+        |    SELECT sa, sb, h,
+        |           row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        |    FROM u) WHERE rn <= 64),
+        |flags AS (
+        |  SELECT c.sa, c.sb, c.h,
+        |         CASE WHEN EXISTS (SELECT 1 FROM mins x
+        |                           WHERE x.source = c.sa AND x.h = c.h)
+        |               AND EXISTS (SELECT 1 FROM mins y
+        |                           WHERE y.source = c.sb AND y.h = c.h)
+        |              THEN 1 ELSE 0 END AS inboth
+        |  FROM comb c),
+        |agg AS (
+        |  SELECT sa, sb, count(*) AS m, sum(inboth) AS nb, max(h) AS kth
+        |  FROM flags GROUP BY 1, 2),
+        |est AS (
+        |  SELECT sa, sb, m, nb,
+        |         CASE WHEN m < 64 THEN m ELSE 135291469761 // kth END AS ue
+        |  FROM agg)
+        |SELECT sa AS source_a, sb AS source_b,
+        |       CAST(m AS BIGINT) AS n_combined,
+        |       CAST(nb AS BIGINT) AS n_both,
+        |       CAST(ue AS BIGINT) AS union_est,
+        |       CAST((nb * ue) // m AS BIGINT) AS inter_est,
+        |       CAST((1000000 * nb) // m AS BIGINT) AS jaccard_ppm
+        |FROM est""".stripMargin,
 
     // range(1, len) enumerates 1..len−1 → (tokᵢ, tokᵢ₊₁) with
     // multiplicity; the (freq DESC, pair) order is total so the

@@ -79,6 +79,18 @@ class SketchesSpec extends SparkSpec {
     assert(p2.contains("ObjectHashAggregate"), p2)
     // the sketch side broadcasts its single row to the top-k side
     assert(p2.contains("BroadcastNestedLoopJoin") || p2.contains("BroadcastExchange"), p2)
+    // the sample-quantile sketch rides the same aggregate: map-side
+    // partial combine, never a SortAggregate row sort
+    val p3 = SparkEntry.queries("q_quantiles_sketch")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p3).size >= 2, p3)
+    assert(!p3.contains("SortAggregate"), p3)
+    // the overlap pair frame is sketch-sized: its self-join must be a
+    // broadcast, never a shuffle of the sketch rows
+    val p4 = SparkEntry.queries("text_vocab_overlap_kmv")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p4.contains("BroadcastNestedLoopJoin") || p4.contains("BroadcastExchange"), p4)
+    assert(!p4.contains("SortMergeJoin"), p4)
   }
 
   test("sketches aggregate incrementally in a streaming windowed query == batch") {
@@ -166,5 +178,52 @@ class SketchesSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     // standard error ~1.04/√256 = 6.5%; 15% is > 2σ
     assert(math.abs(est - n.toDouble) / n.toDouble < 0.15, s"est=$est")
+  }
+
+  test("bottom-k sample quantiles track the exact quantile vector") {
+    val exact = SparkEntry.queries("q_quantiles_exact")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val est = SparkEntry.queries("q_quantiles_sketch")(spark, sf0001).collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val flag = r.getString(0)
+      val e = exact(flag)
+      // m = 256 ⇒ rank error ~√(p(1-p))·√m ≤ 8 ranks (3σ) of 256 ≈ 3%
+      // of the [1,50] value range per quantile; 8 units is > 3σ here
+      Seq(1, 2, 3, 4, 5).foreach { i =>
+        val got = r.getLong(i).toDouble
+        val want = e.getDouble(i)
+        assert(math.abs(got - want) <= 8.0,
+          s"$flag p@$i: sample $got vs exact $want")
+      }
+      assert(r.getLong(6) == 256L, s"$flag sample not saturated: ${r.getLong(6)}")
+    }
+  }
+
+  test("KMV pair-overlap estimates bound and track exact vocabulary Jaccard") {
+    import spark.implicits._
+    val out = SparkEntry.queries("text_vocab_overlap_kmv")(spark, sf0001).collect()
+    val vocab = graft.model.Tables.load(spark, sf0001, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val nSrc = vocab.size
+    assert(out.length == nSrc * (nSrc - 1) / 2, s"pair count ${out.length}")
+    out.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (m, nb) = (r.getLong(2), r.getLong(3))
+      val (ue, ie, jppm) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nb <= m && m <= 64, s"$sa/$sb: nb=$nb m=$m")
+      assert(jppm >= 0 && jppm <= 1000000)
+      assert(ie <= ue, s"$sa/$sb: inter $ie > union $ue")
+      val (va, vb) = (vocab(sa), vocab(sb))
+      val exactJ = (va & vb).size.toDouble / (va | vb).size
+      // k = 64 ⇒ σ ≈ √(J(1−J)/64) ≤ 0.063; 0.25 is ≈ 4σ
+      assert(math.abs(jppm / 1e6 - exactJ) <= 0.25,
+        s"$sa/$sb: est ${jppm / 1e6} vs exact $exactJ")
+      val exactU = (va | vb).size
+      assert(math.abs(ue - exactU).toDouble / exactU <= 0.5,
+        s"$sa/$sb: union est $ue vs exact $exactU")
+    }
   }
 }
