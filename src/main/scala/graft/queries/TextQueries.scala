@@ -67,13 +67,28 @@ object TextQueries {
       .select(col("doc_id"), polyHashArray(
         transform(sequence(lit(1), size(col("toks")) - lit(k - 1)),
           i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as("hs"))
-    val m = size(col("hs"))
-    hs
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(1), greatest(m - lit(w - 1), lit(1))),
-          i => array_min(transform(sequence(i, least(i + lit(w - 1), m)),
-            j => (element_at(col("hs"), j) + lit(1L)) * lit(C)
-              - j.cast("long"))))).as("sel"))
+    // encoded (hash, rightmost-pos) per gram: (h_j+1)·C − j (j 1-based)
+    val enc = hs.select(col("doc_id"),
+      transform(col("hs"),
+        (x, i) => (x + lit(1L)) * lit(C) - (i.cast("long") + lit(1L))).as("enc"))
+    // Per-window rightmost-min as the elementwise least of the w
+    // shifted slices of `enc` — deliberately NOT the per-window
+    // element_at lambda: InferFiltersFromGenerate pushes a
+    // size(sel) > 0 predicate below these projections, and pushdown
+    // substitution inlines each referenced alias into that filter.
+    // With element_at inside the window lambda the inlined hash-array
+    // expression is re-evaluated once per (window × element) —
+    // O(m·w) full gram-hash passes per document (measured 300× on
+    // dedup_candidate_audit at sf0.1). In slice form `enc` appears
+    // exactly w times, so the worst-case inlined filter costs O(w)
+    // extra array passes, never a nested re-evaluation.
+    val nw = greatest(size(col("enc")) - lit(w - 1), lit(1))
+    val shifted = (1 to w).map(j => slice(col("enc"), lit(j), nw))
+    // zip_with pads the shorter side with null and least() skips
+    // nulls, so the m < w degenerate collapses to one all-gram window
+    val mins = shifted.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
+    enc
+      .select(col("doc_id"), array_distinct(mins).as("sel"))
       .select(col("doc_id"), explode(col("sel")).as("e"))
       .select(col("doc_id"),
         (lit(C) - pmod(col("e"), lit(C))).as("pos"),
