@@ -84,6 +84,23 @@ object Tables {
     * would block timestamp predicate pushdown at the scan. */
   val ntzConf = "spark.sql.parquet.inferTimestampNTZ.enabled"
 
+  /** Optimizer rule excluded in every session that reads graft tables.
+    * InferFiltersFromGenerate synthesizes `size(g) > 0 AND
+    * isnotnull(g)` above every explode, and predicate pushdown then
+    * substitutes the generator's full defining expression into that
+    * filter — re-evaluated per input row, and for nested higher-order
+    * lambdas once per lambda element (the measured 300×
+    * dedup_candidate_audit blow-up at sf0.1, and a steady ~2× tax on
+    * every token-explode query). Every generate input in this engine
+    * is non-null and non-empty-filtered by construction, so the
+    * inferred filter can never prune a row here — it is pure
+    * recompute. Exclusion is the mechanism Spark provides for exactly
+    * this (`spark.sql.optimizer.excludedRules`); the set is additive
+    * to whatever the host session already excludes. */
+  val excludedRule =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+  private val excludedRulesKey = "spark.sql.optimizer.excludedRules"
+
   /** Load one driver-generated parquet table from an sf directory.
     *
     * Tolerates both timestamp encodings the harness generator has used:
@@ -97,6 +114,10 @@ object Tables {
       spark.conf.set(nanosConf, "true")
     if (!spark.conf.getOption(ntzConf).contains("false"))
       spark.conf.set(ntzConf, "false")
+    val excluded = spark.conf.getOption(excludedRulesKey).getOrElse("")
+    if (!excluded.contains(excludedRule))
+      spark.conf.set(excludedRulesKey,
+        if (excluded.isEmpty) excludedRule else s"$excluded,$excludedRule")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
