@@ -533,6 +533,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the selected-set explode
   }
 
+  test("no inferred explode filter ever re-evaluates the winnow expression") {
+    // InferFiltersFromGenerate + pushdown substitution once inlined
+    // the full gram-hash expression into a scan-level filter (434 s
+    // on dedup_candidate_audit at sf0.1). Tables.load excludes the
+    // rule; this pins both the exclusion and the plan consequence: no
+    // Filter node may contain the gram-hash kernel.
+    assert(spark.conf.get("spark.sql.optimizer.excludedRules", "")
+      .contains("InferFiltersFromGenerate"))
+    val p = plan("text_winnow_fingerprint")
+    val filterWithHash = p.linesIterator
+      .exists(l => l.contains("Filter") && l.contains("polyhasharray"))
+    assert(!filterWithHash, s"inferred filter re-evaluates the gram hash: $p")
+  }
+
   test("winnow pairs are an fp equi-join, never a cartesian plan") {
     val p = plan("dedup_winnow")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
