@@ -65,6 +65,21 @@ object TextFunctions {
     aggregate(split(s, ""), lit(0L),
       (h, c) => (h * lit(31L) + ascii(c)) % lit(2147483647L))
 
+  /** [[polyHash31]] seeded with a leading space (h₀ = 32 = ascii ' '):
+    * the hash of `" " + s` without building the string. Composition
+    * helper for multi-token gram hashing. */
+  def polyHash31Spaced(s: Column): Column =
+    aggregate(split(s, ""), lit(32L),
+      (h, c) => (h * lit(31L) + ascii(c)) % lit(2147483647L))
+
+  /** 31^(len(s)+1) mod (2^31−1) — the factor that shifts an existing
+    * poly hash past `" " + s` in the composition identity
+    * H(x ∘ y) = H(x)·31^len(y) + H(y) (mod M). Folded over the same
+    * char split as the hash so the two stay definitionally aligned. */
+  def polyShift31Spaced(s: Column): Column =
+    aggregate(split(s, ""), lit(31L),
+      (acc, _) => (acc * lit(31L)) % lit(2147483647L))
+
   /** 31-bit SimHash over whitespace tokens (frequency-weighted: repeated
     * tokens vote repeatedly). Bit b is set iff the sum over tokens of
     * ±1 (+1 when bit b of the token's polyHash31 is set) is > 0.

@@ -59,14 +59,34 @@ object TextQueries {
     * all-gram window (least/greatest clamp, both engines).
     */
   private[graft] def winnowSelected(d: DataFrame, k: Int, w: Int): DataFrame = {
-    import graft.functions.KernelExpressions.{longDiv, polyHashArray}
+    import graft.functions.KernelExpressions.longDiv
     val C = WinnowPosBase
-    val hs = d
+    val M = 2147483647L
+    // Gram hashes COMPOSITIONALLY, not by building each k-token gram
+    // string: poly31(t₁‖" "‖t₂‖…) = fold of (H·q_t + a_t) mod M over
+    // the per-token a_t = poly31(" "+t) and shift q_t = 31^(len+1),
+    // starting from poly31(t₁). Identical values to hashing the
+    // joined string (the oracle keeps that form), at one char pass
+    // per token instead of one per (gram × token) — the winnow
+    // queries' dominant cost at sf1 was exactly that re-splitting.
+    val perTok = d
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), polyHashArray(
-        transform(sequence(lit(1), size(col("toks")) - lit(k - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as("hs"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => polyHash31(t)).as("th"),
+        transform(col("toks"), t => polyHash31Spaced(t)).as("ta"),
+        transform(col("toks"), t => polyShift31Spaced(t)).as("tq"))
+    val m = size(col("th")) - lit(k - 1)
+    // fold the k−1 appended tokens via shifted slices (same no-lambda-
+    // element_at discipline as the window mins below)
+    val gramHashes = (1 until k).foldLeft(slice(col("th"), lit(1), m)) { (acc, s) =>
+      zip_with(
+        zip_with(acc, slice(col("tq"), lit(1 + s), m),
+          (x, qq) => (x * qq) % lit(M)),
+        slice(col("ta"), lit(1 + s), m),
+        (x, aa) => (x + aa) % lit(M))
+    }
+    val hs = perTok.select(col("doc_id"), gramHashes.as("hs"))
     // encoded (hash, rightmost-pos) per gram: (h_j+1)·C − j (j 1-based)
     val enc = hs.select(col("doc_id"),
       transform(col("hs"),
