@@ -256,15 +256,27 @@ object TextQueries {
           size(filter(col("comb"),
             x => array_contains(col("ma"), x) && array_contains(col("mb"), x)))
             .cast("long").as("n_both"),
+          // per-side membership in the combined sample: the
+          // denominators of the DIRECTED containment estimates
+          size(filter(col("comb"), x => array_contains(col("ma"), x)))
+            .cast("long").as("n_a"),
+          size(filter(col("comb"), x => array_contains(col("mb"), x)))
+            .cast("long").as("n_b"),
           element_at(col("comb"), size(col("comb"))).as("kth"))
         .select(col("source_a"), col("source_b"), col("n_combined"), col("n_both"),
+          col("n_a"), col("n_b"),
           when(col("n_combined") < 64, col("n_combined"))
             // 63·(2^31−1) pre-folded, as in q_distinct_kmv
             .otherwise(expr("135291469761 div kth")).as("union_est"))
         .select(col("source_a"), col("source_b"), col("n_combined"), col("n_both"),
           col("union_est"),
           expr("(n_both * union_est) div n_combined").as("inter_est"),
-          expr("(1000000 * n_both) div n_combined").as("jaccard_ppm"))
+          expr("(1000000 * n_both) div n_combined").as("jaccard_ppm"),
+          // cont(A→B) = |A∩B|/|A| ≈ n_both/n_a within the uniform
+          // union sample (n_a ≥ 1: A contributed to every combined
+          // set by construction) — which side is the quote/subset
+          expr("(1000000 * n_both) div n_a").as("cont_a_in_b_ppm"),
+          expr("(1000000 * n_both) div n_b").as("cont_b_in_a_ppm"))
     }),
 
     // ZIPF DEVIATION — the corpus-naturalness audit: natural language
@@ -836,15 +848,17 @@ object TextQueries {
         |  SELECT c.sa, c.sb, c.h,
         |         CASE WHEN EXISTS (SELECT 1 FROM mins x
         |                           WHERE x.source = c.sa AND x.h = c.h)
-        |               AND EXISTS (SELECT 1 FROM mins y
+        |              THEN 1 ELSE 0 END AS ina,
+        |         CASE WHEN EXISTS (SELECT 1 FROM mins y
         |                           WHERE y.source = c.sb AND y.h = c.h)
-        |              THEN 1 ELSE 0 END AS inboth
+        |              THEN 1 ELSE 0 END AS inb
         |  FROM comb c),
         |agg AS (
-        |  SELECT sa, sb, count(*) AS m, sum(inboth) AS nb, max(h) AS kth
+        |  SELECT sa, sb, count(*) AS m, sum(ina*inb) AS nb,
+        |         sum(ina) AS na, sum(inb) AS nbb, max(h) AS kth
         |  FROM flags GROUP BY 1, 2),
         |est AS (
-        |  SELECT sa, sb, m, nb,
+        |  SELECT sa, sb, m, nb, na, nbb,
         |         CASE WHEN m < 64 THEN m ELSE 135291469761 // kth END AS ue
         |  FROM agg)
         |SELECT sa AS source_a, sb AS source_b,
@@ -852,7 +866,9 @@ object TextQueries {
         |       CAST(nb AS BIGINT) AS n_both,
         |       CAST(ue AS BIGINT) AS union_est,
         |       CAST((nb * ue) // m AS BIGINT) AS inter_est,
-        |       CAST((1000000 * nb) // m AS BIGINT) AS jaccard_ppm
+        |       CAST((1000000 * nb) // m AS BIGINT) AS jaccard_ppm,
+        |       CAST((1000000 * nb) // na AS BIGINT) AS cont_a_in_b_ppm,
+        |       CAST((1000000 * nb) // nbb AS BIGINT) AS cont_b_in_a_ppm
         |FROM est""".stripMargin,
 
     // range(1, len) enumerates 1..len−1 → (tokᵢ, tokᵢ₊₁) with

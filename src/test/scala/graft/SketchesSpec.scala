@@ -224,6 +224,14 @@ class SketchesSpec extends SparkSpec {
       val exactU = (va | vb).size
       assert(math.abs(ue - exactU).toDouble / exactU <= 0.5,
         s"$sa/$sb: union est $ue vs exact $exactU")
+      val (ca, cb) = (r.getLong(7), r.getLong(8))
+      val exactCa = (va & vb).size.toDouble / va.size
+      val exactCb = (va & vb).size.toDouble / vb.size
+      assert(ca >= 0 && ca <= 1000000 && cb >= 0 && cb <= 1000000)
+      assert(math.abs(ca / 1e6 - exactCa) <= 0.3,
+        s"$sa/$sb: cont a→b ${ca / 1e6} vs exact $exactCa")
+      assert(math.abs(cb / 1e6 - exactCb) <= 0.3,
+        s"$sa/$sb: cont b→a ${cb / 1e6} vs exact $exactCb")
     }
   }
 }
