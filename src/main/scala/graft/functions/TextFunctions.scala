@@ -67,18 +67,26 @@ object TextFunctions {
 
   /** [[polyHash31]] seeded with a leading space (h₀ = 32 = ascii ' '):
     * the hash of `" " + s` without building the string. Composition
-    * helper for multi-token gram hashing. */
+    * helper for multi-token gram hashing. The empty token is special-
+    * cased because `split("", "")` yields `[""]` (one empty element,
+    * ascii = 0), which would run the fold once and return 992 instead
+    * of the seed 32 = H(" ") — the guard keeps the identity
+    * H(" " ∘ s) exact for ALL caller inputs, including text with
+    * consecutive / leading / trailing spaces. */
   def polyHash31Spaced(s: Column): Column =
-    aggregate(split(s, ""), lit(32L),
-      (h, c) => (h * lit(31L) + ascii(c)) % lit(2147483647L))
+    when(length(s) === 0, lit(32L)).otherwise(
+      aggregate(split(s, ""), lit(32L),
+        (h, c) => (h * lit(31L) + ascii(c)) % lit(2147483647L)))
 
   /** 31^(len(s)+1) mod (2^31−1) — the factor that shifts an existing
     * poly hash past `" " + s` in the composition identity
     * H(x ∘ y) = H(x)·31^len(y) + H(y) (mod M). Folded over the same
-    * char split as the hash so the two stay definitionally aligned. */
+    * char split as the hash so the two stay definitionally aligned —
+    * including the same empty-token guard (31¹ = 31, not 31²). */
   def polyShift31Spaced(s: Column): Column =
-    aggregate(split(s, ""), lit(31L),
-      (acc, _) => (acc * lit(31L)) % lit(2147483647L))
+    when(length(s) === 0, lit(31L)).otherwise(
+      aggregate(split(s, ""), lit(31L),
+        (acc, _) => (acc * lit(31L)) % lit(2147483647L)))
 
   /** 31-bit SimHash over whitespace tokens (frequency-weighted: repeated
     * tokens vote repeatedly). Bit b is set iff the sum over tokens of

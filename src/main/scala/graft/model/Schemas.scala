@@ -108,14 +108,26 @@ object Tables {
     * microsecond TimestampType — lossless, the generator emits
     * microsecond values) and naive micros (read as TIMESTAMP via
     * [[ntzConf]]).
+    *
+    * Session-global side effect, by design: the three confs this loader
+    * self-provisions — the two parquet-timestamp reads and the
+    * [[excludedRule]] optimizer exclusion — persist on the host session
+    * beyond graft queries. All three are additive and semantically safe
+    * for non-graft plans (the excluded rule only synthesizes redundant
+    * inferred filters above `explode`), but a host embedding this
+    * library should know its session confs are touched; build the
+    * session through graft's entry points to get them at construction
+    * instead.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (!spark.conf.getOption(nanosConf).contains("true"))
       spark.conf.set(nanosConf, "true")
     if (!spark.conf.getOption(ntzConf).contains("false"))
       spark.conf.set(ntzConf, "false")
+    // exact membership on the comma-split list — a substring test would
+    // be fooled by a rule name that merely contains this one
     val excluded = spark.conf.getOption(excludedRulesKey).getOrElse("")
-    if (!excluded.contains(excludedRule))
+    if (!excluded.split(",").map(_.trim).contains(excludedRule))
       spark.conf.set(excludedRulesKey,
         if (excluded.isEmpty) excludedRule else s"$excluded,$excludedRule")
     val df = spark.read.parquet(s"$dir/$name.parquet")

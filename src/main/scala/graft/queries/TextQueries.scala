@@ -273,10 +273,15 @@ object TextQueries {
           expr("(n_both * union_est) div n_combined").as("inter_est"),
           expr("(1000000 * n_both) div n_combined").as("jaccard_ppm"),
           // cont(A→B) = |A∩B|/|A| ≈ n_both/n_a within the uniform
-          // union sample (n_a ≥ 1: A contributed to every combined
-          // set by construction) — which side is the quote/subset
-          expr("(1000000 * n_both) div n_a").as("cont_a_in_b_ppm"),
-          expr("(1000000 * n_both) div n_b").as("cont_b_in_a_ppm"))
+          // union sample — which side is the quote/subset. n_a CAN be
+          // 0 under heavy size skew (all of B's 64 minima below A's
+          // smallest hash evicts A from the combined sample entirely);
+          // n_both ≤ min(n_a, n_b), so 0/0 is the only division the
+          // guard sidesteps and 0 is the faithful estimate there.
+          when(col("n_a") > 0, expr("(1000000 * n_both) div n_a"))
+            .otherwise(lit(0L)).as("cont_a_in_b_ppm"),
+          when(col("n_b") > 0, expr("(1000000 * n_both) div n_b"))
+            .otherwise(lit(0L)).as("cont_b_in_a_ppm"))
     }),
 
     // ZIPF DEVIATION — the corpus-naturalness audit: natural language
@@ -867,8 +872,8 @@ object TextQueries {
         |       CAST(ue AS BIGINT) AS union_est,
         |       CAST((nb * ue) // m AS BIGINT) AS inter_est,
         |       CAST((1000000 * nb) // m AS BIGINT) AS jaccard_ppm,
-        |       CAST((1000000 * nb) // na AS BIGINT) AS cont_a_in_b_ppm,
-        |       CAST((1000000 * nb) // nbb AS BIGINT) AS cont_b_in_a_ppm
+        |       CAST(CASE WHEN na > 0 THEN (1000000 * nb) // na ELSE 0 END AS BIGINT) AS cont_a_in_b_ppm,
+        |       CAST(CASE WHEN nbb > 0 THEN (1000000 * nb) // nbb ELSE 0 END AS BIGINT) AS cont_b_in_a_ppm
         |FROM est""".stripMargin,
 
     // range(1, len) enumerates 1..len−1 → (tokᵢ, tokᵢ₊₁) with

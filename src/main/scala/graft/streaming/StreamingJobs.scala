@@ -656,6 +656,15 @@ object StreamingJobs {
     import events.sparkSession.implicits._
     val dayMillis = 86400000L
     val stepUs = graft.queries.EventQueries.CepStepMinutes * 60L * 1000000L
+    // `bucket` is date_trunc("day", ts) — local midnight in the SESSION
+    // zone, as an absolute instant. Converting that instant back to a
+    // LocalDate must therefore use the session calendar, not epoch-day
+    // division (which is UTC-only and off by one for UTC+ sessions).
+    // Captured at plan-build time so the executor closure is zone-stable.
+    val sessionZone = java.time.ZoneId.of(
+      events.sparkSession.conf.get("spark.sql.session.timeZone"))
+    def dayOf(bucketMs: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochMilli(bucketMs).atZone(sessionZone).toLocalDate
     def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
     def toTs(us: Long): Timestamp = {
       val t = new Timestamp(us / 1000000L * 1000L)
@@ -684,7 +693,7 @@ object StreamingJobs {
             val t3 = t2.flatMap(c => minIn("purchase", c, c + stepUs))
             (t1, t2, t3) match {
               case (Some(v), Some(c), Some(p)) => Iterator.single(CepMatch(
-                key._1, java.time.LocalDate.ofEpochDay(key._2 / dayMillis),
+                key._1, dayOf(key._2),
                 toTs(v), toTs(c), toTs(p)))
               case _ => Iterator.empty
             }

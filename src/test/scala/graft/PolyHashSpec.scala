@@ -55,6 +55,29 @@ class PolyHashSpec extends SparkSpec {
     assert(err.getMessage.contains("array<string>"))
   }
 
+  test("compositional gram hash == joined-string hash, incl. empty tokens") {
+    // the identity poly31(t₁‖" "‖t₂‖…) = fold of (H·q_t + a_t) must hold
+    // for EMPTY tokens too (consecutive/leading/trailing spaces in
+    // arbitrary caller frames): split("","") yields [""], so without the
+    // empty-token guard a_t would be 992 (≠ 32 = poly31(" ")) and q_t
+    // 961 (≠ 31), silently diverging from the joined-string form the
+    // oracle hashes
+    val rows = Seq(
+      Seq("a", "", "b"), Seq("", ""), Seq("x", "", "", "y"),
+      Seq("hello", "world"), Seq("", "z"), Seq("café", "", "日本")
+    ).toDF("toks")
+    val bad = rows.select(
+        aggregate(
+          slice($"toks", lit(2), size($"toks") - 1),
+          polyHash31(element_at($"toks", 1)),
+          (h, t) => (h * polyShift31Spaced(t) + polyHash31Spaced(t)) % lit(2147483647L))
+          .as("composed"),
+        polyHash31(array_join($"toks", " ")).as("joined"))
+      .filter(not($"composed" <=> $"joined"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("minhash signature values stay in [0, p) with p sentinel on empty") {
     val sig = Seq(Seq("a b c", "b c d"), Seq.empty[String])
       .toDF("g")

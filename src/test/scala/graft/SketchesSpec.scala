@@ -234,4 +234,40 @@ class SketchesSpec extends SparkSpec {
         s"$sa/$sb: cont b→a ${cb / 1e6} vs exact $exactCb")
     }
   }
+
+  test("KMV containment survives a side evicted from the combined sample (n_b = 0)") {
+    import spark.implicits._
+    // Heavy vocabulary skew CAN evict one side entirely: when every one
+    // of B's token hashes sits above A's 64th-smallest hash, the
+    // combined bottom-64 is all-A, so n_b = 0 and the unguarded
+    // `(1000000 * n_both) div n_b` threw under ANSI mode. Plant exactly
+    // that corpus and require the 0/0 → 0 ruling, not an error.
+    def p31(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31L + c.toLong) % M)
+    val bigToks = (1 to 5000).map(i => f"w$i%05d")
+    val k64 = bigToks.map(p31).distinct.sorted.apply(63)
+    val tinyToks = Iterator.from(1).map(i => s"z$i")
+      .filter(t => p31(t) > k64).take(30).toSeq
+    assert(tinyToks.forall(t => p31(t) > k64))
+    val docsRows =
+      bigToks.grouped(500).zipWithIndex.map { case (g, i) =>
+        (i.toLong, g.mkString(" "), "en", "aa_big", g.mkString(" ").length.toLong)
+      }.toSeq :+
+        (100L, tinyToks.mkString(" "), "en", "zz_tiny",
+          tinyToks.mkString(" ").length.toLong)
+    val tmp = java.nio.file.Files.createTempDirectory("kmv_skew").toString
+    try {
+      docsRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = SparkEntry.queries("text_vocab_overlap_kmv")(spark, tmp).collect()
+      assert(out.length == 1)
+      val r = out.head
+      assert(r.getString(0) == "aa_big" && r.getString(1) == "zz_tiny")
+      assert(r.getLong(3) == 0L, s"n_both=${r.getLong(3)}") // disjoint vocabularies
+      assert(r.getLong(7) == 0L && r.getLong(8) == 0L,
+        s"containment ppm: ${r.getLong(7)}/${r.getLong(8)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }

@@ -163,6 +163,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CEP emits the session-calendar day under a non-UTC session zone") {
+    // `day` must come from the session calendar, not epoch-day division
+    // of the bucket instant (UTC-only — off by one for every UTC+
+    // session); pin batch == streaming with the zone set to UTC+10/11
+    implicit val sql = spark.sqlContext
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "Australia/Sydney")
+    try {
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val rows = Seq(
+        (1L, "view", ts("2024-01-01 00:05:00")),
+        (1L, "click", ts("2024-01-01 02:00:00")),
+        (1L, "purchase", ts("2024-01-01 05:30:00")))
+      val q = cepStreaming(in.toDF().toDF("user_id", "event_type", "t"), "t", "user_id",
+          lateness = "6 hours")
+        .writeStream.outputMode("append").format("memory").queryName("cep_tz_out")
+        .start()
+      try {
+        in.addData(rows: _*)
+        q.processAllAvailable()
+        // push the watermark well past the Sydney day end so the group finalizes
+        in.addData((9L, "view", ts("2024-01-03 06:30:00")))
+        q.processAllAvailable()
+        in.addData((9L, "view", ts("2024-01-03 06:31:00")))
+        q.processAllAvailable()
+        val got = spark.table("cep_tz_out")
+          .select($"user_id", $"day".cast("string")).as[(Long, String)].collect().toSet
+        val batch = graft.queries.EventQueries
+          .cepFirstMatch(rows.toDF("user_id", "event_type", "ts"))
+          .select($"user_id", $"day".cast("string")).as[(Long, String)].collect().toSet
+        assert(got.nonEmpty)
+        assert(got == batch, s"batch=$batch streaming=$got")
+        // and the day really is the Sydney-local date of the events
+        val expected = java.time.Instant
+          .ofEpochMilli(rows.head._3.getTime)
+          .atZone(java.time.ZoneId.of("Australia/Sydney")).toLocalDate.toString
+        assert(got.head._2 == expected)
+      } finally q.stop()
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("streaming cumulate count converges to the batch slice-optimized result") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]
