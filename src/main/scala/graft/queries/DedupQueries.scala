@@ -1053,8 +1053,92 @@ object DedupQueries {
           col("tokens_total"), col("tokens_stored"),
           round(col("tokens_stored").cast("double")
             / col("tokens_total").cast("double"), 6).as("dedup_ratio"))
+    }),
+
+    // TRUNCATION duplicates — one document is a strict prefix of
+    // another: the fetch-cutoff / length-capped re-crawl shape that
+    // BOTH digest dedup (tails differ) and symmetric near-dup scoring
+    // (Jaccard of a short prefix vs a long doc can sit well under τ)
+    // systematically miss. Blocking is an equi-join on the first-32-
+    // char block key — any truncation pair where the short side is
+    // ≥ 32 chars shares it by construction (the documented floor;
+    // sub-32-char fragments are noise, mirrored in the oracle).
+    // Verification is startswith + strict length order, so candidates
+    // never re-read the corpus. At 100 TB a boilerplate 32-char
+    // opening makes a hot block; the [[LshBucketCap]] anchor rail
+    // keeps each block to its `cap` smallest (n_chars, doc_id)
+    // members — mirrored in the oracle, pair fan-out O(m·cap).
+    "dedup_prefix_truncation" -> ((s, dir) =>
+      prefixTruncationPairs(docs(s, dir))),
+
+    // SORTED-NEIGHBORHOOD candidates (Hernández & Stolfo 1995),
+    // multi-pass: sort the corpus by a cheap domain key, compare only
+    // docs within a sliding rank window of w — candidate generation is
+    // O(n·w) BY CONSTRUCTION, the only generator in the family whose
+    // worst case needs no cap rail at all. Two passes (head-2-token
+    // and tail-2-token keys) cover single-ended perturbations, the
+    // standard multi-pass fix for SNM's key sensitivity; recall vs the
+    // exact τ=0.8 truth is measured where every generator is measured,
+    // in dedup_candidate_audit's methodology (this corpus: 1.0). Scale
+    // shape: rank windows are per (pass, key) partitions — a
+    // distributed sort, never a global single-partition window — and
+    // the w−1 rank self-join shuffles (pass, key, rn) triples only;
+    // verification joins the shared persisted shingle index.
+    "dedup_sorted_neighborhood" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      jaccardFromCounts(snmCandidates(docs(s, dir))
+          .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
+        .filter(col("jac") >= 0.8)
+        .select("doc_a", "doc_b", "jac")
     })
   )
+
+  /** SNM sliding-window width (pairs per doc per pass ≤ w−1). */
+  private[graft] val SnmWindow = 5
+
+  /** Strict-prefix (truncation) pairs over a (doc_id, text, n_chars)
+    * frame — the dedup_prefix_truncation body (see its scaladoc). */
+  private[graft] def prefixTruncationPairs(d: DataFrame,
+      cap: Int = LshBucketCap): DataFrame = {
+    val base = d
+      .filter(col("n_chars") >= 32)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        substring(col("text"), 1, 32).as("bkey"))
+    val ranked = base
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("bkey").orderBy(col("n_chars"), col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .drop("rk")
+    ranked.as("a").join(ranked.as("b"),
+        col("a.bkey") === col("b.bkey") &&
+          col("a.n_chars") < col("b.n_chars") &&
+          col("b.text").startsWith(col("a.text")))
+      .select(col("a.doc_id").as("short_id"), col("b.doc_id").as("long_id"),
+        col("a.n_chars").as("short_chars"), col("b.n_chars").as("long_chars"))
+  }
+
+  /** Multi-pass sorted-neighborhood candidate pairs over a
+    * (doc_id, text, n_chars) frame — the dedup_sorted_neighborhood
+    * generator (see its scaladoc), unverified. */
+  private[graft] def snmCandidates(d: DataFrame,
+      window: Int = SnmWindow): DataFrame = {
+    val t = d.select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
+    val keyed = t.select(lit("head").as("pass"),
+        concat_ws(" ", slice(col("toks"), 1, 2)).as("skey"),
+        col("doc_id"), col("n_chars"))
+      .unionByName(t.select(lit("tail").as("pass"),
+        concat_ws(" ", slice(reverse(col("toks")), 1, 2)).as("skey"),
+        col("doc_id"), col("n_chars")))
+    val ranked = keyed.withColumn("rn", row_number().over(
+      Window.partitionBy("pass", "skey").orderBy(col("n_chars"), col("doc_id"))))
+    ranked.as("a").join(ranked.as("b"),
+        col("a.pass") === col("b.pass") && col("a.skey") === col("b.skey") &&
+          col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + lit(window - 1))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+  }
 
   /** Brute-force n-gram-Jaccard pair CTEs (`t`, `p`) — shared by the
     * pair oracle and the cross-source matrix oracle. */
@@ -1352,6 +1436,60 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dedup_candidate_audit" -> candidateAuditSql,
     "dedup_banding_sweep" -> bandingSweepSql,
+
+    // same 32-char block key, same 1024-member anchor rail, same
+    // strict-prefix verification
+    "dedup_prefix_truncation" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, n_chars, substring(text, 1, 32) AS bkey
+        |  FROM documents WHERE n_chars >= 32),
+        |r AS (
+        |  SELECT doc_id, text, n_chars, bkey,
+        |         row_number() OVER (PARTITION BY bkey ORDER BY n_chars, doc_id) AS rk
+        |  FROM base),
+        |c AS (SELECT doc_id, text, n_chars, bkey FROM r WHERE rk <= 1024)
+        |SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+        |       CAST(a.n_chars AS BIGINT) AS short_chars,
+        |       CAST(b.n_chars AS BIGINT) AS long_chars
+        |FROM c a JOIN c b
+        |  ON a.bkey = b.bkey AND a.n_chars < b.n_chars
+        | AND starts_with(b.text, a.text)""".stripMargin,
+
+    // same two passes, same (n_chars, doc_id) in-block order, same
+    // w = 5 rank window, exact-Jaccard verify at τ = 0.8
+    "dedup_sorted_neighborhood" ->
+      """WITH tk AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+        |keyed AS (
+        |  SELECT 'head' AS pass, list_aggregate(toks[1:2], 'string_agg', ' ') AS skey,
+        |         doc_id, n_chars FROM tk
+        |  UNION ALL
+        |  SELECT 'tail', list_aggregate(list_reverse(toks)[1:2], 'string_agg', ' '),
+        |         doc_id, n_chars FROM tk),
+        |r AS (
+        |  SELECT pass, skey, doc_id,
+        |         row_number() OVER (PARTITION BY pass, skey ORDER BY n_chars, doc_id) AS rn
+        |  FROM keyed),
+        |c AS (
+        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+        |                  greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM r a JOIN r b
+        |    ON a.pass = b.pass AND a.skey = b.skey
+        |   AND b.rn > a.rn AND b.rn <= a.rn + 4),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
+        |  FROM documents),
+        |v AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS DOUBLE) /
+        |         (CAST(len(ga.g) + len(gb.g) AS DOUBLE) -
+        |          CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS DOUBLE)) AS jac
+        |  FROM c
+        |  JOIN g ga ON ga.doc_id = c.doc_a
+        |  JOIN g gb ON gb.doc_id = c.doc_b
+        |  WHERE len(ga.g) > 0 AND len(gb.g) > 0)
+        |SELECT doc_a, doc_b, jac FROM v WHERE jac >= 0.8""".stripMargin,
 
     // brute-force jac over all pairs, same CASE buckets per τ
     "dedup_threshold_sensitivity" ->

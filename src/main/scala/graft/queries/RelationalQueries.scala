@@ -710,8 +710,71 @@ object RelationalQueries {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_lines"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // ENTITY-RESOLUTION fuzzy join (the Ed-Join shape, Xiao et al.
+    // 2008): distinct part names within Levenshtein distance ≤ 2,
+    // WITHOUT an all-pairs scan. Candidate generation is gram-prefix
+    // filtered: one edit destroys ≤ q of a name's q-grams, so
+    // lev(a,b) ≤ k ⇒ |Ga ∩ Gb| ≥ max(|Ga|,|Gb|) − k·q — under one
+    // global (df, gram) total order two qualifying names must share a
+    // gram among their k·q+1 = 5 RAREST (the PPJoin prefix lemma at
+    // string granularity; rarest-first keeps blocks cold by
+    // construction). Names too short for the bound to bite
+    // (≤ k·q grams, i.e. ≤ 5 chars) pair inside one dedicated block,
+    // so recall is lossless for every length (PropertySpec pins it
+    // against brute force). The name frame scales with the entity
+    // catalog, not row count; the final broadcast joins restore
+    // row-level linkage counts.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_rows"))
+      fuzzyNameMatches(names)
+        .join(broadcast(names.select(col("name").as("name_a"), col("n_rows").as("n_rows_a"))), "name_a")
+        .join(broadcast(names.select(col("name").as("name_b"), col("n_rows").as("n_rows_b"))), "name_b")
+        .select("name_a", "name_b", "lev", "n_rows_a", "n_rows_b")
     })
   )
+
+  /** Gram-prefix-filtered Levenshtein self-match over a `name` frame:
+    * all unordered distinct-name pairs with lev ≤ 2, found without an
+    * all-pairs scan (see q_fuzzy_join's scaladoc for the lemma). The
+    * short-name block (≤ 5 chars, where |grams| ≤ k·q and the overlap
+    * bound degenerates to 0) keeps recall lossless for every length —
+    * PropertySpec pins output == brute force on random corpora. */
+  private[graft] def fuzzyNameMatches(names: DataFrame): DataFrame = {
+    // the length guard matters: Spark's sequence(1, 0) DESCENDS instead
+    // of being empty, so a 1-char name would fabricate a gram (DuckDB's
+    // range(1, 1) is empty); such names are caught by the short block
+    val grams = names.select(col("name"),
+      explode(when(length(col("name")) >= 2,
+          array_distinct(transform(
+            sequence(lit(1), length(col("name")) - lit(1)),
+            i => col("name").substr(i, lit(2)))))
+        .otherwise(array().cast("array<string>"))).as("gr"))
+    // gram dimension is alphabet²-bounded → broadcast df lookup
+    val gdf = grams.groupBy("gr").agg(count(lit(1)).as("gdf"))
+    val prefix = grams.join(broadcast(gdf), "gr")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("name").orderBy(col("gdf"), col("gr"))))
+      .filter(col("rn") <= 5)
+      .select("name", "gr")
+    val viaPrefix = prefix.as("a").join(prefix.as("b"),
+        col("a.gr") === col("b.gr") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    // block key must be column-DERIVED: a literal would constant-fold
+    // out of the join condition and leave a nested-loop inequality join
+    val short = names.filter(length(col("name")) <= 5)
+      .select(col("name"), col("name").substr(lit(1), lit(0)).as("blk"))
+    val viaShort = short.as("a").join(short.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    viaPrefix.unionByName(viaShort).distinct()
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("lev"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1108,6 +1171,42 @@ object RelationalQueries {
         |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // same (df, gram)-ordered 5-gram prefix + short-name block + the
+    // same length filter and levenshtein verify (DuckDB's levenshtein
+    // is the same unit-cost edit distance as Spark's)
+    "q_fuzzy_join" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM part GROUP BY 1),
+        |g AS (
+        |  SELECT name, unnest(list_distinct(list_transform(
+        |    range(1, len(name)), i -> substring(name, CAST(i AS INTEGER), 2)))) AS gr
+        |  FROM names),
+        |gdf AS (SELECT gr, count(*) AS gdf FROM g GROUP BY 1),
+        |pf AS (
+        |  SELECT name, gr FROM (
+        |    SELECT g.name, g.gr,
+        |           row_number() OVER (PARTITION BY g.name ORDER BY gdf.gdf, g.gr) AS rn
+        |    FROM g JOIN gdf ON g.gr = gdf.gr)
+        |  WHERE rn <= 5),
+        |c AS (
+        |  SELECT DISTINCT name_a, name_b FROM (
+        |    SELECT a.name AS name_a, b.name AS name_b
+        |    FROM pf a JOIN pf b ON a.gr = b.gr AND a.name < b.name
+        |    UNION ALL
+        |    SELECT a.name, b.name
+        |    FROM names a JOIN names b
+        |      ON len(a.name) <= 5 AND len(b.name) <= 5 AND a.name < b.name)
+        |  WHERE abs(len(name_a) - len(name_b)) <= 2),
+        |v AS (
+        |  SELECT name_a, name_b,
+        |         CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+        |  FROM c WHERE levenshtein(name_a, name_b) <= 2)
+        |SELECT v.name_a, v.name_b, v.lev, na.n_rows AS n_rows_a, nb.n_rows AS n_rows_b
+        |FROM v
+        |JOIN names na ON na.name = v.name_a
+        |JOIN names nb ON nb.name = v.name_b""".stripMargin
   )
 }

@@ -41,6 +41,36 @@ object TextQueries {
     */
   private[queries] val WinnowPosBase = 1L << 20
 
+  /** BM25 probe query: one rare term (df ≈ 5% — the planted dup
+    * marker) and two common ones, so idf spans two orders of
+    * magnitude and the ranking exercises both ends of the curve. */
+  private[queries] val Bm25QueryTerms = Seq("dup", "spark", "vector")
+
+  /** Rational-idf BM25 top-k over a (doc_id, text) frame — the
+    * text_bm25_topk body (see its scaladoc for the arithmetic). */
+  private[graft] def bm25TopK(d0: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val d = d0
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val corpus = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val tdf = tf.groupBy("tok").agg(count(lit(1)).as("tdf")) // rows are (doc, tok)
+    tf.join(broadcast(tdf), "tok")
+      .crossJoin(broadcast(corpus)) // (doc, term) rows × 1 scalar row
+      .withColumn("avg_ppm", expr("(1000000 * dl * n_docs) div total_tokens"))
+      .withColumn("idf_ppk", expr("(1000 * (2*n_docs - 2*tdf + 1)) div (2*tdf + 1)"))
+      .withColumn("tfn_ppm",
+        expr("(22000000 * tf * 1000000) div (10000000*tf + 3000000 + 9*avg_ppm)"))
+      .withColumn("term_score", expr("(idf_ppk * tfn_ppm) div 1000"))
+      .groupBy("doc_id")
+      .agg(sum(col("term_score")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003 §4): hash every k-token gram POSITIONALLY (polyHash31
@@ -283,6 +313,25 @@ object TextQueries {
           when(col("n_b") > 0, expr("(1000000 * n_both) div n_b"))
             .otherwise(lit(0L)).as("cont_b_in_a_ppm"))
     }),
+
+    // BM25 TOP-K RETRIEVAL (rational-idf variant): rank the corpus
+    // against a query term set with the BM25 tf saturation curve
+    // (k₁ = 1.2, b = 0.75) — tf_norm = 22·tf / (10·tf + 3 + 9·dl/avgdl)
+    // after clearing denominators — and the log-free rational idf
+    // (2N − 2df + 1)/(2df + 1) (the Robertson–Sparck-Jones odds WITHOUT
+    // the log: per-term ORDER is identical, and every quantity stays
+    // integer-exact so the oracle replays the scores bit-for-bit; a
+    // float log would differ across engines in the last ulp and break
+    // hash equality). All scaled-integer `div` arithmetic: idf at ppk
+    // scale so idf_ppk × tfn_ppm stays < 2⁶³ even at 10⁹ documents.
+    // Scale shape: one token explode with the query-term isin filter
+    // DIRECTLY above the generator (rows for non-query tokens die
+    // before any shuffle), a map-side-combined (doc, term) tf
+    // aggregate, a term-count df frame (|terms| rows, broadcast), and
+    // TakeOrderedAndProject for the top-k — no corpus-sized shuffle
+    // carries text.
+    "text_bm25_topk" -> ((s, dir) =>
+      bm25TopK(docs(s, dir), Bm25QueryTerms, 20)),
 
     // ZIPF DEVIATION — the corpus-naturalness audit: natural language
     // token frequencies follow rank-frequency ∝ 1/r; template/
@@ -764,6 +813,33 @@ object TextQueries {
     "text_winnow_fingerprint" ->
       s"""WITH $winnowSelCtes
          |SELECT doc_id, pos, fp FROM wsel""".stripMargin,
+
+    // the same cleared-denominator rational BM25: every intermediate
+    // is BIGINT `//`, so the 20 scores replay bit-for-bit
+    "text_bm25_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS BIGINT) AS total_tokens FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(toks) AS tok FROM d) u
+        |  WHERE tok IN ('dup', 'spark', 'vector')
+        |  GROUP BY 1, 2, 3),
+        |tdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tdf FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |         ((1000 * (2*c.n_docs - 2*f.tdf + 1)) // (2*f.tdf + 1)) AS idf_ppk,
+        |         ((22000000 * t.tf * 1000000) //
+        |          (10000000*t.tf + 3000000 +
+        |           9*((1000000 * t.dl * c.n_docs) // c.total_tokens))) AS tfn_ppm
+        |  FROM tf t JOIN tdf f ON t.tok = f.tok CROSS JOIN corpus c)
+        |SELECT doc_id, CAST(sum((idf_ppk * tfn_ppm) // 1000) AS BIGINT) AS score_ppm
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin,
 
     // integer aggregates, single rounded divisions — order-insensitive,
     // so no float-summation caveats; CAST(n*n) multiplies as BIGINT

@@ -570,4 +570,27 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_cep_first_match")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("prefix-truncation dedup is a block-key equi-join with the anchor-cap window") {
+    val p = plan("dedup_prefix_truncation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bkey"), p) // candidates come from the 32-char block key
+  }
+
+  test("sorted-neighborhood pairs are (pass, skey) equi-joins on rank triples") {
+    val p = plan("dedup_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("skey"), p)
+  }
+
+  test("fuzzy join candidates come from the gram-prefix equi-join, never all-pairs") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bm25 top-k is TakeOrderedAndProject over a map-combined tf aggregate") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }

@@ -264,6 +264,35 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("∀ name sets: gram-prefix fuzzy join == brute-force levenshtein ≤ 2") {
+    // the recall-lossless claim of q_fuzzy_join's candidate generation
+    // (5-rarest-gram prefix ∪ short-name block), proven in general over
+    // a 3-letter alphabet where near pairs and gram collisions are dense
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val nameGen: Gen[List[String]] = for {
+      n <- Gen.choose(2, 25)
+      names <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 9)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield names.distinct
+    check(Prop.forAll(nameGen) { names =>
+      val got = graft.queries.RelationalQueries
+        .fuzzyNameMatches(names.toDF("name"))
+        .select("name_a", "name_b").as[(String, String)].collect().toSet
+      val want = (for {
+        a <- names; b <- names if a < b && lev(a, b) <= 2
+      } yield (a, b)).toSet
+      got == want
+    })
+  }
+
   test("∀ texts: jaccard(shingles(x), shingles(x)) == 1 for docs with ≥3 tokens") {
     check(Prop.forAll(Gen.listOfN(5, textGen)) { texts =>
       val df = texts.toDF("text")

@@ -821,4 +821,78 @@ class TextDedupSpec extends SparkSpec {
     assert(nd <= nc && ts <= tt && ratio > 0.0 && ratio <= 1.0)
     assert(ratio < 1.0, "planted duplicate docs must produce shared chunks")
   }
+
+  test("prefix truncation: planted strict prefixes found, floor and cap enforced") {
+    def doc(id: Long, text: String) = (id, text, text.length.toLong)
+    val long = ("alpha beta gamma delta epsilon " * 6).trim // 185 chars
+    val cut = long.substring(0, 80)                         // strict prefix, ≥ 32
+    val tiny = long.substring(0, 20)                        // below the 32-char floor
+    val other = "completely different content that shares no prefix with anything here"
+    val d = Seq(doc(1, long), doc(2, cut), doc(3, tiny), doc(4, other))
+      .toDF("doc_id", "text", "n_chars")
+    val got = DedupQueries.prefixTruncationPairs(d)
+      .select("short_id", "long_id").as[(Long, Long)].collect().toSet
+    // (2,1) found; the sub-floor doc 3 is out by contract; no false pairs
+    assert(got == Set((2L, 1L)), got.toString)
+    // cap rail: 3 same-prefix docs, cap = 2 keeps only the 2 smallest as
+    // pairable members → exactly the (short, mid) pair survives
+    val hot = Seq(doc(10, cut), doc(11, cut + " tail"), doc(12, long))
+      .toDF("doc_id", "text", "n_chars")
+    val capped = DedupQueries.prefixTruncationPairs(hot, cap = 2)
+      .select("short_id", "long_id").as[(Long, Long)].collect().toSet
+    assert(capped == Set((10L, 11L)), capped.toString)
+    // doc 11 diverges from 12 after the shared cut (" tail" vs the
+    // continuation), so only doc 10 is a strict prefix of both
+    val uncapped = DedupQueries.prefixTruncationPairs(hot)
+      .select("short_id", "long_id").as[(Long, Long)].collect().toSet
+    assert(uncapped == Set((10L, 11L), (10L, 12L)), uncapped.toString)
+  }
+
+  test("SNM candidates: O(n·w) bound, head/tail passes cover single-ended edits") {
+    def doc(id: Long, text: String) = (id, text, text.length.toLong)
+    // cluster A: same head, perturbed tails; cluster B: same tail,
+    // perturbed heads; one doc edited at BOTH ends (the documented miss)
+    val d = Seq(
+      doc(1, "shared head one two three four alpha"),
+      doc(2, "shared head one two three four beta"),
+      doc(3, "gamma one two three four shared tail"),
+      doc(4, "delta one two three four shared tail"),
+      doc(5, "edited start one two three four edited end"),
+      doc(6, "unrelated words entirely disjoint from all others")
+    ).toDF("doc_id", "text", "n_chars")
+    val cands = DedupQueries.snmCandidates(d)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)), s"head pass must pair the head cluster: $cands")
+    assert(cands.contains((3L, 4L)), s"tail pass must pair the tail cluster: $cands")
+    assert(!cands.exists(p => p._1 == 5L || p._2 == 5L),
+      s"double-ended edit shares neither key — by construction out: $cands")
+    // volume bound: each doc pairs with ≤ w−1 successors per pass
+    val n = 6; val w = graft.queries.DedupQueries.SnmWindow
+    assert(cands.size <= 2 * n * (w - 1))
+  }
+
+  test("BM25: rare-term docs outrank common-term docs; tf saturates; length penalized") {
+    def doc(id: Long, text: String) = (id, text)
+    val filler = (1 to 20).map(i => doc(100 + i, "alpha beta gamma delta"))
+    val d = (Seq(
+      doc(1, "rareterm alpha beta gamma"),          // 1× rare term
+      doc(2, "rareterm rareterm alpha beta"),       // 2× rare term
+      doc(3, "common alpha beta gamma"),            // 1× common term
+      doc(4, "common " * 19 + "common"),            // 20× common term (saturation)
+      doc(5, "rareterm " + "alpha " * 39 + "beta")  // 1× rare in a LONG doc
+    ) ++ filler).toDF("doc_id", "text")
+    // make 'common' genuinely common: it appears in the filler too
+    val d2 = d.union(Seq(doc(200, "common words here"), doc(201, "common again")).toDF("doc_id", "text"))
+    val scores = graft.queries.TextQueries
+      .bm25TopK(d2, Seq("rareterm", "common"), 50)
+      .as[(Long, Long)].collect().toMap
+    // rare beats common at equal tf and comparable length
+    assert(scores(1L) > scores(3L), scores.toString)
+    // more tf scores higher, but saturation keeps 20× common below 1× rare
+    assert(scores(2L) > scores(1L), scores.toString)
+    assert(scores(4L) > scores(3L), scores.toString)
+    assert(scores(4L) < scores(2L), scores.toString)
+    // the same rare tf in a much longer doc scores lower (length norm)
+    assert(scores(5L) < scores(1L), scores.toString)
+  }
 }
