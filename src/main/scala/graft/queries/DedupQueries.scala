@@ -504,7 +504,8 @@ object DedupQueries {
       Seq(
         ("minhash_lsh", lshCandidatesFromBands(corpusBands(s, dir))),
         ("ppjoin", ppjoinCandidates(sh, tauNum = 4, tauDen = 5)),
-        ("winnow", winnowSharedCounts(s, dir).select("doc_a", "doc_b"))
+        ("winnow", winnowSharedCounts(s, dir).select("doc_a", "doc_b")),
+        ("snm", snmCandidates(docs(s, dir)))
       ).map { case (m, cands) =>
         cands.join(broadcast(truth), Seq("doc_a", "doc_b"), "left")
           .agg(count(lit(1)).as("n_candidates"), count(col("_t")).as("n_verified"))
@@ -1372,6 +1373,23 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
        |  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
        |  WHERE greatest(a.n, b.n) * 4 <= least(a.n, b.n) * 5),
+       |stk AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+       |skeyed AS (
+       |  SELECT 'head' AS pass, list_aggregate(toks[1:2], 'string_agg', ' ') AS skey,
+       |         doc_id, n_chars FROM stk
+       |  UNION ALL
+       |  SELECT 'tail', list_aggregate(list_reverse(toks)[1:2], 'string_agg', ' '),
+       |         doc_id, n_chars FROM stk),
+       |srnk AS (
+       |  SELECT pass, skey, doc_id,
+       |         row_number() OVER (PARTITION BY pass, skey ORDER BY n_chars, doc_id) AS rn
+       |  FROM skeyed),
+       |snmc AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |                  greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM srnk a JOIN srnk b
+       |    ON a.pass = b.pass AND a.skey = b.skey
+       |   AND b.rn > a.rn AND b.rn <= a.rn + 4),
        |aud AS (
        |  SELECT 'minhash_lsh' AS method,
        |         (SELECT CAST(count(*) AS BIGINT) FROM lshc) AS n_candidates,
@@ -1386,6 +1404,11 @@ object DedupQueries {
        |  SELECT 'winnow',
        |         (SELECT CAST(count(*) AS BIGINT) FROM wc),
        |         (SELECT CAST(count(*) AS BIGINT) FROM wc c
+       |            JOIN tr ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b)
+       |  UNION ALL
+       |  SELECT 'snm',
+       |         (SELECT CAST(count(*) AS BIGINT) FROM snmc),
+       |         (SELECT CAST(count(*) AS BIGINT) FROM snmc c
        |            JOIN tr ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b))
        |SELECT method, n_candidates, n_verified,
        |       (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_true,

@@ -44,7 +44,22 @@ object TextQueries {
   /** BM25 probe query: one rare term (df ≈ 5% — the planted dup
     * marker) and two common ones, so idf spans two orders of
     * magnitude and the ranking exercises both ends of the curve. */
-  private[queries] val Bm25QueryTerms = Seq("dup", "spark", "vector")
+  private[graft] val Bm25QueryTerms = Seq("dup", "spark", "vector")
+
+  /** Frozen BM25 corpus statistics for the streaming scorer: document
+    * count, total token count, and per-query-term document frequency.
+    * Driver-side, but bounded by |terms| + 2 values — the standard
+    * frozen-index contract, never data-sized. */
+  private[graft] def bm25Stats(d0: DataFrame,
+      terms: Seq[String]): (Long, Long, Map[String, Long]) = {
+    val d = d0.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val r = d.agg(count(lit(1)), sum(size(col("toks")).cast("long"))).collect()(0)
+    val dfs = d.select(explode(array_distinct(col("toks"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("tok").agg(count(lit(1)).as("tdf"))
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    (r.getLong(0), r.getLong(1), dfs)
+  }
 
   /** Rational-idf BM25 top-k over a (doc_id, text) frame — the
     * text_bm25_topk body (see its scaladoc for the arithmetic). */

@@ -470,6 +470,48 @@ object StreamingJobs {
       .toDF("doc_id", "n_feats", "dsir_weight")
   }
 
+  /** Streaming BM25 scoring — the live form of `text_bm25_topk`'s
+    * scoring stage: arriving documents scored for the fixed query
+    * against a FROZEN corpus-statistics index (N, total tokens, per-
+    * term df — |terms|+2 values, the same bounded frozen-index
+    * contract as [[annSearchStreaming]]). Per-term idf collapses to a
+    * Scala constant; tf/length normalization is the batch query's
+    * exact cleared-denominator integer arithmetic, evaluated as
+    * stateless map-side column expressions — no shuffle, no state, so
+    * the plan is trivially continuous. Docs containing no query term
+    * are dropped, mirroring the batch inner join; global top-k has no
+    * meaning on an unbounded stream, so ranking is the consumer's cut
+    * (exactly like the batch LIMIT). Per-doc score parity with
+    * [[graft.queries.TextQueries.bm25TopK]] over the same frozen
+    * corpus is spec-pinned.
+    */
+  def bm25ScoreStreaming(streamDocs: DataFrame, corpusDocs: DataFrame,
+      terms: Seq[String] = graft.queries.TextQueries.Bm25QueryTerms): DataFrame = {
+    import graft.functions.KernelExpressions.longDiv
+    import graft.functions.TextFunctions.tokens
+    val (nDocs, totalTokens, dfs) = graft.queries.TextQueries.bm25Stats(corpusDocs, terms)
+    val toks = tokens(col("text"))
+    val dl = size(toks).cast("long")
+    val avgPpm = longDiv(lit(1000000L) * dl * lit(nDocs), lit(totalTokens))
+    def tfOf(term: String): org.apache.spark.sql.Column =
+      size(filter(toks, t => t === lit(term))).cast("long")
+    def termScore(term: String): org.apache.spark.sql.Column = {
+      // absent terms have df 0: idf falls back to the df=0 value and tf
+      // is 0 for every doc, so the term contributes nothing (as batch)
+      val tdf = dfs.getOrElse(term, 0L)
+      val idfPpk = (1000L * (2 * nDocs - 2 * tdf + 1)) / (2 * tdf + 1)
+      val tf = tfOf(term)
+      val tfnPpm = longDiv(lit(22000000L) * tf * lit(1000000L),
+        lit(10000000L) * tf + lit(3000000L) + lit(9L) * avgPpm)
+      longDiv(lit(idfPpk) * tfnPpm, lit(1000L))
+    }
+    streamDocs
+      .withColumn("_tfsum", terms.map(tfOf).reduce(_ + _))
+      .filter(col("_tfsum") > 0L)
+      .select(col("doc_id"),
+        terms.map(termScore).reduce(_ + _).as("score_ppm"))
+  }
+
   /** One typed input row for the streaming anomaly screen. */
   case class AnomalyEvent(event_type: String, ts: Timestamp, bucket: Timestamp)
 

@@ -205,6 +205,28 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set(tzKey, saved)
   }
 
+  test("streaming BM25 scores == batch scores over the same frozen corpus") {
+    implicit val sql = spark.sqlContext
+    val corpus = Tables.load(spark, sf0001, "documents")
+    val rows = corpus.select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = bm25ScoreStreaming(in.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.outputMode("append").format("memory").queryName("bm25_out")
+      .start()
+    try {
+      in.addData(rows.take(rows.size / 2): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(rows.size / 2): _*)
+      q.processAllAvailable()
+      val got = spark.table("bm25_out").as[(Long, Long)].collect().toMap
+      val want = graft.queries.TextQueries
+        .bm25TopK(corpus, graft.queries.TextQueries.Bm25QueryTerms, 1000000)
+        .as[(Long, Long)].collect().toMap
+      assert(got.nonEmpty)
+      assert(got == want, s"stream/batch diverge: ${(got.toSet diff want.toSet).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming cumulate count converges to the batch slice-optimized result") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]

@@ -311,10 +311,10 @@ class TextDedupSpec extends SparkSpec {
     assert(out.except(slice).isEmpty && slice.except(out).isEmpty)
   }
 
-  test("candidate audit: all three generators at full recall, sane efficiency") {
+  test("candidate audit: all four generators at full recall, sane efficiency") {
     val rows = DedupQueries.queries("dedup_candidate_audit")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r).toMap
-    assert(rows.keySet == Set("minhash_lsh", "ppjoin", "winnow"), rows.keySet)
+    assert(rows.keySet == Set("minhash_lsh", "ppjoin", "winnow", "snm"), rows.keySet)
     rows.foreach { case (m, r) =>
       val (nc, nv, nt) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(nt > 0, "empty truth set makes the audit vacuous")
@@ -322,7 +322,10 @@ class TextDedupSpec extends SparkSpec {
       // banding guarantee at the harness similarity gap (asserted
       // against brute force above), PPJoin structurally, winnow because
       // τ=0.8 near-dups here share ≥ 8-token runs (the SWA guarantee;
-      // the subset test above pins it directly)
+      // the subset test above pins it directly), SNM because the
+      // planted near-dups perturb at most one end of the doc (measured,
+      // not guaranteed — that measurement being visible is the audit's
+      // whole point)
       assert(r.getDouble(4) == 1.0, s"$m recall=${r.getDouble(4)}")
       assert(nv <= nc, s"$m verified $nv > candidates $nc")
       assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, s"$m efficiency")
