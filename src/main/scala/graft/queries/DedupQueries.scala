@@ -1037,19 +1037,22 @@ object DedupQueries {
     // storage-dedup audit over the content-defined chunks: total vs
     // distinct chunk mass — what chunk-level dedup would actually save
     // on this corpus (the rsync/backup-tool measurement, robust to
-    // shifted content where whole-doc digests see nothing). Two
-    // map-side-combined aggregates over the scan-speed chunk stream
-    // (one global, one after a chunk_hash distinct) cross-joined as
-    // 1-row scalars; at 100 TB the distinct is the only shuffle and it
-    // carries (hash, n_tokens) pairs, never text.
+    // shifted content where whole-doc digests see nothing). ONE pass
+    // over the scan-speed chunk stream: a map-side-combined
+    // (chunk_hash, n_tokens) multiplicity aggregate, then a 1-row
+    // rollup reads totals (Σ over copies) and stored mass (Σ over
+    // identities) together — the round-7 form scanned and re-chunked
+    // the corpus twice, once per branch of a crossJoin. At 100 TB the
+    // identity aggregate is the only shuffle and it carries
+    // (hash, n_tokens, count) triples, never text.
     "dedup_cdc_storage" -> ((s, dir) => {
       val ch = PipelineQueries.cdcChunks(docs(s, dir))
-      val tot = ch.agg(count(lit(1)).as("n_chunks"),
-        sum(col("n_tokens")).as("tokens_total"))
-      val dis = ch.select(col("chunk_hash"), col("n_tokens")).distinct()
-        .agg(count(lit(1)).as("n_distinct_chunks"),
+      ch.groupBy(col("chunk_hash"), col("n_tokens"))
+        .agg(count(lit(1)).as("n_copies"))
+        .agg(sum(col("n_copies")).as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"),
+          sum(col("n_tokens") * col("n_copies")).as("tokens_total"),
           sum(col("n_tokens")).as("tokens_stored"))
-      tot.crossJoin(dis) // 1 row × 1 row
         .select(col("n_chunks"), col("n_distinct_chunks"),
           col("tokens_total"), col("tokens_stored"),
           round(col("tokens_stored").cast("double")
