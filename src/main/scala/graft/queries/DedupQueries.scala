@@ -1124,16 +1124,27 @@ object DedupQueries {
 
   /** Multi-pass sorted-neighborhood candidate pairs over a
     * (doc_id, text, n_chars) frame — the dedup_sorted_neighborhood
-    * generator (see its scaladoc), unverified. */
+    * generator (see its scaladoc), unverified.
+    *
+    * Skew contract: pair VOLUME is O(n·w) regardless of key
+    * distribution, but each (pass, key) block's rank window sorts on
+    * one task, so the hottest key's occupancy bounds the largest task
+    * (a universal boilerplate opening concentrates the head pass).
+    * That is the standard SNM trade — the key IS the blocking scheme —
+    * and the mitigation is the standard one: pass sharper keys
+    * (`keys`), e.g. head tokens + a length bucket, exactly as the
+    * record-linkage literature composes multi-attribute sort keys.
+    * The default two passes keep each other honest: a key degenerate
+    * in one pass is usually discriminating in the other. */
   private[graft] def snmCandidates(d: DataFrame,
-      window: Int = SnmWindow): DataFrame = {
+      window: Int = SnmWindow,
+      keys: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "head" -> concat_ws(" ", slice(col("toks"), 1, 2)),
+        "tail" -> concat_ws(" ", slice(reverse(col("toks")), 1, 2)))): DataFrame = {
     val t = d.select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
-    val keyed = t.select(lit("head").as("pass"),
-        concat_ws(" ", slice(col("toks"), 1, 2)).as("skey"),
-        col("doc_id"), col("n_chars"))
-      .unionByName(t.select(lit("tail").as("pass"),
-        concat_ws(" ", slice(reverse(col("toks")), 1, 2)).as("skey"),
-        col("doc_id"), col("n_chars")))
+    val keyed = keys.map { case (name, k) =>
+      t.select(lit(name).as("pass"), k.as("skey"), col("doc_id"), col("n_chars"))
+    }.reduce(_ unionByName _)
     val ranked = keyed.withColumn("rn", row_number().over(
       Window.partitionBy("pass", "skey").orderBy(col("n_chars"), col("doc_id"))))
     ranked.as("a").join(ranked.as("b"),

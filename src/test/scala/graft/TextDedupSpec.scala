@@ -872,6 +872,22 @@ class TextDedupSpec extends SparkSpec {
     // volume bound: each doc pairs with ≤ w−1 successors per pass
     val n = 6; val w = graft.queries.DedupQueries.SnmWindow
     assert(cands.size <= 2 * n * (w - 1))
+    // sharper custom key (the documented hot-key mitigation): a
+    // universal-opening corpus subdivides by a composed length bucket,
+    // so every candidate pair stays within one 16-char band
+    val boiler = (1 to 40).map(i =>
+        doc(100L + i, "same opening words " + Seq.fill(i)("x").mkString(" ")))
+      .toDF("doc_id", "text", "n_chars")
+    val sharp = DedupQueries.snmCandidates(boiler, keys = Seq(
+        "headlen" -> concat_ws("#",
+          concat_ws(" ", slice(col("toks"), 1, 2)),
+          floor(col("n_chars") / 16L).cast("string"))))
+      .as[(Long, Long)].collect().toSet
+    assert(sharp.nonEmpty)
+    val lenOf = (1 to 40).map(i => 100L + i ->
+      ("same opening words " + Seq.fill(i)("x").mkString(" ")).length.toLong).toMap
+    assert(sharp.forall { case (a, b) => lenOf(a) / 16 == lenOf(b) / 16 },
+      "composed key must confine pairs to one length band")
   }
 
   test("BM25: rare-term docs outrank common-term docs; tf saturates; length penalized") {
