@@ -91,6 +91,11 @@ object DedupQueries {
       graft.ops.Graph.connectedComponents(
         queries("dedup_simhash_wide")(s, dir).select("doc_a", "doc_b")))
 
+  private[queries] def componentLabelsSnm(s: SparkSession, dir: String): DataFrame =
+    ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "snm"), _ =>
+      graft.ops.Graph.connectedComponents(
+        queries("dedup_sorted_neighborhood")(s, dir).select("doc_a", "doc_b")))
+
   private[queries] def componentLabelsSemantic(s: SparkSession, dir: String): DataFrame =
     ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "semantic"), _ =>
       graft.ops.Graph.connectedComponents(
@@ -873,6 +878,16 @@ object DedupQueries {
     "dedup_survivors_semantic" -> ((s, dir) =>
       componentLabelsSemantic(s, dir).select(col("node").as("vec_id"), col("rep"))),
 
+    // survivor selection over the SNM edge set — the fifth edge source.
+    // Unlike the LSH survivor oracle (which reuses the brute-force pair
+    // set because banding recall is provably ~1 at the corpus gap), the
+    // SNM oracle replays the generator's own windows end-to-end: SNM
+    // recall is a MEASURED property (candidate audit), never an
+    // assumption, so the component check cannot silently borrow
+    // correctness from a different generator.
+    "dedup_survivors_snm" -> ((s, dir) =>
+      componentLabelsSnm(s, dir).select(col("node").as("doc_id"), col("rep"))),
+
     // Duplicate-cluster size audit: how aggressive was dedup? The
     // histogram of connected-component sizes (n_dropped = docs removed
     // per size class) is the number every dedup run reports before the
@@ -1246,6 +1261,42 @@ object DedupQueries {
 
   /** Reachability CTE chain over the τ=0.8 n-gram-Jaccard pair graph —
     * shared by the survivor oracle and the component-stats audit. */
+  /** SNM candidate + exact-Jaccard-verify replay (CTE chain ending in
+    * `v(doc_a, doc_b, jac)`, unfiltered) — shared by the pair oracle
+    * and the SNM-edge survivor oracle. */
+  private val snmVerifiedCtes =
+    """tk AS (
+      |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+      |keyed AS (
+      |  SELECT 'head' AS pass, list_aggregate(toks[1:2], 'string_agg', ' ') AS skey,
+      |         doc_id, n_chars FROM tk
+      |  UNION ALL
+      |  SELECT 'tail', list_aggregate(list_reverse(toks)[1:2], 'string_agg', ' '),
+      |         doc_id, n_chars FROM tk),
+      |r AS (
+      |  SELECT pass, skey, doc_id,
+      |         row_number() OVER (PARTITION BY pass, skey ORDER BY n_chars, doc_id) AS rn
+      |  FROM keyed),
+      |c AS (
+      |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+      |                  greatest(a.doc_id, b.doc_id) AS doc_b
+      |  FROM r a JOIN r b
+      |    ON a.pass = b.pass AND a.skey = b.skey
+      |   AND b.rn > a.rn AND b.rn <= a.rn + 4),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
+      |  FROM documents),
+      |v AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |         CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS DOUBLE) /
+      |         (CAST(len(ga.g) + len(gb.g) AS DOUBLE) -
+      |          CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS DOUBLE)) AS jac
+      |  FROM c
+      |  JOIN g ga ON ga.doc_id = c.doc_a
+      |  JOIN g gb ON gb.doc_id = c.doc_b
+      |  WHERE len(ga.g) > 0 AND len(gb.g) > 0)""".stripMargin
+
   private val survivorsCcCtes =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
@@ -1495,38 +1546,23 @@ object DedupQueries {
     // same two passes, same (n_chars, doc_id) in-block order, same
     // w = 5 rank window, exact-Jaccard verify at τ = 0.8
     "dedup_sorted_neighborhood" ->
-      """WITH tk AS (
-        |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
-        |keyed AS (
-        |  SELECT 'head' AS pass, list_aggregate(toks[1:2], 'string_agg', ' ') AS skey,
-        |         doc_id, n_chars FROM tk
-        |  UNION ALL
-        |  SELECT 'tail', list_aggregate(list_reverse(toks)[1:2], 'string_agg', ' '),
-        |         doc_id, n_chars FROM tk),
-        |r AS (
-        |  SELECT pass, skey, doc_id,
-        |         row_number() OVER (PARTITION BY pass, skey ORDER BY n_chars, doc_id) AS rn
-        |  FROM keyed),
-        |c AS (
-        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
-        |                  greatest(a.doc_id, b.doc_id) AS doc_b
-        |  FROM r a JOIN r b
-        |    ON a.pass = b.pass AND a.skey = b.skey
-        |   AND b.rn > a.rn AND b.rn <= a.rn + 4),
-        |g AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
-        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
-        |  FROM documents),
-        |v AS (
-        |  SELECT c.doc_a, c.doc_b,
-        |         CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS DOUBLE) /
-        |         (CAST(len(ga.g) + len(gb.g) AS DOUBLE) -
-        |          CAST(len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS DOUBLE)) AS jac
-        |  FROM c
-        |  JOIN g ga ON ga.doc_id = c.doc_a
-        |  JOIN g gb ON gb.doc_id = c.doc_b
-        |  WHERE len(ga.g) > 0 AND len(gb.g) > 0)
-        |SELECT doc_a, doc_b, jac FROM v WHERE jac >= 0.8""".stripMargin,
+      s"""WITH $snmVerifiedCtes
+         |SELECT doc_a, doc_b, jac FROM v WHERE jac >= 0.8""".stripMargin,
+
+    // recursive reachability over the SNM-verified edge set — exact
+    // replay of the generator (no recall assumption borrowed from the
+    // brute-force pair set)
+    "dedup_survivors_snm" ->
+      s"""WITH RECURSIVE $snmVerifiedCtes,
+         |vp AS (SELECT doc_a, doc_b FROM v WHERE jac >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |      UNION SELECT doc_b, doc_a FROM vp),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r2.src, e2.dst FROM reach r2 JOIN e e2 ON r2.dst = e2.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS rep
+         |FROM reach GROUP BY src""".stripMargin,
 
     // brute-force jac over all pairs, same CASE buckets per τ
     "dedup_threshold_sensitivity" ->

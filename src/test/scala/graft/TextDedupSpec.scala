@@ -890,6 +890,16 @@ class TextDedupSpec extends SparkSpec {
       "composed key must confine pairs to one length band")
   }
 
+  test("SNM-edge survivors equal exact-edge survivors on the harness corpus") {
+    // holds because SNM recall is 1.0 here (the audit test pins that);
+    // on a corpus where SNM missed pairs the two would diverge — which
+    // is exactly the signal the per-edge-source survivor queries exist
+    // to expose
+    def rows(q: String) = DedupQueries.queries(q)(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows("dedup_survivors_snm") == rows("dedup_survivors"))
+  }
+
   test("BM25: rare-term docs outrank common-term docs; tf saturates; length penalized") {
     def doc(id: Long, text: String) = (id, text)
     val filler = (1 to 20).map(i => doc(100 + i, "alpha beta gamma delta"))
