@@ -943,6 +943,69 @@ object StreamingJobs {
       .select("query_id", "neighbor_id", "cos", "ts")
   }
 
+  /** Memoized frozen fuzzy-match index per catalog frame (reference
+    * identity — same contract as [[annIdxMemo]]): gram → catalog
+    * names inverted index plus the ≤ 5-char short block. */
+  private val fuzzyIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, (Map[String, Seq[String]], Seq[String])]()
+  graft.model.Caches.register(() => fuzzyIdxMemo.clear())
+
+  private def grams2(s: String): Seq[String] =
+    if (s.length < 2) Nil
+    else (0 to s.length - 2).map(i => s.substring(i, i + 2)).distinct
+
+  private def lev2(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Online entity resolution: a stream of names matched against a
+    * FROZEN catalog within Levenshtein distance ≤ 2 — the serving-time
+    * form of `q_fuzzy_join` (lookup against a master list, index built
+    * offline). The index is a broadcast gram → names map, CATALOG-
+    * bounded like any broadcast dimension; scoring is a stateless
+    * flatMap, so there is no stream state at all and duplicates never
+    * arise (per-probe candidates are deduped in the closure).
+    *
+    * Candidate generation is one-sided pigeonhole, no shared gram
+    * order needed: ≤ k = 2 edits destroy ≤ k·q = 4 distinct 2-grams on
+    * EITHER side, so (a) a probe with ≥ 5 grams finds every match
+    * through any 5 of its own grams (at most 4 can miss), and (b) a
+    * probe with ≤ 4 grams emits them ALL, and any catalog name with
+    * ≥ 5 grams still lands ≥ 1 surviving gram inside that full set.
+    * Only the both-short case (both ≤ 5 chars) escapes — covered by
+    * the catalog's short block, exactly like the batch operator. Exact
+    * hits (lev 0) surface too: finding the record IS the lookup.
+    * StreamingDedupSpec pins parity with the batch self-join when the
+    * probe stream replays the catalog itself.
+    */
+  def fuzzyMatchStreaming(nameStream: DataFrame, catalog: DataFrame): DataFrame = {
+    val spark = nameStream.sparkSession
+    import spark.implicits._
+    val (gramIdx, shortCat) = fuzzyIdxMemo.computeIfAbsent(catalog, c => {
+      val names = c.select(col("name")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val gi = names.flatMap(n => grams2(n).map(_ -> n))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      (gi, names.filter(_.length <= 5))
+    })
+    val bcG = spark.sparkContext.broadcast(gramIdx)
+    val bcS = spark.sparkContext.broadcast(shortCat)
+    nameStream.select(col("name")).as[String].flatMap { n =>
+      val gs = grams2(n).sorted.take(5)
+      val viaGrams = gs.iterator.flatMap(g => bcG.value.getOrElse(g, Nil))
+      val viaShort = if (n.length <= 5) bcS.value.iterator else Iterator.empty
+      (viaGrams ++ viaShort).toSeq.distinct.iterator
+        .filter(cat => math.abs(cat.length - n.length) <= 2)
+        .map(cat => (n, cat, lev2(n, cat).toLong))
+        .filter(_._3 <= 2L)
+    }.toDF("probe_name", "cat_name", "lev")
+  }
+
   /** Stream-stream interval join: purchases matched to same-user
     * clicks in the trailing `frameSeconds` — the live form of the
     * batch bucketized interval join (RelationalQueries

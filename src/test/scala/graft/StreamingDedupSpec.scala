@@ -332,4 +332,37 @@ class StreamingDedupSpec extends SparkSpec {
         s"diff=${(streamed diff batch) ++ (batch diff streamed)}")
     } finally q.stop()
   }
+
+  test("streaming fuzzy match replaying the catalog == batch fuzzy self-join + exact hits") {
+    implicit val sql = spark.sqlContext
+    val catalog = Tables.load(spark, sf0001, "part")
+      .select(col("p_name").as("name")).distinct()
+    val names = catalog.as[String].collect().toSeq
+    val in = MemoryStream[String]
+    val q = fuzzyMatchStreaming(in.toDF().toDF("name"), catalog)
+      .writeStream.outputMode("append").format("memory").queryName("fuzzy_out")
+      .start()
+    try {
+      in.addData(names.take(names.size / 2): _*)
+      q.processAllAvailable()
+      in.addData(names.drop(names.size / 2): _*)
+      q.processAllAvailable()
+      val got = spark.table("fuzzy_out")
+        .as[(String, String, Long)].collect().toSet
+      // every probe finds itself exactly (lev 0)
+      assert(names.forall(n => got.contains((n, n, 0L))),
+        "exact self-hit missing")
+      // unordered non-self matches == the batch self-join pair set
+      val gotPairs = got.collect {
+        case (a, b, _) if a < b => (a, b)
+        case (a, b, _) if b < a => (b, a)
+      }
+      val batch = graft.queries.RelationalQueries
+        .fuzzyNameMatches(catalog.toDF("name"))
+        .select("name_a", "name_b").as[(String, String)].collect().toSet
+      assert(batch.nonEmpty)
+      assert(gotPairs == batch,
+        s"diff=${(gotPairs diff batch) ++ (batch diff gotPairs)}")
+    } finally q.stop()
+  }
 }
