@@ -176,6 +176,64 @@ object Multimodal {
         }
       }
     }
+
+    /** 8×8 DCT-II basis at fixed-point scale 2¹³, row-major:
+      * `DctCos(8u + x) = round(cos(π(2x+1)u/16) · 8192)`. A LITERAL
+      * table (not computed at runtime) so the DuckDB oracle embeds the
+      * identical integers and the signatures replay bit-for-bit. */
+    val DctCos: Array[Long] = Array(
+      8192L, 8192L, 8192L, 8192L, 8192L, 8192L, 8192L, 8192L,
+      8035L, 6811L, 4551L, 1598L, -1598L, -4551L, -6811L, -8035L,
+      7568L, 3135L, -3135L, -7568L, -7568L, -3135L, 3135L, 7568L,
+      6811L, -1598L, -8035L, -4551L, 4551L, 8035L, 1598L, -6811L,
+      5793L, -5793L, -5793L, 5793L, 5793L, -5793L, -5793L, 5793L,
+      4551L, -8035L, 1598L, 6811L, -6811L, -1598L, 8035L, -4551L,
+      3135L, -7568L, 7568L, -3135L, -3135L, 7568L, -7568L, 3135L,
+      1598L, -4551L, 6811L, -8035L, 8035L, -6811L, 4551L, -1598L)
+
+    /** pHash (DCT perceptual hash, the classic algorithm at reduced
+      * grid): 64 resampled payload bytes as an 8×8 matrix → 2-D
+      * fixed-point DCT-II → the 15 lowest-frequency coefficients
+      * (u, w ∈ [0,4)² with DC dropped — DC is mean brightness, which
+      * pHash deliberately ignores) → bit i = coefficient above the
+      * median of the 15. DCT magnitude structure survives the
+      * re-encode / resize / brightness shifts that flip aHash's
+      * per-point bits; every step is integer arithmetic on the
+      * literal [[DctCos]] table, so the oracle replays signatures
+      * exactly. A real build runs the same transform over decoded
+      * 32×32 luma; the signature→near-dup plumbing downstream is
+      * codec-independent. */
+    def phashBatch(batch: Seq[MediaRecord]): Seq[MediaPHash] = {
+      batchCalls.incrementAndGet()
+      batch.flatMap { r =>
+        val bs = r.data
+        val n = bs.length
+        if (n == 0) None
+        else {
+          val v = Array.tabulate(64)(k =>
+            java.lang.Byte.toUnsignedLong(bs((k.toLong * n / 64).toInt)))
+          val coef = (for {
+            u <- 0 until 4; w <- 0 until 4 if u != 0 || w != 0
+          } yield {
+            var sum = 0L
+            var k = 0
+            while (k < 64) {
+              sum += v(k) * DctCos(8 * u + k / 8) * DctCos(8 * w + k % 8)
+              k += 1
+            }
+            sum
+          }).toArray
+          val med = coef.sorted.apply(7) // true median of the 15
+          var sig = 0L
+          var i = 0
+          while (i < 15) {
+            if (coef(i) > med) sig |= (1L << i)
+            i += 1
+          }
+          Some(MediaPHash(r.media_id, sig))
+        }
+      }
+    }
   }
 
   object MediaPipeline {
@@ -236,6 +294,13 @@ object Multimodal {
       }
     }
 
+    def phash(media: Dataset[MediaRecord]): Dataset[MediaPHash] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { it =>
+        it.grouped(BatchSize).flatMap(g => FakeCodec.phashBatch(g))
+      }
+    }
+
     /** End-to-end: documents → media records → batched decode. */
     def features(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
       import spark.implicits._
@@ -266,12 +331,22 @@ object Multimodal {
       import spark.implicits._
       ahash(mediaFromDocuments(docs).as[MediaRecord], samples)
     }
+
+    def perceptualDctHashes(spark: SparkSession, docs: DataFrame): Dataset[MediaPHash] = {
+      import spark.implicits._
+      phash(mediaFromDocuments(docs).as[MediaRecord])
+    }
   }
 
   /** One media record's average-hash perceptual signature. */
   case class MediaHash(
       media_id: Long,
       ahash: Long)
+
+  /** One media record's DCT perceptual-hash signature (15 bits). */
+  case class MediaPHash(
+      media_id: Long,
+      phash: Long)
 
   /** One resized record: target dims + resampled payload summary. */
   case class ResizedMedia(

@@ -190,7 +190,61 @@ object MultimodalQueries {
     }),
 
     "multimodal_video_neardup" -> ((s, dir) =>
-      videoNeardupQuery(s, dir, frameLen = 32, stride = 2))
+      videoNeardupQuery(s, dir, frameLen = 32, stride = 2)),
+
+    // DCT perceptual-hash near-dup — the classic pHash next to the
+    // aHash above: the signature is frequency STRUCTURE (15 low-freq
+    // DCT coefficients vs their median) rather than per-point
+    // brightness, so it holds where aHash flips bits (global
+    // brightness/contrast shifts move every sample AND the mean
+    // together — the coefficient ORDER barely moves). Same scale-safe
+    // candidate shape: pigeonhole banding over DISTINCT signatures
+    // (ham ≤ 2 ⇒ one of 3 5-bit blocks equal — exact), anchor-capped
+    // equi-joins, first-equal-block dedup, xor+popcount verify. The
+    // 5-bit blocks saturate earlier than aHash's 14-bit ones (32
+    // values), which is precisely what the cap rail is for — and why
+    // the signature self-join runs over DISTINCT signatures (≤ 2¹⁵
+    // rows however large the corpus: the banding cost is CONSTANT at
+    // scale, only the id materialization grows).
+    "multimodal_phash_dedup" -> ((s, dir) => {
+      def blockBits(c: org.apache.spark.sql.Column, i: Int) =
+        shiftrightunsigned(c, i * 5).bitwiseAND(lit((1L << 5) - 1))
+      val d = memoized(s, dir, "phash")(
+        MediaPipeline.phash(mediaDs(s, dir)).toDF().persist())
+      val sigs = d.select("phash").distinct()
+      val blocks = array((0 until 3).map { i =>
+        struct(lit(i).as("blk"), blockBits(col("phash"), i).as("bits"))
+      }: _*)
+      val banded = sigs
+        .select(col("phash"), explode(blocks).as("b"))
+        .select(col("phash"), col("b.blk").as("blk"), col("b.bits").as("bits"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("blk"), col("bits")).orderBy(col("phash"))))
+      val a = banded.filter(col("rk") <= graft.queries.DedupQueries.LshBucketCap)
+        .select(col("blk"), col("bits"), col("phash").as("sha"))
+      val b = banded.select(col("blk"), col("bits"), col("phash").as("shb"))
+      val firstEqualBlock = (0 until 3).foldRight(lit(-1)) { (i, acc) =>
+        when(blockBits(col("sha"), i) === blockBits(col("shb"), i), lit(i)).otherwise(acc)
+      }
+      val sigPairs = a.join(b, Seq("blk", "bits"))
+        .filter(col("sha") < col("shb"))
+        .filter(col("blk") === firstEqualBlock)
+        .withColumn("ham", graft.functions.TextFunctions.hamming(col("sha"), col("shb")))
+        .filter(col("ham") <= 2)
+        .select("sha", "shb", "ham")
+      val da = d.select(col("media_id").as("ida"), col("phash").as("sha"))
+      val db = d.select(col("media_id").as("idb"), col("phash").as("shb"))
+      val cross = sigPairs
+        .join(da, "sha").join(db, "shb")
+        .select(least(col("ida"), col("idb")).as("media_a"),
+          greatest(col("ida"), col("idb")).as("media_b"), col("ham"))
+      val same = d.select(col("media_id").as("ida"), col("phash"))
+        .join(d.select(col("media_id").as("idb"), col("phash")), "phash")
+        .filter(col("ida") < col("idb"))
+        .select(col("ida").as("media_a"), col("idb").as("media_b"), lit(0L).as("ham"))
+      cross.unionByName(same)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,6 +351,51 @@ object MultimodalQueries {
         |FROM fr a JOIN fr b ON a.frame_fp = b.frame_fp AND a.media_id < b.media_id
         |WHERE a.frame_fp IN (SELECT frame_fp FROM keep)
         |GROUP BY 1, 2
-        |HAVING count(*) >= 2""".stripMargin
+        |HAVING count(*) >= 2""".stripMargin,
+
+    // full signature replay on the shared literal DCT table (the same
+    // 64 integers as FakeCodec.DctCos — emitted from that array, so
+    // the two can never drift), then brute-force ham ≤ 2 pairs
+    "multimodal_phash_dedup" -> {
+      val ctList = graft.multimodal.Multimodal.FakeCodec.DctCos
+        .map(v => s"CAST($v AS BIGINT)").mkString("[", ", ", "]")
+      s"""WITH d AS (
+         |  SELECT doc_id AS media_id, text, length(text) AS n
+         |  FROM documents WHERE length(text) > 0),
+         |v AS (
+         |  SELECT media_id,
+         |         list_transform(range(0, 64),
+         |           k -> CAST(ascii(substring(text, CAST(k * n // 64 AS INTEGER) + 1, 1)) AS BIGINT)) AS vs
+         |  FROM d),
+         |ctab AS (SELECT $ctList AS ct),
+         |co AS (
+         |  SELECT v.media_id, u.u, w.w,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(0, 64), k ->
+         |             vs[CAST(k AS INTEGER) + 1]
+         |               * ct[CAST(8*u.u + k//8 AS INTEGER) + 1]
+         |               * ct[CAST(8*w.w + (k%8) AS INTEGER) + 1])),
+         |           (a, b) -> a + b) AS coef
+         |  FROM v CROSS JOIN ctab
+         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS u) u
+         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS w) w
+         |  WHERE NOT (u.u = 0 AND w.w = 0)),
+         |med AS (
+         |  SELECT media_id, coef AS m FROM (
+         |    SELECT media_id, coef,
+         |           row_number() OVER (PARTITION BY media_id ORDER BY coef) AS rn
+         |    FROM co) WHERE rn = 8),
+         |sg AS (
+         |  SELECT co.media_id,
+         |         CAST(sum(CASE WHEN co.coef > med.m
+         |                       THEN CAST(pow(2, co.u * 4 + co.w - 1) AS BIGINT)
+         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+         |  FROM co JOIN med ON co.media_id = med.media_id
+         |  GROUP BY co.media_id)
+         |SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS ham
+         |FROM sg a JOIN sg b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 2""".stripMargin
+    }
   )
 }

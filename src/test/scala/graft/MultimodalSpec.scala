@@ -113,4 +113,40 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == brute, s"banding candidates ${got.size} != brute ${brute.size}")
   }
+
+  test("pHash: 15-bit signature, EXACTLY invariant to uniform brightness shift") {
+    def rec(id: Long, bs: Array[Byte]) = MediaRecord(id, "image", bs, "m", 1, 1)
+    def sig(bs: Array[Byte]): Long =
+      FakeCodec.phashBatch(Seq(rec(1L, bs))).head.phash
+    val base = "some plausible ascii payload with varied structure 0123456789".getBytes("UTF-8")
+    val s0 = sig(base)
+    assert((s0 >>> 15) == 0L, s"signature must fit 15 bits: $s0")
+    // the literal DCT rows for u >= 1 are antisymmetric (they sum to 0
+    // exactly), so adding a constant to every sample shifts ONLY the
+    // dropped DC coefficient — the signature is bit-identical, the
+    // property that makes pHash hold where aHash flips
+    val shifted = base.map(b => (b + 10).toByte)
+    assert(sig(shifted) == s0, "uniform brightness shift must not move pHash")
+    // structural change DOES move it
+    val scrambled = base.reverse
+    assert(sig(scrambled) != s0, "reversal should reorder frequency structure")
+    // empty payloads are skipped, like ahash
+    assert(FakeCodec.phashBatch(Seq(rec(9L, Array.emptyByteArray))).isEmpty)
+    // row sums of the literal table really are 0 for every u >= 1
+    (1 until 8).foreach { u =>
+      assert((0 until 8).map(x => FakeCodec.DctCos(8 * u + x)).sum == 0L, s"row $u")
+    }
+  }
+
+  test("phash near-dup query equals brute force over signatures (pigeonhole recall-exact)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val sigs = MediaPipeline.perceptualDctHashes(spark, docs).collect()
+    val brute = (for {
+      a <- sigs; b <- sigs if a.media_id < b.media_id
+      h = java.lang.Long.bitCount(a.phash ^ b.phash) if h <= 2
+    } yield (a.media_id, b.media_id, h.toLong)).toSet
+    val got = graft.queries.MultimodalQueries.queries("multimodal_phash_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"banding candidates ${got.size} != brute ${brute.size}")
+  }
 }
