@@ -51,6 +51,44 @@ object EventQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TIME-SERIES RESAMPLE + GAP FILL — regularize an irregular event
+    // series onto a minute grid: per (type, minute) the anchor is the
+    // max-event_id event's value (deterministic pick, NO float
+    // summation — cross-engine float equality only survives when both
+    // engines execute the same IEEE expression tree on the same
+    // operands); missing minutes linearly interpolate between the
+    // nearest anchors on each side (grid endpoints are anchors by
+    // construction, so both neighbors always exist). The ML-feature
+    // prep shape every training pipeline needs before windowed
+    // feature extraction. Scale: the anchor aggregate is map-side
+    // combined over events; the exploded grid is SPAN-bounded
+    // (types × minutes), not event-bounded, and the fill windows run
+    // per type over grid rows only.
+    "q_resample_interpolate" -> ((s, dir) => {
+      val b = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      val sp = b.groupBy("event_type").agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      val grid = sp.select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 minute"))).as("m"))
+      val j = grid.join(b, Seq("event_type", "m"), "left")
+      val wPrev = Window.partitionBy("event_type").orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("event_type").orderBy("m")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      j.withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pm", last(when(col("v").isNotNull, col("m")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nm", first(when(col("v").isNotNull, col("m")), ignoreNulls = true).over(wNext))
+        .select(col("event_type"), col("m").as("minute"),
+          when(col("v").isNotNull, col("v")).otherwise(
+            col("pv") + (col("nv") - col("pv")) *
+              ((unix_micros(col("m")) - unix_micros(col("pm"))).cast("double") /
+                (unix_micros(col("nm")) - unix_micros(col("pm"))).cast("double")))
+            .as("value_interp"),
+          when(col("v").isNotNull, 0L).otherwise(1L).as("is_filled"))
+    }),
+
     // idempotent-ingest windowed dedup — the batch form of the
     // streaming retention contract (StreamingJobs.exactDedupStreaming /
     // dropDuplicatesWithinWatermark): duplicate payloads within the
@@ -428,6 +466,40 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same anchor pick (arg_max on the unique event_id), same grid,
+    // same IEEE interpolation expression tree — values equal to the
+    // last bit, no rounding needed
+    "q_resample_interpolate" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS m,
+        |         arg_max(value, event_id) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(m) AS lo, max(m) AS hi FROM b GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m
+        |  FROM sp),
+        |j AS (
+        |  SELECT g.event_type, g.m, b.v
+        |  FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.m = g.m),
+        |f AS (
+        |  SELECT event_type, m, v,
+        |         last_value(v IGNORE NULLS) OVER wp AS pv,
+        |         last_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) OVER wp AS pm,
+        |         first_value(v IGNORE NULLS) OVER wn AS nv,
+        |         first_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) OVER wn AS nm
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY m
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY event_type ORDER BY m
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, m AS minute,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            ELSE pv + (nv - pv) *
+        |                 (CAST(epoch_us(m) - epoch_us(pm) AS DOUBLE) /
+        |                  CAST(epoch_us(nm) - epoch_us(pm) AS DOUBLE)) END AS value_interp,
+        |       CAST(CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS is_filled
+        |FROM f""".stripMargin,
+
     // identical exact-integer moments + one sqrt/division; the ROWS
     // frame is deterministic because hour is unique per type
     "q_hourly_anomaly" ->

@@ -149,4 +149,34 @@ class WindowsSpec extends SparkSpec {
     val a = out.find(_.getString(0) == "a").get
     assert(a.getTimestamp(2) == ts("2024-01-01 00:01:00"))
   }
+
+  test("resample-interpolate: contiguous grid, anchors verbatim, fills exactly linear") {
+    val rows = graft.queries.EventQueries
+      .queries("q_resample_interpolate")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // contiguous 1-minute grid, anchor endpoints
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => b._2 - a._2 == 60000L; case _ => true
+      }, s"$tpe grid not contiguous")
+      assert(sorted.head._4 == 0L && sorted.last._4 == 0L,
+        s"$tpe endpoints must be anchors")
+      // every filled value is the exact linear blend of its anchors
+      val anchors = sorted.filter(_._4 == 0L)
+      val anchorAt = anchors.map(a => a._2 -> a._3).toMap
+      val ams = anchors.map(_._2)
+      sorted.filter(_._4 == 1L).foreach { case (_, m, v, _) =>
+        val pm = ams.filter(_ < m).max
+        val nm = ams.filter(_ > m).min
+        val (pv, nv) = (anchorAt(pm), anchorAt(nm))
+        val expect = pv + (nv - pv) *
+          ((m - pm).toDouble * 1000.0 / ((nm - pm).toDouble * 1000.0))
+        assert(v == expect, s"$tpe @$m: $v != $expect")
+      }
+    }
+  }
 }
