@@ -50,6 +50,34 @@ object EventQueries {
     p.select("user_id", "day", "t_view", "t_click", "t_purchase")
   }
 
+  /** The q_resample_interpolate body as a pure frame function over
+    * (event_type, ts, value, event_id) — shared with the streaming
+    * operator's parity spec. */
+  private[graft] def resampleInterpolate(e: DataFrame): DataFrame = {
+    val b = e
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    val sp = b.groupBy("event_type").agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+    val grid = sp.select(col("event_type"),
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 minute"))).as("m"))
+    val j = grid.join(b, Seq("event_type", "m"), "left")
+    val wPrev = Window.partitionBy("event_type").orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("event_type").orderBy("m")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    j.withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pm", last(when(col("v").isNotNull, col("m")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nm", first(when(col("v").isNotNull, col("m")), ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("m").as("minute"),
+        when(col("v").isNotNull, col("v")).otherwise(
+          col("pv") + (col("nv") - col("pv")) *
+            ((unix_micros(col("m")) - unix_micros(col("pm"))).cast("double") /
+              (unix_micros(col("nm")) - unix_micros(col("pm"))).cast("double")))
+          .as("value_interp"),
+        when(col("v").isNotNull, 0L).otherwise(1L).as("is_filled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TIME-SERIES RESAMPLE + GAP FILL — regularize an irregular event
     // series onto a minute grid: per (type, minute) the anchor is the
@@ -64,30 +92,7 @@ object EventQueries {
     // combined over events; the exploded grid is SPAN-bounded
     // (types × minutes), not event-bounded, and the fill windows run
     // per type over grid rows only.
-    "q_resample_interpolate" -> ((s, dir) => {
-      val b = events(s, dir)
-        .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
-        .agg(max_by(col("value"), col("event_id")).as("v"))
-      val sp = b.groupBy("event_type").agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
-      val grid = sp.select(col("event_type"),
-        explode(sequence(col("lo"), col("hi"), expr("interval 1 minute"))).as("m"))
-      val j = grid.join(b, Seq("event_type", "m"), "left")
-      val wPrev = Window.partitionBy("event_type").orderBy("m")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wNext = Window.partitionBy("event_type").orderBy("m")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      j.withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
-        .withColumn("pm", last(when(col("v").isNotNull, col("m")), ignoreNulls = true).over(wPrev))
-        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
-        .withColumn("nm", first(when(col("v").isNotNull, col("m")), ignoreNulls = true).over(wNext))
-        .select(col("event_type"), col("m").as("minute"),
-          when(col("v").isNotNull, col("v")).otherwise(
-            col("pv") + (col("nv") - col("pv")) *
-              ((unix_micros(col("m")) - unix_micros(col("pm"))).cast("double") /
-                (unix_micros(col("nm")) - unix_micros(col("pm"))).cast("double")))
-            .as("value_interp"),
-          when(col("v").isNotNull, 0L).otherwise(1L).as("is_filled"))
-    }),
+    "q_resample_interpolate" -> ((s, dir) => resampleInterpolate(events(s, dir))),
 
     // idempotent-ingest windowed dedup — the batch form of the
     // streaming retention contract (StreamingJobs.exactDedupStreaming /

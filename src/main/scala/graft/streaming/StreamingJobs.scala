@@ -512,6 +512,84 @@ object StreamingJobs {
         terms.map(termScore).reduce(_ + _).as("score_ppm"))
   }
 
+  /** One typed input row for the streaming resampler. */
+  case class RsEvent(event_type: String, ts: Timestamp, value: Double, event_id: Long)
+
+  /** Per-type resampler state: the last FINALIZED anchor and the still-
+    * open minutes' (max event_id, its value) picks. Bounded by the
+    * lateness window: a minute finalizes as soon as the watermark
+    * passes its end, so `open` never holds more than
+    * lateness/1min + 1 entries. */
+  case class RsState(lastMin: Long, lastVal: Double, open: Map[Long, (Long, Double)])
+
+  /** One emitted grid row (is_filled = 1 for interpolated minutes). */
+  case class RsRow(event_type: String, minute: Timestamp,
+      value_interp: Double, is_filled: Long)
+
+  /** Streaming time-series resample + gap fill — the live form of
+    * `q_resample_interpolate`, and the timer-driven stateful shape the
+    * per-window operators don't exercise: emission is triggered by the
+    * WATERMARK reaching a minute's end, not by a row arriving in it.
+    *
+    * Per type, arriving events update the open minutes' max-event_id
+    * anchor pick (the batch query's deterministic choice — late events
+    * within the lateness tolerance still win if their id is larger);
+    * when the watermark finalizes a minute that HAS an anchor, the gap
+    * since the previous anchor is emitted as the exact linear blend
+    * (identical IEEE expression to the batch query, so values match to
+    * the last bit) followed by the anchor itself. Minutes beyond the
+    * last anchor stay unemitted until a later anchor closes the gap —
+    * interpolation needs both ends, which is precisely why this is a
+    * stateful operator and not a projection. State per type is the
+    * last anchor + the open window; timeouts fire at the earliest open
+    * minute's end so quiet types still drain. StreamingSpec pins
+    * emitted rows == the batch query on the same events.
+    */
+  def resampleStreaming(events: DataFrame, lateness: String = "10 minutes"): Dataset[RsRow] = {
+    import events.sparkSession.implicits._
+    val minuteMs = 60000L
+    events
+      .select(col("event_type"), col("ts"), col("value"), col("event_id"))
+      .withWatermark("ts", lateness)
+      .as[RsEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (tpe: String, rows: Iterator[RsEvent], state: GroupState[RsState]) =>
+          val st = state.getOption.getOrElse(RsState(Long.MinValue, 0.0, Map.empty))
+          // fold arrivals into the open minutes' max-event_id picks
+          val open = rows.foldLeft(st.open) { (m, r) =>
+            val minute = r.ts.getTime / minuteMs * minuteMs
+            m.get(minute) match {
+              case Some((id, _)) if id >= r.event_id => m
+              case _ => m.updated(minute, (r.event_id, r.value))
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, stillOpen) = open.partition { case (m, _) => m + minuteMs <= wm }
+          var lastMin = st.lastMin
+          var lastVal = st.lastVal
+          val out = scala.collection.mutable.ArrayBuffer[RsRow]()
+          ripe.toSeq.sortBy(_._1).foreach { case (m, (_, v)) =>
+            if (lastMin != Long.MinValue) {
+              var g = lastMin + minuteMs
+              while (g < m) {
+                // same expression tree as the batch query (micros ratio)
+                val frac = (g - lastMin).toDouble * 1000.0 / ((m - lastMin).toDouble * 1000.0)
+                out += RsRow(tpe, new Timestamp(g), lastVal + (v - lastVal) * frac, 1L)
+                g += minuteMs
+              }
+            }
+            out += RsRow(tpe, new Timestamp(m), v, 0L)
+            lastMin = m
+            lastVal = v
+          }
+          state.update(RsState(lastMin, lastVal, stillOpen))
+          if (stillOpen.nonEmpty)
+            state.setTimeoutTimestamp(stillOpen.keys.min + minuteMs)
+          out.iterator
+      }
+  }
+
   /** One typed input row for the streaming anomaly screen. */
   case class AnomalyEvent(event_type: String, ts: Timestamp, bucket: Timestamp)
 

@@ -227,6 +227,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming resample + gap fill emits the batch grid as the watermark closes anchors") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, Double, Long)]
+    val rows = Seq(
+      // type alpha: anchors at :00, :03, :04 — a 2-minute gap to fill;
+      // two events in :00 (the larger event_id must win the anchor)
+      ("alpha", ts("2024-01-01 00:00:10"), 10.0, 1L),
+      ("alpha", ts("2024-01-01 00:00:50"), 16.0, 2L),
+      ("alpha", ts("2024-01-01 00:03:30"), 40.0, 3L),
+      ("alpha", ts("2024-01-01 00:04:30"), 20.0, 4L))
+    val q = resampleStreaming(in.toDF().toDF("event_type", "ts", "value", "event_id"),
+        lateness = "2 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("rs_out")
+      .start()
+    try {
+      // deliver out of order: the :03 anchor first
+      in.addData(rows(2), rows(0), rows(1))
+      q.processAllAvailable()
+      in.addData(rows(3))
+      q.processAllAvailable()
+      // drain: watermark far past every alpha minute (separate type)
+      in.addData(("wmdummy", ts("2024-01-01 02:00:00"), 0.0, 99L))
+      q.processAllAvailable()
+      in.addData(("wmdummy", ts("2024-01-01 02:00:01"), 0.0, 100L))
+      q.processAllAvailable()
+      val got = spark.table("rs_out")
+        .filter($"event_type" === "alpha")
+        .as[(String, Timestamp, Double, Long)].collect().toSet
+      val batch = graft.queries.EventQueries
+        .resampleInterpolate(rows.toDF("event_type", "ts", "value", "event_id"))
+        .as[(String, Timestamp, Double, Long)].collect().toSet
+      assert(batch.exists(_._4 == 1L), "fixture must exercise gap fill")
+      assert(got == batch, s"stream=$got batch=$batch")
+      // the in-minute max-event_id pick won (16.0, not 10.0)
+      assert(got.contains(("alpha", ts("2024-01-01 00:00:00"), 16.0, 0L)))
+    } finally q.stop()
+  }
+
   test("streaming cumulate count converges to the batch slice-optimized result") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]
