@@ -1110,6 +1110,21 @@ object DedupQueries {
           .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
         .filter(col("jac") >= 0.8)
         .select("doc_a", "doc_b", "jac")
+    }),
+
+    // classic (global-order) sorted neighborhood: the window slides
+    // across the GLOBAL (pass, skey, n_chars, doc_id) sort, catching
+    // near-boundary pairs under adjacent-but-distinct keys that the
+    // equal-key-block form cannot see; distributed via a
+    // range-partitioned sort + zipWithIndex rank and a rank-band
+    // EQUI-join — O(n·w) pairs with no hot-key task bound at all
+    "dedup_snm_global" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      jaccardFromCounts(snmGlobalCandidates(docs(s, dir))
+          .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
+        .filter(col("jac") >= 0.8)
+        .select("doc_a", "doc_b", "jac")
     })
   )
 
@@ -1141,6 +1156,19 @@ object DedupQueries {
     * (doc_id, text, n_chars) frame — the dedup_sorted_neighborhood
     * generator (see its scaladoc), unverified.
     *
+    * DEVIATION from classic Hernández–Stolfo: the rank window slides
+    * within EQUAL-key blocks (partition by (pass, skey)), not across
+    * the global sort order — near-boundary records under
+    * adjacent-but-distinct keys (e.g. a typo in the sort key itself)
+    * are never compared. This is blocking + rank window, deliberately:
+    * every window is an equi-join partition, so the shape needs no
+    * cross-partition row exchange. The multi-pass keys are the
+    * standard mitigation (a key perturbed in one pass is usually
+    * intact in the other). [[snmGlobalCandidates]] is the faithful
+    * global-order form (range-partitioned sort + w−1 rank-band
+    * equi-join) for when the boundary recall matters; TextDedupSpec's
+    * straddling fixture demonstrates the exact gap between the two.
+    *
     * Skew contract: pair VOLUME is O(n·w) regardless of key
     * distribution, but each (pass, key) block's rank window sorts on
     * one task, so the hottest key's occupancy bounds the largest task
@@ -1167,6 +1195,56 @@ object DedupQueries {
           col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + lit(window - 1))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+  }
+
+  /** Classic Hernández–Stolfo sorted-neighborhood pairs: the window
+    * slides across the GLOBAL sort order (pass, skey, n_chars,
+    * doc_id), so near-boundary records under adjacent-but-DISTINCT
+    * sort keys still get compared — the deviation [[snmCandidates]]'s
+    * equal-key-block form trades away (TextDedupSpec's straddling
+    * fixture measures exactly that gap).
+    *
+    * The global rank is computed DISTRIBUTEDLY: a range-partitioned
+    * sort (`repartitionByRange` — each executor holds one contiguous
+    * key range) followed by `zipWithIndex`, whose per-partition offset
+    * pass is one bounded count job — never a single-partition
+    * row_number. Pairing is then an EQUI-join on rank: each row
+    * explodes its w−1 successor ranks and joins rank-to-rank, so pair
+    * volume is O(n·w) with NO hot-key caveat at all — the window
+    * crosses block boundaries by construction, which also removes the
+    * equal-key form's hottest-block task bound. Same-pass filtering
+    * keeps the two passes independent (passes are contiguous in the
+    * global order, so within a pass global-rank distance equals
+    * pass-rank distance). */
+  private[graft] def snmGlobalCandidates(d: DataFrame,
+      window: Int = SnmWindow,
+      keys: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "head" -> concat_ws(" ", slice(col("toks"), 1, 2)),
+        "tail" -> concat_ws(" ", slice(reverse(col("toks")), 1, 2)))): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val t = d.select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
+    val keyed = keys.map { case (name, k) =>
+      t.select(lit(name).as("pass"), k.as("skey"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"))
+    }.reduce(_ unionByName _)
+    val ranked = keyed
+      .repartitionByRange(col("pass"), col("skey"), col("n_chars"), col("doc_id"))
+      .sortWithinPartitions("pass", "skey", "n_chars", "doc_id")
+      .as[(String, String, Long, Long)]
+      .rdd.zipWithIndex
+      .map { case ((pass, _, docId, _), grn) => (pass, docId, grn) }
+      .toDF("pass", "doc_id", "grn")
+      .persist() // both sides of the rank-band self-join scan it; the
+                 // CacheManager dedupes, Tables.clearCaches releases
+    val probes = ranked.select(col("pass"), col("doc_id"),
+      explode(sequence(col("grn") + 1, col("grn") + lit(window - 1))).as("grn"))
+    probes.as("a").join(ranked.as("b"), Seq("pass", "grn"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
   }
 
@@ -1261,10 +1339,10 @@ object DedupQueries {
 
   /** Reachability CTE chain over the τ=0.8 n-gram-Jaccard pair graph —
     * shared by the survivor oracle and the component-stats audit. */
-  /** SNM candidate + exact-Jaccard-verify replay (CTE chain ending in
-    * `v(doc_a, doc_b, jac)`, unfiltered) — shared by the pair oracle
-    * and the SNM-edge survivor oracle. */
-  private val snmVerifiedCtes =
+  /** Shared SNM oracle pieces: the two-pass keyed frame (tk + keyed)
+    * and the exact-Jaccard verify tail (g + v over a candidate CTE
+    * `c(doc_a, doc_b)`). */
+  private val snmKeyedCtes =
     """tk AS (
       |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
       |keyed AS (
@@ -1272,18 +1350,10 @@ object DedupQueries {
       |         doc_id, n_chars FROM tk
       |  UNION ALL
       |  SELECT 'tail', list_aggregate(list_reverse(toks)[1:2], 'string_agg', ' '),
-      |         doc_id, n_chars FROM tk),
-      |r AS (
-      |  SELECT pass, skey, doc_id,
-      |         row_number() OVER (PARTITION BY pass, skey ORDER BY n_chars, doc_id) AS rn
-      |  FROM keyed),
-      |c AS (
-      |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
-      |                  greatest(a.doc_id, b.doc_id) AS doc_b
-      |  FROM r a JOIN r b
-      |    ON a.pass = b.pass AND a.skey = b.skey
-      |   AND b.rn > a.rn AND b.rn <= a.rn + 4),
-      |g AS (
+      |         doc_id, n_chars FROM tk)""".stripMargin
+
+  private val snmVerifyTailCtes =
+    """g AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
       |  FROM documents),
@@ -1296,6 +1366,42 @@ object DedupQueries {
       |  JOIN g ga ON ga.doc_id = c.doc_a
       |  JOIN g gb ON gb.doc_id = c.doc_b
       |  WHERE len(ga.g) > 0 AND len(gb.g) > 0)""".stripMargin
+
+  /** SNM candidate + exact-Jaccard-verify replay (CTE chain ending in
+    * `v(doc_a, doc_b, jac)`, unfiltered) — shared by the pair oracle
+    * and the SNM-edge survivor oracle. */
+  private val snmVerifiedCtes =
+    s"""$snmKeyedCtes,
+       |r AS (
+       |  SELECT pass, skey, doc_id,
+       |         row_number() OVER (PARTITION BY pass, skey ORDER BY n_chars, doc_id) AS rn
+       |  FROM keyed),
+       |c AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |                  greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM r a JOIN r b
+       |    ON a.pass = b.pass AND a.skey = b.skey
+       |   AND b.rn > a.rn AND b.rn <= a.rn + 4),
+       |$snmVerifyTailCtes""".stripMargin
+
+  /** Global-order SNM replay: rank over the TOTAL (pass, skey,
+    * n_chars, doc_id) order, window within ±4 same-pass ranks — the
+    * dedup_snm_global oracle (passes are contiguous in the global
+    * order, so same-pass global-rank distance == pass-rank distance,
+    * exactly the Spark side's invariant). */
+  private val snmGlobalVerifiedCtes =
+    s"""$snmKeyedCtes,
+       |r AS (
+       |  SELECT pass, doc_id,
+       |         row_number() OVER (ORDER BY pass, skey, n_chars, doc_id) AS grn
+       |  FROM keyed),
+       |c AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |                  greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM r a JOIN r b
+       |    ON a.pass = b.pass
+       |   AND b.grn > a.grn AND b.grn <= a.grn + 4),
+       |$snmVerifyTailCtes""".stripMargin
 
   private val survivorsCcCtes =
     """WITH RECURSIVE t AS (
@@ -1547,6 +1653,12 @@ object DedupQueries {
     // w = 5 rank window, exact-Jaccard verify at τ = 0.8
     "dedup_sorted_neighborhood" ->
       s"""WITH $snmVerifiedCtes
+         |SELECT doc_a, doc_b, jac FROM v WHERE jac >= 0.8""".stripMargin,
+
+    // same global (pass, skey, n_chars, doc_id) total order, same ±4
+    // same-pass rank window, exact-Jaccard verify at τ = 0.8
+    "dedup_snm_global" ->
+      s"""WITH $snmGlobalVerifiedCtes
          |SELECT doc_a, doc_b, jac FROM v WHERE jac >= 0.8""".stripMargin,
 
     // recursive reachability over the SNM-verified edge set — exact

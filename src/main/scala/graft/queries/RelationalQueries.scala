@@ -742,16 +742,25 @@ object RelationalQueries {
     * short-name block (≤ 5 chars, where |grams| ≤ k·q and the overlap
     * bound degenerates to 0) keeps recall lossless for every length —
     * PropertySpec pins output == brute force on random corpora. */
+  /** Distinct character 2-grams of a string column, first-occurrence
+    * order — the ONE gram definition shared by the batch fuzzy join
+    * and [[graft.streaming.StreamingJobs.fuzzyMatchStreaming]]'s
+    * stream-static probe (signatures must agree for the streamed
+    * candidates to hit the same index rows the batch self-join uses).
+    * The length guard matters: Spark's sequence(1, 0) DESCENDS instead
+    * of being empty, so a 1-char name would fabricate a gram (DuckDB's
+    * range(1, 1) is empty); such names are caught by the short block.
+    */
+  private[graft] def gramsOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(length(c) >= 2,
+        array_distinct(transform(
+          sequence(lit(1), length(c) - lit(1)),
+          i => c.substr(i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+
   private[graft] def fuzzyNameMatches(names: DataFrame): DataFrame = {
-    // the length guard matters: Spark's sequence(1, 0) DESCENDS instead
-    // of being empty, so a 1-char name would fabricate a gram (DuckDB's
-    // range(1, 1) is empty); such names are caught by the short block
     val grams = names.select(col("name"),
-      explode(when(length(col("name")) >= 2,
-          array_distinct(transform(
-            sequence(lit(1), length(col("name")) - lit(1)),
-            i => col("name").substr(i, lit(2)))))
-        .otherwise(array().cast("array<string>"))).as("gr"))
+      explode(gramsOf(col("name"))).as("gr"))
     // gram dimension is alphabet²-bounded → broadcast df lookup
     val gdf = grams.groupBy("gr").agg(count(lit(1)).as("gdf"))
     val prefix = grams.join(broadcast(gdf), "gr")

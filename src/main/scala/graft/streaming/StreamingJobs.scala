@@ -375,6 +375,162 @@ object StreamingJobs {
     screenAgainstStaticIndex(streamDocs, corpusDocs, retention,
       streamIdCol = "new_id", staticIdCol = "matched_id")
 
+  /** Memoized frozen prefix-truncation corpus index per corpus frame
+    * (reference identity, like [[staticShMemo]]): the 32-char-block,
+    * anchor-capped member frame. Cleared via [[graft.model.Caches]]. */
+  private val prefixIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, DataFrame]()
+  graft.model.Caches.register(() => prefixIdxMemo.clear())
+
+  /** Streaming prefix-truncation screen — the ingest-time form of
+    * `dedup_prefix_truncation`: each arriving document is checked
+    * against the PERSISTED 32-char-block index of the stored corpus
+    * and reports, per arrival, the corpus docs it truncates
+    * (`extends` peers) and the corpus docs that truncate IT
+    * (`prefix_of` peers). Candidate generation is a stateless
+    * stream-static equi-join on the 32-char block key (bkey) — any
+    * truncation pair with the short side ≥ 32 chars shares it by
+    * construction, the batch operator's floor — and verification is
+    * the same startswith + strict length order, so there is no stream
+    * state at all (duplicates cannot arise: one corpus peer joins an
+    * arrival through exactly one bkey). The corpus side carries the
+    * [[graft.queries.DedupQueries.LshBucketCap]] anchor rail exactly
+    * like the batch operator, so a boilerplate 32-char opening caps
+    * the per-arrival fan-out at `cap` peers per direction. Shuffle
+    * moves the ARRIVALS, never the corpus. Output (append): one row
+    * per (arrival, corpus peer) truncation relation —
+    * (doc_id, ts, relation, peer_id, short_chars, long_chars).
+    * StreamingDedupSpec pins that replaying the corpus reproduces the
+    * batch pair set. */
+  def prefixTruncationStreaming(streamDocs: DataFrame, corpusDocs: DataFrame): DataFrame = {
+    import graft.queries.DedupQueries
+    val idx = prefixIdxMemo.computeIfAbsent(corpusDocs, cd => cd
+      .filter(col("n_chars") >= 32)
+      .select(col("doc_id").as("peer_id"), col("text").as("peer_text"),
+        col("n_chars").cast("long").as("peer_chars"),
+        substring(col("text"), 1, 32).as("bkey"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("bkey").orderBy(col("peer_chars"), col("peer_id"))))
+      .filter(col("rk") <= DedupQueries.LshBucketCap)
+      .drop("rk")
+      .persist())
+    streamDocs
+      .filter(col("n_chars") >= 32)
+      .select(col("doc_id"), col("ts"), col("text"),
+        col("n_chars").cast("long").as("n_chars"),
+        substring(col("text"), 1, 32).as("bkey"))
+      .join(idx, Seq("bkey"))
+      .withColumn("relation",
+        when(col("n_chars") < col("peer_chars") &&
+            col("peer_text").startsWith(col("text")), lit("prefix_of"))
+          .when(col("peer_chars") < col("n_chars") &&
+            col("text").startsWith(col("peer_text")), lit("extends")))
+      .filter(col("relation").isNotNull)
+      .select(col("doc_id"), col("ts"), col("relation"), col("peer_id"),
+        least(col("n_chars"), col("peer_chars")).as("short_chars"),
+        greatest(col("n_chars"), col("peer_chars")).as("long_chars"))
+  }
+
+  /** Memoized frozen SNM corpus index per corpus frame: the ranked
+    * (pass, skey) member frame plus its insertion-interval index.
+    * Cleared via [[graft.model.Caches]]. */
+  private val snmIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, (DataFrame, DataFrame)]()
+  graft.model.Caches.register(() => snmIdxMemo.clear())
+
+  /** Streaming sorted-neighborhood screen — the ingest-time form of
+    * `dedup_sorted_neighborhood`: each arriving document is compared
+    * against its rank neighborhood (±(w−1)) in the FROZEN corpus's
+    * per-(pass, skey) sort order, then exact-Jaccard-verified at
+    * τ = 0.8 — the serving-time record-linkage lookup (new record vs
+    * master file) the SNM literature pairs with the batch pass.
+    *
+    * Finding the neighborhood WITHOUT per-arrival aggregation is the
+    * trick: the corpus index stores each member's rank `rn` (by
+    * (n_chars, doc_id) within its block) plus an INSERTION-INTERVAL
+    * frame — member i's interval is [key_i, key_{i+1}) with a rank-0
+    * sentinel below each block's first member — so an arrival's floor
+    * rank is ONE stream-static join (each arrival lands in exactly one
+    * interval per pass), and its neighborhood is a second stream-static
+    * equi-join on (pass, skey) banded to rn ∈ [r−(w−1), r+(w−1)].
+    * A replayed corpus member's floor rank is its own rank, so the
+    * emitted neighborhood is EXACTLY the batch window — the parity
+    * StreamingDedupSpec pins. Both joins are stateless; the only state
+    * is the final per-(arrival, peer) distinct (a pair can surface
+    * through both passes, mirroring the batch `.distinct()`), bounded
+    * by the watermark like every screen here. Shuffle moves arrivals,
+    * never the corpus. Output (append):
+    * (doc_id, peer_id, jac, ts) per verified near-match. */
+  def snmStreaming(streamDocs: DataFrame, corpusDocs: DataFrame,
+      retention: String = "1 hour"): DataFrame = {
+    import graft.functions.KernelExpressions
+    import graft.functions.TextFunctions.tokens
+    import graft.queries.DedupQueries
+    val w = DedupQueries.SnmWindow
+    val wBlock = org.apache.spark.sql.expressions.Window
+      .partitionBy("pass", "skey").orderBy(col("n_chars"), col("doc_id"))
+    def keyedOf(d: DataFrame, extra: Seq[String]): DataFrame = {
+      val t = d.select((Seq(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        tokens(col("text")).as("toks")) ++ extra.map(col)): _*)
+      Seq("head" -> concat_ws(" ", slice(col("toks"), 1, 2)),
+          "tail" -> concat_ws(" ", slice(reverse(col("toks")), 1, 2)))
+        .map { case (name, k) =>
+          t.select((Seq(lit(name).as("pass"), k.as("skey"), col("doc_id"),
+            col("n_chars")) ++ extra.map(col)): _*)
+        }.reduce(_ unionByName _)
+    }
+    val (members, intervals) = snmIdxMemo.computeIfAbsent(corpusDocs, cd => {
+      val m = keyedOf(cd, Nil)
+        .withColumn("rn", row_number().over(wBlock).cast("long"))
+        .select(col("pass"), col("skey"), col("doc_id").as("peer_id"),
+          col("n_chars").as("peer_chars"), col("rn"))
+        .persist()
+      val iv = m.select(col("pass"), col("skey"), col("rn"),
+        col("peer_chars").as("lo_n"), col("peer_id").as("lo_id"),
+        lead(col("peer_chars"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("pass", "skey").orderBy(col("peer_chars"), col("peer_id"))).as("hi_n"),
+        lead(col("peer_id"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("pass", "skey").orderBy(col("peer_chars"), col("peer_id"))).as("hi_id"))
+      val sentinel = m.filter(col("rn") === 1L).select(col("pass"), col("skey"),
+        lit(0L).as("rn"), lit(null).cast("long").as("lo_n"),
+        lit(null).cast("long").as("lo_id"),
+        col("peer_chars").as("hi_n"), col("peer_id").as("hi_id"))
+      (m, iv.unionByName(sentinel).persist())
+    })
+    val corpusSh = staticShMemo.computeIfAbsent(corpusDocs, sd => sd
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), KernelExpressions.sortedNgramSet(col("toks"), 3).as("g"))
+      .persist())
+    val arrivals = keyedOf(streamDocs, Seq("ts", "text"))
+      .withColumn("ga", KernelExpressions.sortedNgramSet(tokens(col("text")), 3))
+      .drop("text")
+    // floor rank: exactly one interval per (arrival, pass) — the
+    // arrival's key is ≥ the member's and < the next member's
+    val geLo = col("lo_n").isNull ||
+      col("n_chars") > col("lo_n") ||
+      (col("n_chars") === col("lo_n") && col("doc_id") >= col("lo_id"))
+    val ltHi = col("hi_n").isNull ||
+      col("n_chars") < col("hi_n") ||
+      (col("n_chars") === col("hi_n") && col("doc_id") < col("hi_id"))
+    val located = arrivals.join(intervals, Seq("pass", "skey"))
+      .filter(geLo && ltHi)
+      .select(col("pass"), col("skey"), col("doc_id"), col("ts"), col("ga"),
+        col("rn").as("r"))
+    val candidates = located.join(members, Seq("pass", "skey"))
+      .filter(col("rn") >= col("r") - lit(w - 1).cast("long") &&
+        col("rn") <= col("r") + lit(w - 1).cast("long") &&
+        col("peer_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("ts"), col("ga"), col("peer_id"))
+    DedupQueries.jaccardFromCounts(
+        candidates.join(corpusSh.select(col("doc_id").as("peer_id"),
+          col("g").as("gb")), Seq("peer_id")))
+      .filter(col("jac") >= 0.8)
+      .select(col("doc_id"), col("peer_id"), col("jac"), col("ts"))
+      .withWatermark("ts", retention)
+      .dropDuplicatesWithinWatermark("doc_id", "peer_id")
+  }
+
   /** Shared core of [[decontaminateStreaming]] and
     * [[incrementalDedupStreaming]]: screen a document stream against a
     * STATIC corpus via its MinHash-LSH (band, bucket) index —
@@ -1022,66 +1178,101 @@ object StreamingJobs {
   }
 
   /** Memoized frozen fuzzy-match index per catalog frame (reference
-    * identity — same contract as [[annIdxMemo]]): gram → catalog
-    * names inverted index plus the ≤ 5-char short block. */
+    * identity — same contract as [[annIdxMemo]]): the persisted
+    * (gram, cat_name) inverted-index DataFrame, the persisted ≤ 5-char
+    * short block keyed by length, and the gram → document-frequency
+    * map (alphabet²-bounded — the ONLY driver-side collect, sized by
+    * the character-bigram vocabulary, never by catalog rows). */
   private val fuzzyIdxMemo =
-    new java.util.concurrent.ConcurrentHashMap[DataFrame, (Map[String, Seq[String]], Seq[String])]()
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, (DataFrame, DataFrame, Map[String, Long])]()
   graft.model.Caches.register(() => fuzzyIdxMemo.clear())
-
-  private def grams2(s: String): Seq[String] =
-    if (s.length < 2) Nil
-    else (0 to s.length - 2).map(i => s.substring(i, i + 2)).distinct
-
-  private def lev2(a: String, b: String): Int = {
-    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
-      if (j == 0) i else if (i == 0) j else 0)
-    for (i <- 1 to a.length; j <- 1 to b.length)
-      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-    d(a.length)(b.length)
-  }
 
   /** Online entity resolution: a stream of names matched against a
     * FROZEN catalog within Levenshtein distance ≤ 2 — the serving-time
     * form of `q_fuzzy_join` (lookup against a master list, index built
-    * offline). The index is a broadcast gram → names map, CATALOG-
-    * bounded like any broadcast dimension; scoring is a stateless
-    * flatMap, so there is no stream state at all and duplicates never
-    * arise (per-probe candidates are deduped in the closure).
+    * offline). The catalog index is a PERSISTED (gram, cat_name)
+    * inverted-index DataFrame probed by a stream-static equi-join —
+    * the `decontaminateStreaming` pattern — so a 10⁷–10⁸-name entity
+    * catalog never rides the driver heap or an executor broadcast: the
+    * join broadcasts when the index is small and hash-partitions when
+    * it is not, exactly like the batch operator's gram-prefix join.
+    * Only the gram → df map is collected, and that is bounded by the
+    * character-bigram VOCABULARY (alphabet², ≈ thousands of entries),
+    * not by catalog size.
     *
-    * Candidate generation is one-sided pigeonhole, no shared gram
-    * order needed: ≤ k = 2 edits destroy ≤ k·q = 4 distinct 2-grams on
-    * EITHER side, so (a) a probe with ≥ 5 grams finds every match
-    * through any 5 of its own grams (at most 4 can miss), and (b) a
-    * probe with ≤ 4 grams emits them ALL, and any catalog name with
-    * ≥ 5 grams still lands ≥ 1 surviving gram inside that full set.
-    * Only the both-short case (both ≤ 5 chars) escapes — covered by
-    * the catalog's short block, exactly like the batch operator. Exact
-    * hits (lev 0) surface too: finding the record IS the lookup.
-    * StreamingDedupSpec pins parity with the batch self-join when the
-    * probe stream replays the catalog itself.
+    * Candidate generation is one-sided pigeonhole: ≤ k = 2 edits
+    * destroy ≤ k·q = 4 distinct 2-grams on EITHER side, so (a) a probe
+    * with ≥ 5 grams finds every match through ANY 5 of its own grams
+    * (at most 4 can miss — grams absent from the whole catalog count
+    * toward the 4, so df-ordering never costs recall), and (b) a probe
+    * with ≤ 4 grams emits them ALL, and any catalog name with ≥ 5
+    * grams still lands ≥ 1 surviving gram inside that full set. Only
+    * the both-short case (both ≤ 5 chars) escapes — covered by the
+    * catalog's short block, joined on a LENGTH-band key (|len diff|
+    * ≤ 2 explodes to ≤ 5 equi-keys) instead of a nested loop. The 5
+    * probe grams are the RAREST by catalog df (ties lexicographic),
+    * matching the batch operator's (df, gram) prefix order — a probe
+    * whose smallest grams are high-frequency no longer pulls
+    * catalog-sized candidate lists.
+    *
+    * There is NO stream state: duplicates are eliminated structurally
+    * — a (probe, candidate) pair sharing several probe grams survives
+    * only through the FIRST shared gram (a pure filter), and the short
+    * block keeps only pairs sharing NO chosen gram — so the union is
+    * exact without a stateful distinct. Exact hits (lev 0) surface
+    * too: finding the record IS the lookup. StreamingDedupSpec pins
+    * parity with the batch self-join when the probe stream replays the
+    * catalog itself, and pins the stream-static join shape.
     */
   def fuzzyMatchStreaming(nameStream: DataFrame, catalog: DataFrame): DataFrame = {
+    import graft.queries.RelationalQueries.gramsOf
     val spark = nameStream.sparkSession
-    import spark.implicits._
-    val (gramIdx, shortCat) = fuzzyIdxMemo.computeIfAbsent(catalog, c => {
-      val names = c.select(col("name")).distinct()
-        .collect().map(_.getString(0)).toSeq
-      val gi = names.flatMap(n => grams2(n).map(_ -> n))
-        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      (gi, names.filter(_.length <= 5))
+    val (gramIdx, shortIdx, gramDf) = fuzzyIdxMemo.computeIfAbsent(catalog, c => {
+      val names = c.select(col("name").as("cat_name")).distinct()
+      val gi = names
+        .select(col("cat_name"), explode(gramsOf(col("cat_name"))).as("gram"))
+        .persist()
+      val si = names.filter(length(col("cat_name")) <= 5)
+        .withColumn("cat_len", length(col("cat_name")))
+        .persist()
+      val df = gi.groupBy("gram").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (gi, si, df)
     })
-    val bcG = spark.sparkContext.broadcast(gramIdx)
-    val bcS = spark.sparkContext.broadcast(shortCat)
-    nameStream.select(col("name")).as[String].flatMap { n =>
-      val gs = grams2(n).sorted.take(5)
-      val viaGrams = gs.iterator.flatMap(g => bcG.value.getOrElse(g, Nil))
-      val viaShort = if (n.length <= 5) bcS.value.iterator else Iterator.empty
-      (viaGrams ++ viaShort).toSeq.distinct.iterator
-        .filter(cat => math.abs(cat.length - n.length) <= 2)
-        .map(cat => (n, cat, lev2(n, cat).toLong))
-        .filter(_._3 <= 2L)
-    }.toDF("probe_name", "cat_name", "lev")
+    val bcDf = spark.sparkContext.broadcast(gramDf)
+    // rarest-first prefix: the probe's ≤ 5 grams ordered by catalog df
+    // (ties lexicographic) — the batch operator's (gdf, gr) order
+    val chosen = udf { (n: String) =>
+      val gs = if (n == null || n.length < 2) Seq.empty[String]
+        else (0 to n.length - 2).map(i => n.substring(i, i + 2)).distinct
+      gs.sortBy(g => (bcDf.value.getOrElse(g, 0L), g)).take(5)
+    }
+    val probes = nameStream.select(col("name"))
+      .withColumn("pg", chosen(col("name")))
+    // stream-static equi-join on gram; a pair sharing several chosen
+    // grams survives only via the FIRST shared one (stateless dedup)
+    val viaGrams = probes
+      .select(col("name"), col("pg"), explode(col("pg")).as("gram"))
+      .join(gramIdx, Seq("gram"))
+      .where(element_at(
+        filter(col("pg"), g => array_contains(gramsOf(col("cat_name")), g)),
+        1) === col("gram"))
+      .select(col("name"), col("cat_name"))
+    // both-short block: length-band equi-join (≤ 5 keys per probe);
+    // pairs already reachable through a shared chosen gram are left to
+    // the gram branch, so the union stays duplicate-free
+    val viaShort = probes.filter(length(col("name")) <= 5)
+      .select(col("name"), col("pg"),
+        explode(sequence(greatest(length(col("name")) - 2, lit(1)),
+          length(col("name")) + 2)).as("cat_len"))
+      .join(shortIdx, Seq("cat_len"))
+      .where(!arrays_overlap(col("pg"), gramsOf(col("cat_name"))))
+      .select(col("name"), col("cat_name"))
+    viaGrams.unionByName(viaShort)
+      .filter(abs(length(col("name")) - length(col("cat_name"))) <= 2)
+      .select(col("name").as("probe_name"), col("cat_name"),
+        levenshtein(col("name"), col("cat_name"), 2).cast("long").as("lev"))
+      .filter(col("lev") >= 0)
   }
 
   /** Stream-stream interval join: purchases matched to same-user

@@ -80,6 +80,31 @@ class BenchSpec extends SparkSpec {
     assert(detail.contains("\"bench_variants\":[\"multimodal_frame_sample\",\"multimodal_video_neardup\"]"))
   }
 
+  test("a gauge-flagged window rides both artifacts as gauge_flagged:true") {
+    val rs = Seq(("text_stats", 0.2, 0.12), ("q_filter_pushdown", 0.3, 0.25))
+    assert(Bench.gaugeFlagged(rs)) // 0.25 > the 0.21 clean bound
+    val line = Bench.compactLine(rs, "/sf", partial = false, "d.json", flagged = true)
+    assert(parsable(line)("gauge_flagged") == true)
+    assert(Bench.detailJson(rs, "/sf", partial = false, flagged = true)
+      .contains("\"gauge_flagged\":true"))
+    // a clean window emits no flag at all
+    val clean = Seq(("text_stats", 0.2, 0.10), ("q_filter_pushdown", 0.3, 0.15))
+    assert(!Bench.gaugeFlagged(clean))
+    assert(!Bench.compactLine(clean, "/sf", partial = false, "d.json")
+      .contains("gauge_flagged"))
+  }
+
+  test("the clean-window reference parses the committed BENCH_CLEAN.json") {
+    val ref = Bench.cleanRef()
+    assert(ref.nonEmpty, "BENCH_CLEAN.json must be committed at the repo root")
+    // every baseline query has a clean reference time to compare against
+    assert(Bench.baselineSet.forall(ref.contains),
+      (Bench.baselineSet -- ref.keySet).toString)
+    assert(ref.values.forall(v => v > 0 && v < 60))
+    // a missing file disables only the re-measure trigger, never crashes
+    assert(Bench.cleanRef("/nonexistent/path.json").isEmpty)
+  }
+
   test("verify dumps cheapest families first so a kill loses only the tail") {
     val order = Verify.dumpOrder(SparkEntry.queries.keys.toSeq)
     def famIdx(prefix: String): Seq[Int] =

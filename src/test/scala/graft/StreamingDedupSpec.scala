@@ -365,4 +365,122 @@ class StreamingDedupSpec extends SparkSpec {
         s"diff=${(gotPairs diff batch) ++ (batch diff gotPairs)}")
     } finally q.stop()
   }
+
+  test("streaming prefix-truncation replaying the corpus == batch pair set") {
+    implicit val sql = spark.sqlContext
+    val t0 = ts("2024-01-01 00:00:00")
+    val base = "prefix truncation fixture body " * 3 // 93 chars ≥ 32
+    val synth = Seq(
+      (900001L, base),
+      (900002L, base + " plus an extension tail"),
+      (900003L, base + " plus an extension tail and more")
+    ).toDF("doc_id", "text").withColumn("n_chars", length($"text").cast("long"))
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text", $"n_chars").unionByName(synth)
+    val batch = DedupQueries.prefixTruncationPairs(corpus)
+      .select("short_id", "long_id").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty) // the synthetic chain guarantees pairs
+    val replay = corpus.select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)].collect().toSeq
+    val in = MemoryStream[(Long, String, Long, Timestamp)]
+    val q = prefixTruncationStreaming(
+        in.toDF().toDF("doc_id", "text", "n_chars", "ts"), corpus)
+      .writeStream.outputMode("append").format("memory").queryName("ptrunc_out").start()
+    try {
+      val (b1, b2) = replay.splitAt(replay.size / 2)
+      in.addData(b1.map { case (id, t, n) => (id, t, n, t0) }: _*); q.processAllAvailable()
+      in.addData(b2.map { case (id, t, n) => (id, t, n, t0) }: _*); q.processAllAvailable()
+      val streamed = spark.table("ptrunc_out")
+        .select("relation", "doc_id", "peer_id")
+        .as[(String, Long, Long)].collect().toSet
+      // arrival-centric rows → unordered (short, long) pairs; each
+      // batch pair surfaces from BOTH ends of the replay
+      val pairs = streamed.map {
+        case ("prefix_of", id, peer) => (id, peer)
+        case ("extends", id, peer)   => (peer, id)
+        case other                   => fail(s"unexpected relation: $other")
+      }
+      assert(pairs == batch, s"diff=${(pairs diff batch) ++ (batch diff pairs)}")
+      assert(streamed.size == 2 * batch.size, "each pair must emit from both ends")
+    } finally q.stop()
+  }
+
+  test("streaming SNM replaying the corpus == batch sorted-neighborhood pairs") {
+    implicit val sql = spark.sqlContext
+    val t0 = ts("2024-01-01 00:00:00")
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text", $"n_chars")
+    val batch = DedupQueries.queries("dedup_sorted_neighborhood")(spark, sf0001)
+      .select("doc_a", "doc_b", "jac").as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+    val replay = corpus.as[(Long, String, Long)].collect().toSeq
+    val in = MemoryStream[(Long, String, Long, Timestamp)]
+    val q = snmStreaming(
+        in.toDF().toDF("doc_id", "text", "n_chars", "ts"), corpus)
+      .writeStream.outputMode("append").format("memory").queryName("snm_out").start()
+    try {
+      val (b1, b2) = replay.splitAt(replay.size / 2)
+      in.addData(b1.map { case (id, t, n) => (id, t, n, t0) }: _*); q.processAllAvailable()
+      in.addData(b2.map { case (id, t, n) => (id, t, n, t0) }: _*); q.processAllAvailable()
+      val streamed = spark.table("snm_out")
+        .select("doc_id", "peer_id", "jac").as[(Long, Long, Double)].collect().toSet
+      val pairs = streamed.map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }
+      assert(pairs == batch, s"diff=${(pairs diff batch) ++ (batch diff pairs)}")
+    } finally q.stop()
+  }
+
+  test("streaming SNM flags a NEW arrival against its frozen-corpus rank neighborhood") {
+    implicit val sql = spark.sqlContext
+    val t0 = ts("2024-01-01 00:00:00")
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text", $"n_chars")
+    // perturb one mid token of the longest corpus doc: head/tail sort
+    // keys survive, so the arrival lands in the victim's blocks and
+    // must verify against it at τ = 0.8
+    val (vid, vtext) = corpus.orderBy($"n_chars".desc, $"doc_id")
+      .select($"doc_id", $"text").as[(Long, String)].head()
+    val toks = vtext.split(" ")
+    assume(toks.length >= 20, "need a long doc for a high-jac perturbation")
+    toks(toks.length / 2) = "PERTURBED"
+    val probe = toks.mkString(" ")
+    val in = MemoryStream[(Long, String, Long, Timestamp)]
+    val q = snmStreaming(
+        in.toDF().toDF("doc_id", "text", "n_chars", "ts"), corpus)
+      .writeStream.outputMode("append").format("memory").queryName("snm_new_out").start()
+    try {
+      in.addData((999999L, probe, probe.length.toLong, t0))
+      q.processAllAvailable()
+      val got = spark.table("snm_new_out")
+        .select("doc_id", "peer_id", "jac").as[(Long, Long, Double)].collect()
+      assert(got.exists(r => r._1 == 999999L && r._2 == vid && r._3 >= 0.8),
+        s"arrival must match its perturbed source: ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming fuzzy match probes a distributed index via stream-static equi-joins") {
+    implicit val sql = spark.sqlContext
+    val catalog = Tables.load(spark, sf0001, "part")
+      .select(col("p_name").as("name")).distinct()
+    val in = MemoryStream[String]
+    val out = fuzzyMatchStreaming(in.toDF().toDF("name"), catalog)
+    // logical shape: two stream-static joins (gram branch + short
+    // block), no driver-side materialization of catalog names
+    val joins = out.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 2, out.queryExecution.analyzed.toString)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("fuzzy_plan_out").start()
+    try {
+      in.addData("chartreuse lavender steel powder wheat")
+      q.processAllAvailable()
+      // physical shape of the micro-batch: equi-joins only — candidate
+      // generation must never degrade to all-pairs against the catalog
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!exec.contains("CartesianProduct") &&
+        !exec.contains("BroadcastNestedLoopJoin"), exec)
+      assert(exec.contains("gram"), exec)
+    } finally q.stop()
+  }
 }

@@ -890,6 +890,56 @@ class TextDedupSpec extends SparkSpec {
       "composed key must confine pairs to one length band")
   }
 
+  test("global-order SNM catches near-dups straddling adjacent distinct keys; block form misses them") {
+    def doc(id: Long, text: String) = (id, text, text.length.toLong)
+    val mid = (1 to 26).map(i => f"w$i%02d").mkString(" ")
+    // a near-dup pair (3-gram jaccard 25/31 ≈ 0.806) perturbed in BOTH
+    // sort keys: head "aaa bbb" vs "aaa bbc", tail "yya zzz" vs
+    // "yyb zzz" — every (pass, skey) block is a singleton, so the
+    // equal-key form cannot compare them; in the GLOBAL sort order the
+    // two keys are lexicographic neighbors, so the sliding window does
+    val d = Seq(
+      doc(1, s"aaa bbb $mid zzz yya"),
+      doc(2, s"aaa bbc $mid zzz yyb"),
+      doc(3, "mmm nnn entirely different words here ooo ppp"),
+      doc(4, "qqq rrr other unrelated content again sss ttt")
+    ).toDF("doc_id", "text", "n_chars")
+    val block = DedupQueries.snmCandidates(d).as[(Long, Long)].collect().toSet
+    val global = DedupQueries.snmGlobalCandidates(d).as[(Long, Long)].collect().toSet
+    assert(!block.contains((1L, 2L)),
+      s"equal-key form should miss the straddling pair by construction: $block")
+    assert(global.contains((1L, 2L)),
+      s"global-order window must catch the straddling pair: $global")
+    // the documented jac of the pair really is over the τ=0.8 bar
+    def grams3(t: String) =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (ga, gb) = (grams3(s"aaa bbb $mid zzz yya"), grams3(s"aaa bbc $mid zzz yyb"))
+    val jac = (ga & gb).size.toDouble / (ga | gb).size.toDouble
+    assert(jac >= 0.8, s"fixture must be a genuine near-dup: jac=$jac")
+    // volume bound holds for the global form too: ≤ w−1 successors per
+    // row per pass
+    val w = DedupQueries.SnmWindow
+    assert(global.size <= 2 * 4 * (w - 1))
+  }
+
+  test("global-order SNM equals the block form when every neighborhood shares one key") {
+    def doc(id: Long, text: String) = (id, text, text.length.toLong)
+    // one shared head key and one shared tail key per cluster, corpus
+    // small enough that each block IS the whole neighborhood — the two
+    // forms must then emit identical verified-candidate sets
+    val d = Seq(
+      doc(1, "shared head one two three four alpha"),
+      doc(2, "shared head one two three four beta"),
+      doc(3, "gamma one two three four shared tail"),
+      doc(4, "delta one two three four shared tail")
+    ).toDF("doc_id", "text", "n_chars")
+    val block = DedupQueries.snmCandidates(d).as[(Long, Long)].collect().toSet
+    val global = DedupQueries.snmGlobalCandidates(d).as[(Long, Long)].collect().toSet
+    assert(block.subsetOf(global), s"global order can only ADD boundary pairs: " +
+      s"block=$block global=$global")
+    assert(block.contains((1L, 2L)) && block.contains((3L, 4L)))
+  }
+
   test("SNM-edge survivors equal exact-edge survivors on the harness corpus") {
     // holds because SNM recall is 1.0 here (the audit test pins that);
     // on a corpus where SNM missed pairs the two would diverge — which
