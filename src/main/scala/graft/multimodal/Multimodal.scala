@@ -191,47 +191,82 @@ object Multimodal {
       3135L, -7568L, 7568L, -3135L, -3135L, 7568L, -7568L, 3135L,
       1598L, -4551L, 6811L, -8035L, 8035L, -6811L, 4551L, -1598L)
 
-    /** pHash (DCT perceptual hash, the classic algorithm at reduced
-      * grid): 64 resampled payload bytes as an 8×8 matrix → 2-D
-      * fixed-point DCT-II → the 15 lowest-frequency coefficients
-      * (u, w ∈ [0,4)² with DC dropped — DC is mean brightness, which
-      * pHash deliberately ignores) → bit i = coefficient above the
-      * median of the 15. DCT magnitude structure survives the
-      * re-encode / resize / brightness shifts that flip aHash's
-      * per-point bits; every step is integer arithmetic on the
-      * literal [[DctCos]] table, so the oracle replays signatures
-      * exactly. A real build runs the same transform over decoded
-      * 32×32 luma; the signature→near-dup plumbing downstream is
-      * codec-independent. */
-    def phashBatch(batch: Seq[MediaRecord]): Seq[MediaPHash] = {
+    /** "Decode" a batch to a side×side luma grid — the codec-contract
+      * method a real build implements with an image decoder + scaler.
+      * The fake format: pixel bytes run up to the first 0x00, which
+      * opens an ignored container trailer (encoder metadata, padding —
+      * what a real decoder discards); luma is the unsigned pixel byte,
+      * nearest-neighbor-resampled to the grid. Stripping the trailer
+      * is what makes the decoded path RE-ENCODE INVARIANT: two
+      * encodings of the same pixel stream (different trailers) decode
+      * to the identical grid, so every downstream signature agrees —
+      * MultimodalSpec pins it. Records with an empty pixel section
+      * carry no signal and are skipped. */
+    def decodeLumaBatch(batch: Seq[MediaRecord], side: Int = 32): Seq[MediaLuma] = {
       batchCalls.incrementAndGet()
+      val out = side * side
       batch.flatMap { r =>
         val bs = r.data
-        val n = bs.length
-        if (n == 0) None
-        else {
-          val v = Array.tabulate(64)(k =>
-            java.lang.Byte.toUnsignedLong(bs((k.toLong * n / 64).toInt)))
-          val coef = (for {
-            u <- 0 until 4; w <- 0 until 4 if u != 0 || w != 0
-          } yield {
-            var sum = 0L
-            var k = 0
-            while (k < 64) {
-              sum += v(k) * DctCos(8 * u + k / 8) * DctCos(8 * w + k % 8)
-              k += 1
-            }
-            sum
-          }).toArray
-          val med = coef.sorted.apply(7) // true median of the 15
-          var sig = 0L
+        var m = 0
+        while (m < bs.length && bs(m) != 0) m += 1
+        if (m == 0) None
+        else Some(MediaLuma(r.media_id, Array.tabulate(out)(k =>
+          java.lang.Byte.toUnsignedLong(bs((k.toLong * m / out).toInt)))))
+      }
+    }
+
+    /** pHash (DCT perceptual hash) over the DECODED 32×32 luma grid
+      * ([[decodeLumaBatch]]): the grid is average-pooled 4×4 → an 8×8
+      * matrix of cell SUMS (dividing by 16 would scale every
+      * coefficient equally and move no bit, so the integer sums stay
+      * exact) → 2-D fixed-point DCT-II → the 15 lowest-frequency
+      * coefficients (u, w ∈ [0,4)² with DC dropped — DC is mean
+      * brightness, which pHash deliberately ignores) → bit i =
+      * coefficient above the median of the 15. DCT magnitude
+      * structure survives the re-encode / resize / brightness shifts
+      * that flip aHash's per-point bits — and because the transform
+      * now runs on the decoded grid, trailer-only re-encodes are
+      * bit-identical by construction. Every step is integer
+      * arithmetic on the literal [[DctCos]] table, so the oracle
+      * replays signatures exactly.
+      *
+      * Oracle parity note: the DuckDB oracle samples CHARACTERS
+      * (`ascii(substring(…))`) while this side samples payload BYTES,
+      * and it takes the whole text as the pixel section — both hold
+      * on this corpus because the harness payloads are ASCII with no
+      * NUL (byte == character, trailer absent). The spec proves the
+      * trailer/decode behavior on synthetic payloads where they DO
+      * diverge. */
+    def phashBatch(batch: Seq[MediaRecord]): Seq[MediaPHash] = {
+      decodeLumaBatch(batch).map { lr =>
+        val luma = lr.luma
+        val v = Array.tabulate(64) { k =>
+          val r0 = (k / 8) * 4
+          val c0 = (k % 8) * 4
+          var s = 0L
           var i = 0
-          while (i < 15) {
-            if (coef(i) > med) sig |= (1L << i)
-            i += 1
-          }
-          Some(MediaPHash(r.media_id, sig))
+          while (i < 16) { s += luma((r0 + i / 4) * 32 + c0 + i % 4); i += 1 }
+          s
         }
+        val coef = (for {
+          u <- 0 until 4; w <- 0 until 4 if u != 0 || w != 0
+        } yield {
+          var sum = 0L
+          var k = 0
+          while (k < 64) {
+            sum += v(k) * DctCos(8 * u + k / 8) * DctCos(8 * w + k % 8)
+            k += 1
+          }
+          sum
+        }).toArray
+        val med = coef.sorted.apply(7) // true median of the 15
+        var sig = 0L
+        var i = 0
+        while (i < 15) {
+          if (coef(i) > med) sig |= (1L << i)
+          i += 1
+        }
+        MediaPHash(lr.media_id, sig)
       }
     }
   }
@@ -347,6 +382,11 @@ object Multimodal {
   case class MediaPHash(
       media_id: Long,
       phash: Long)
+
+  /** One decoded luma grid (side² unsigned samples, row-major). */
+  case class MediaLuma(
+      media_id: Long,
+      luma: Array[Long])
 
   /** One resized record: target dims + resampled payload summary. */
   case class ResizedMedia(

@@ -239,7 +239,18 @@ object MultimodalQueries {
         .join(da, "sha").join(db, "shb")
         .select(least(col("ida"), col("idb")).as("media_a"),
           greatest(col("ida"), col("idb")).as("media_b"), col("ham"))
-      val same = d.select(col("media_id").as("ida"), col("phash"))
+      // equal-signature (ham = 0) pairs ride the SAME anchor rail as
+      // the cross branch: with only 2¹⁵ signatures a large corpus
+      // concentrates many media per signature, and an uncapped
+      // self-join grows quadratically per group — anchors (the cap
+      // smallest ids per signature) pair with every member, so each
+      // duplicate still surfaces through ≥ 1 anchor, mirrored in the
+      // oracle
+      val same = d.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("phash").orderBy("media_id")))
+        .filter(col("rk") <= graft.queries.DedupQueries.LshBucketCap)
+        .select(col("media_id").as("ida"), col("phash"))
         .join(d.select(col("media_id").as("idb"), col("phash")), "phash")
         .filter(col("ida") < col("idb"))
         .select(col("ida").as("media_a"), col("idb").as("media_b"), lit(0L).as("ham"))
@@ -359,13 +370,23 @@ object MultimodalQueries {
     "multimodal_phash_dedup" -> {
       val ctList = graft.multimodal.Multimodal.FakeCodec.DctCos
         .map(v => s"CAST($v AS BIGINT)").mkString("[", ", ", "]")
+      // decoded path: the fake decoder's pixel section is the whole
+      // text on this corpus (ASCII, no NUL trailer — the codec-side
+      // assumption phashBatch documents), resampled to a 32×32 luma
+      // grid then 4×4 average-pooled as integer SUMS (÷16 would scale
+      // all coefficients equally and move no bit): pooled cell k of 64
+      // sums luma[(4·(k/8) + t/4)·32 + 4·(k%8) + t%4] for t ∈ [0,16)
       s"""WITH d AS (
          |  SELECT doc_id AS media_id, text, length(text) AS n
          |  FROM documents WHERE length(text) > 0),
          |v AS (
          |  SELECT media_id,
-         |         list_transform(range(0, 64),
-         |           k -> CAST(ascii(substring(text, CAST(k * n // 64 AS INTEGER) + 1, 1)) AS BIGINT)) AS vs
+         |         list_transform(range(0, 64), k ->
+         |           list_reduce(list_transform(range(0, 16), t ->
+         |             CAST(ascii(substring(text,
+         |               CAST(((4*(k//8) + t//4) * 32 + 4*(k%8) + t%4) * n // 1024 AS INTEGER) + 1,
+         |               1)) AS BIGINT)),
+         |             (a, b) -> a + b)) AS vs
          |  FROM d),
          |ctab AS (SELECT $ctList AS ct),
          |co AS (
@@ -391,11 +412,16 @@ object MultimodalQueries {
          |                       THEN CAST(pow(2, co.u * 4 + co.w - 1) AS BIGINT)
          |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
          |  FROM co JOIN med ON co.media_id = med.media_id
-         |  GROUP BY co.media_id)
+         |  GROUP BY co.media_id),
+         |r AS (
+         |  SELECT media_id, sig,
+         |         row_number() OVER (PARTITION BY sig ORDER BY media_id) AS rn
+         |  FROM sg)
          |SELECT a.media_id AS media_a, b.media_id AS media_b,
          |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS ham
-         |FROM sg a JOIN sg b ON a.media_id < b.media_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= 2""".stripMargin
+         |FROM r a JOIN r b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 2
+         |  AND (a.sig <> b.sig OR a.rn <= 1024)""".stripMargin
     }
   )
 }

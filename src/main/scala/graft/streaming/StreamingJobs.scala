@@ -672,10 +672,14 @@ object StreamingJobs {
   case class RsEvent(event_type: String, ts: Timestamp, value: Double, event_id: Long)
 
   /** Per-type resampler state: the last FINALIZED anchor and the still-
-    * open minutes' (max event_id, its value) picks. Bounded by the
-    * lateness window: a minute finalizes as soon as the watermark
-    * passes its end, so `open` never holds more than
-    * lateness/1min + 1 entries. */
+    * open minutes' (max event_id, its value) picks. In STEADY STATE
+    * `open` holds ≤ lateness/1min + 1 entries — a minute finalizes as
+    * soon as the watermark passes its end — but the watermark only
+    * advances BETWEEN micro-batches, so a single backfill batch
+    * spanning hours leaves every minute of that span open (per type)
+    * until the next batch: transient state is batch-span-bounded, not
+    * lateness-bounded. Correctness is unaffected; size the trigger
+    * interval (or pre-split backfills) when replaying history. */
   case class RsState(lastMin: Long, lastVal: Double, open: Map[Long, (Long, Double)])
 
   /** One emitted grid row (is_filled = 1 for interpolated minutes). */

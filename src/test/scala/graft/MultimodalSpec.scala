@@ -138,6 +138,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pHash runs over the DECODED luma grid: trailer-only re-encodes are bit-identical") {
+    def rec(id: Long, bs: Array[Byte]) = MediaRecord(id, "image", bs, "m", 1, 1)
+    def sig(bs: Array[Byte]): Long =
+      FakeCodec.phashBatch(Seq(rec(1L, bs))).head.phash
+    val pixels = "structured ascii payload standing in for pixel bytes 0123456789"
+      .getBytes("UTF-8")
+    // the same "image" re-encoded with a different container trailer
+    // (everything after the first 0x00 is encoder metadata the decoder
+    // strips) must hash identically — the decoded-path contract
+    val reencodedA = pixels ++ Array[Byte](0) ++ "exif-ish junk".getBytes("UTF-8")
+    val reencodedB = pixels ++ Array[Byte](0, 0, 7, 7, 7)
+    assert(sig(reencodedA) == sig(pixels), "trailer must not move the signature")
+    assert(sig(reencodedB) == sig(pixels), "any trailer must decode away")
+    // the decoder really produces a 32×32 grid from the pixel section only
+    val grid = FakeCodec.decodeLumaBatch(Seq(rec(2L, reencodedA))).head
+    assert(grid.luma.length == 1024)
+    assert(grid.luma.forall(v => v >= 1 && v <= 255), "trailer bytes must never leak in")
+    // a record that is ALL trailer (empty pixel section) is skipped
+    assert(FakeCodec.phashBatch(Seq(rec(3L, Array[Byte](0, 42, 42)))).isEmpty)
+  }
+
   test("phash near-dup query equals brute force over signatures (pigeonhole recall-exact)") {
     val docs = Tables.load(spark, sf0001, "documents")
     val sigs = MediaPipeline.perceptualDctHashes(spark, docs).collect()
