@@ -1112,6 +1112,50 @@ object DedupQueries {
         .select("doc_a", "doc_b", "jac")
     }),
 
+    // EXACT-SUBSTRING dedup (the ExactSubstr shape of Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better"):
+    // every MAXIMAL token span that appears more than once in the
+    // corpus (across docs or repeated within one), at L = 8 token
+    // granularity — the spans a training pipeline cuts out rather
+    // than dropping whole documents. Where the suffix-array original
+    // is a single-machine construction, this is the linear-shuffle
+    // form: any duplicated span of ≥ L tokens contains a duplicated
+    // L-gram at EVERY offset, so (1) explode each doc's L-gram
+    // hashes with offsets (O(total tokens) rows), (2) keep hashes
+    // with corpus count > 1 (map-combined aggregate — a boilerplate
+    // gram is one combiner cell, never a pair join; the occurrence
+    // join back is AQE-skew-splittable), (3) merge each doc's
+    // surviving offsets into maximal islands with one per-doc
+    // gaps-and-islands window. NO pair join anywhere — output volume
+    // is O(duplicated tokens), the only dedup operator here whose
+    // cost cannot go quadratic under ANY corpus.
+    "dedup_exact_substring" -> ((s, dir) => {
+      val L = ExactSubstrL
+      val d = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= L)
+      val occ = d
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - lit(L - 1))).as("o"))
+        .select(col("doc_id"), col("o"),
+          md5(concat_ws(" ", slice(col("toks"), col("o"), lit(L)))).as("gh"))
+      val dup = occ.groupBy("gh").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select("gh")
+      val w = Window.partitionBy("doc_id").orderBy("o")
+      occ.join(dup, "gh")
+        .withColumn("prev_end",
+          max(col("o") + lit(L)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("prev_end").isNull || col("o") > col("prev_end"), 1L).otherwise(0L))
+        .withColumn("isl",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("o")).cast("long").as("span_start"),
+          (max(col("o")) + lit(L)).cast("long").as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start")).as("span_tokens"))
+    }),
+
     // classic (global-order) sorted neighborhood: the window slides
     // across the GLOBAL (pass, skey, n_chars, doc_id) sort, catching
     // near-boundary pairs under adjacent-but-distinct keys that the
@@ -1130,6 +1174,13 @@ object DedupQueries {
 
   /** SNM sliding-window width (pairs per doc per pass ≤ w−1). */
   private[graft] val SnmWindow = 5
+
+  /** ExactSubstr span granularity in tokens: duplicated spans shorter
+    * than L are invisible, spans ≥ L are found EXACTLY (every offset
+    * of such a span carries a duplicated L-gram). Lee et al. use 50
+    * BPE tokens at web scale; 8 fits this corpus's document lengths
+    * and matches the dedup_common_spans span width. */
+  private[graft] val ExactSubstrL = 8
 
   /** Strict-prefix (truncation) pairs over a (doc_id, text, n_chars)
     * frame — the dedup_prefix_truncation body (see its scaladoc). */
@@ -1660,6 +1711,37 @@ object DedupQueries {
     "dedup_snm_global" ->
       s"""WITH $snmGlobalVerifiedCtes
          |SELECT doc_a, doc_b, jac FROM v WHERE jac >= 0.8""".stripMargin,
+
+    // same md5'd 8-token grams, same corpus-count > 1 survival, same
+    // per-doc gaps-and-islands merge (o > prev running max end breaks)
+    "dedup_exact_substring" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+        |occ AS (
+        |  SELECT doc_id, toks, unnest(range(1, n - 6)) AS o FROM tk),
+        |g AS (
+        |  SELECT doc_id, o,
+        |         md5(list_aggregate(toks[CAST(o AS INTEGER):CAST(o + 7 AS INTEGER)],
+        |           'string_agg', ' ')) AS gh
+        |  FROM occ),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+        |m AS (SELECT g.doc_id, g.o FROM g JOIN dup ON g.gh = dup.gh),
+        |i AS (
+        |  SELECT doc_id, o,
+        |         max(o + 8) OVER (PARTITION BY doc_id ORDER BY o
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM m),
+        |c AS (
+        |  SELECT doc_id, o,
+        |         sum(CASE WHEN prev_end IS NULL OR o > prev_end THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY o) AS isl
+        |  FROM i)
+        |SELECT doc_id, CAST(min(o) AS BIGINT) AS span_start,
+        |       CAST(max(o) + 8 AS BIGINT) AS span_end,
+        |       CAST(max(o) + 8 - min(o) AS BIGINT) AS span_tokens
+        |FROM c GROUP BY doc_id, isl""".stripMargin,
 
     // recursive reachability over the SNM-verified edge set — exact
     // replay of the generator (no recall assumption borrowed from the

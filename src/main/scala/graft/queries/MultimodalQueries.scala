@@ -255,7 +255,20 @@ object MultimodalQueries {
         .filter(col("ida") < col("idb"))
         .select(col("ida").as("media_a"), col("idb").as("media_b"), lit(0L).as("ham"))
       cross.unionByName(same)
-    })
+    }),
+
+    // survivor selection over the pHash near-dup graph — the
+    // multimodal twin of dedup_survivors: transitive ham ≤ 2 clusters
+    // (re-encodes of re-encodes) collapse to one canonical media_id
+    // via the shared memoized pointer-jumping CC; shuffles are sized
+    // by the PAIR GRAPH, never the media corpus
+    "multimodal_phash_survivors" -> ((s, dir) =>
+      memoized(s, dir, "phash_cc")(
+        graft.ops.Graph.connectedComponents(
+          queries("multimodal_phash_dedup")(s, dir)
+            .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+          .select(col("node").as("media_id"), col("rep"))
+          .persist()))
   )
 
   val oracles: Map[String, String] = Map(
@@ -422,6 +435,68 @@ object MultimodalQueries {
          |FROM r a JOIN r b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 2
          |  AND (a.sig <> b.sig OR a.rn <= 1024)""".stripMargin
+    },
+
+    // recursive reachability over the pHash ham ≤ 2 pair set — the
+    // signature + capped-pair chain replayed verbatim, then the same
+    // least-id component labeling as the dedup survivor oracles
+    "multimodal_phash_survivors" -> {
+      val ctList = graft.multimodal.Multimodal.FakeCodec.DctCos
+        .map(v => s"CAST($v AS BIGINT)").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id AS media_id, text, length(text) AS n
+         |  FROM documents WHERE length(text) > 0),
+         |v AS (
+         |  SELECT media_id,
+         |         list_transform(range(0, 64), k ->
+         |           list_reduce(list_transform(range(0, 16), t ->
+         |             CAST(ascii(substring(text,
+         |               CAST(((4*(k//8) + t//4) * 32 + 4*(k%8) + t%4) * n // 1024 AS INTEGER) + 1,
+         |               1)) AS BIGINT)),
+         |             (a, b) -> a + b)) AS vs
+         |  FROM d),
+         |ctab AS (SELECT $ctList AS ct),
+         |co AS (
+         |  SELECT v.media_id, u.u, w.w,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(0, 64), k ->
+         |             vs[CAST(k AS INTEGER) + 1]
+         |               * ct[CAST(8*u.u + k//8 AS INTEGER) + 1]
+         |               * ct[CAST(8*w.w + (k%8) AS INTEGER) + 1])),
+         |           (a, b) -> a + b) AS coef
+         |  FROM v CROSS JOIN ctab
+         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS u) u
+         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS w) w
+         |  WHERE NOT (u.u = 0 AND w.w = 0)),
+         |med AS (
+         |  SELECT media_id, coef AS m FROM (
+         |    SELECT media_id, coef,
+         |           row_number() OVER (PARTITION BY media_id ORDER BY coef) AS rn
+         |    FROM co) WHERE rn = 8),
+         |sg AS (
+         |  SELECT co.media_id,
+         |         CAST(sum(CASE WHEN co.coef > med.m
+         |                       THEN CAST(pow(2, co.u * 4 + co.w - 1) AS BIGINT)
+         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+         |  FROM co JOIN med ON co.media_id = med.media_id
+         |  GROUP BY co.media_id),
+         |r AS (
+         |  SELECT media_id, sig,
+         |         row_number() OVER (PARTITION BY sig ORDER BY media_id) AS rn
+         |  FROM sg),
+         |pp AS (
+         |  SELECT a.media_id AS media_a, b.media_id AS media_b
+         |  FROM r a JOIN r b ON a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2
+         |    AND (a.sig <> b.sig OR a.rn <= 1024)),
+         |e AS (SELECT media_a AS src, media_b AS dst FROM pp
+         |      UNION SELECT media_b, media_a FROM pp),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r2.src, e2.dst FROM reach r2 JOIN e e2 ON r2.dst = e2.src)
+         |SELECT src AS media_id, least(src, min(dst)) AS rep
+         |FROM reach GROUP BY src""".stripMargin
     }
   )
 }

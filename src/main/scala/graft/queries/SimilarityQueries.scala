@@ -582,6 +582,33 @@ object SimilarityQueries {
         .select("query_id", "neighbor_id", "cos", "rank")
     }),
 
+    // corpus-wide k-NN GRAPH (the all-pairs analogue of the ANN
+    // queries, and the input artifact of graph-based indexes and
+    // SemDeDup-style clustering): top-4 cosine neighbors for EVERY
+    // corpus vector, sharded through the same IVF bootstrap as
+    // dedup_semantic — each vector ranks only its own bucket
+    // (Σ_cluster n² comparisons, tunable via k like the semantic
+    // dedup; never the Θ(n²) full cross). Ranking orders by the
+    // 6-dp-ROUNDED cosine then neighbor id, so the rank is stable
+    // across engines wherever last-ulp fold order could differ —
+    // the same determinism contract every sim query here follows.
+    "sim_knn_graph" -> ((s, dir) => {
+      val (vs, assign, _) = ivfParts(s, dir, k = 16, nprobe = 4)
+      val assigned = vs.select(col("vec_id"), col("v"), col("nrm"), assign.as("bucket"))
+      val a = assigned.select(col("bucket"), col("vec_id"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = assigned.select(col("bucket"), col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .withColumn("cos", round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 4)
+        .select("vec_id", "rank", "neighbor_id", "cos")
+    }),
+
     // product-quantization ANN (Jégou et al., "Product Quantization for
     // Nearest Neighbor Search"): 64 dims → 8 subspaces × 16 centroids,
     // so each corpus vector compresses to an 8-nibble code and the scan
@@ -1289,6 +1316,24 @@ object SimilarityQueries {
     "sim_ann_lsh" -> lshOracle,
     "sim_ann_lsh_multiprobe" -> lshMultiprobeOracle,
     "sim_ann_ivf" -> ivfOracle,
+
+    // same IVF bootstrap assignment, same within-bucket exact cosine,
+    // same rounded-then-ranked determinism contract
+    "sim_knn_graph" ->
+      s"""WITH ${ivfAssignCtes},
+         |pr AS (
+         |  SELECT x.vec_id, y.vec_id AS neighbor_id,
+         |         round(list_reduce(list_prepend(0.0,
+         |                 list_transform(range(1, 65), i -> xn.v[i] * yn.v[i])), (p, q) -> p + q)
+         |               / (xn.nrm * yn.nrm), 6) AS cos
+         |  FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+         |  JOIN n xn ON xn.vec_id = x.vec_id
+         |  JOIN n yn ON yn.vec_id = y.vec_id)
+         |SELECT vec_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cos FROM (
+         |  SELECT vec_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM pr)
+         |WHERE rk <= 4""".stripMargin,
 
     "sim_ann_pq" -> pqOracle,
     "sim_ann_ivfpq" -> ivfpqOracle,

@@ -432,6 +432,72 @@ object StreamingJobs {
         greatest(col("n_chars"), col("peer_chars")).as("long_chars"))
   }
 
+  /** Memoized distinct corpus L-gram-hash index per corpus frame
+    * (reference identity, like [[cdcIdxMemo]]). Cleared via
+    * [[graft.model.Caches]]. */
+  private val exsubIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, DataFrame]()
+  graft.model.Caches.register(() => exsubIdxMemo.clear())
+
+  /** Streaming exact-substring screen — the ingest-time form of
+    * `dedup_exact_substring` (the ExactSubstr shape): each arriving
+    * document reports the MAXIMAL token spans (≥ L = 8 tokens) it
+    * shares verbatim with the stored corpus — the spans an
+    * incremental crawl cuts before writing, instead of re-running the
+    * batch pass. The corpus is indexed ONCE as its distinct L-gram
+    * hash set; candidate offsets are a stateless stream-static
+    * LEFT SEMI equi-join of the arrival's exploded (offset, gram
+    * hash) rows against that index — shuffle moves arrivals, never
+    * the corpus, and there is no pair join (same linearity as the
+    * batch operator). Surviving offsets merge into maximal islands
+    * per arrival: a watermark-bounded (doc_id, ts) aggregation
+    * collects the sorted offset list (arrival-sized), and a pure fold
+    * emits the spans. Within-feed / within-arrival repeats are the
+    * batch operator's job — the same corpus-probe ∪ batch-peer split
+    * every incremental screen here follows. Output (append):
+    * (doc_id, ts, span_start, span_end, span_tokens); rows emit once
+    * the watermark closes the arrival's event time.
+    * StreamingDedupSpec pins spans == a per-arrival reference
+    * computed from the corpus gram set, the exact-copy full-span
+    * case, and the fully-novel empty case. */
+  def exactSubstrStreaming(streamDocs: DataFrame, corpusDocs: DataFrame,
+      retention: String = "1 hour"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import graft.queries.DedupQueries
+    val spark = streamDocs.sparkSession
+    import spark.implicits._
+    val L = DedupQueries.ExactSubstrL
+    def occOf(d: DataFrame, extra: Seq[String]): DataFrame = d
+      .select((Seq(col("doc_id"), tokens(col("text")).as("toks")) ++ extra.map(col)): _*)
+      .filter(size(col("toks")) >= L)
+      .select((Seq(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - lit(L - 1))).as("o")) ++
+        extra.map(col)): _*)
+      .select((Seq(col("doc_id"), col("o").cast("long").as("o"),
+        md5(concat_ws(" ", slice(col("toks"), col("o"), lit(L)))).as("gh")) ++
+        extra.map(col)): _*)
+    val idx = exsubIdxMemo.computeIfAbsent(corpusDocs, cd =>
+      occOf(cd, Nil).select(col("gh")).distinct().persist())
+    // watermark BEFORE the semi-join: every arrival advances event
+    // time even when none of its grams hit the corpus, so an all-novel
+    // feed still flushes earlier arrivals' pending aggregations
+    occOf(streamDocs, Seq("ts"))
+      .withWatermark("ts", retention)
+      .join(idx, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(sort_array(collect_list(col("o"))).as("os"))
+      .as[(Long, Timestamp, Seq[Long])]
+      .flatMap { case (id, t, os) =>
+        os.foldLeft(List.empty[(Long, Long)]) { (acc, o) =>
+          acc match {
+            case (s, e) :: tail if o <= e => (s, math.max(e, o + L)) :: tail
+            case _                        => (o, o + L) :: acc
+          }
+        }.reverse.map { case (s, e) => (id, t, s, e, e - s) }
+      }
+      .toDF("doc_id", "ts", "span_start", "span_end", "span_tokens")
+  }
+
   /** Memoized frozen SNM corpus index per corpus frame: the ranked
     * (pass, skey) member frame plus its insertion-interval index.
     * Cleared via [[graft.model.Caches]]. */

@@ -170,4 +170,29 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == brute, s"banding candidates ${got.size} != brute ${brute.size}")
   }
+
+  test("phash survivors == brute-force connected components over the ham pair graph") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val sigs = MediaPipeline.perceptualDctHashes(spark, docs).collect()
+    val pairs = for {
+      a <- sigs; b <- sigs if a.media_id < b.media_id
+      if java.lang.Long.bitCount(a.phash ^ b.phash) <= 2
+    } yield (a.media_id, b.media_id)
+    assume(pairs.nonEmpty)
+    // driver-side union-find as the reference labeling
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(x => (x, find(x))).toSet
+    val got = graft.queries.MultimodalQueries
+      .queries("multimodal_phash_survivors")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"diff=${(got diff expect) ++ (expect diff got)}")
+  }
 }

@@ -588,6 +588,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("exact-substring dedup is gram-hash aggregate + equi-join — no pair join anywhere") {
+    val p = plan("dedup_exact_substring")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // survival is a partial (map-combined) count over gram hashes, so
+    // a boilerplate gram is one combiner cell, never a fan-out
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+  }
+
   test("bm25 top-k is TakeOrderedAndProject over a map-combined tf aggregate") {
     val p = plan("text_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -371,4 +371,22 @@ class SimilaritySpec extends SparkSpec {
     val mips = out.select("query_id", "neighbor_id")
     assert(viaAug.except(mips).isEmpty && mips.except(viaAug).isEmpty)
   }
+
+  test("knn graph: every vector ranked 1..4 within its IVF bucket, best neighbor first") {
+    val rows = graft.queries.SimilarityQueries.queries("sim_knn_graph")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byVec = rows.groupBy(_._1)
+    byVec.foreach { case (v, rs) =>
+      val ranks = rs.map(_._2).sorted
+      assert(ranks.toSeq == (1L to rs.length).toSeq, s"vec $v ranks $ranks")
+      // cosine non-increasing with rank
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"vec $v: $byRank")
+      // no self-edges, at most k = 4 neighbors
+      assert(rs.forall(_._3 != v) && rs.length <= 4)
+    }
+    // the graph covers every corpus vector that has ≥ 1 bucket-mate
+    assert(byVec.size > 100)
+  }
 }

@@ -457,6 +457,65 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact-substring screen == per-arrival reference against the corpus gram set") {
+    implicit val sql = spark.sqlContext
+    val L = DedupQueries.ExactSubstrL
+    val t0 = ts("2024-01-01 00:00:00")
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    // arrivals: an exact copy of a corpus doc, a doc that embeds a
+    // corpus doc's middle span inside novel padding, and pure novelty
+    val corpusRows = corpus.as[(Long, String)].collect()
+    val donor = corpusRows.maxBy(_._2.split(" ").length)
+    val donorToks = donor._2.split(" ")
+    assume(donorToks.length >= 3 * L, "need a long donor doc")
+    val embedded = ((1 to L).map(i => s"nv$i") ++
+      donorToks.slice(L, 2 * L + 4) ++ (1 to L).map(i => s"nw$i")).mkString(" ")
+    val novel = (1 to 40).map(i => s"zz$i").mkString(" ")
+    val arrivals = Seq((800001L, donor._2), (800002L, embedded), (800003L, novel))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = exactSubstrStreaming(in.toDF().toDF("doc_id", "text", "ts"), corpus)
+      .writeStream.outputMode("append").format("memory").queryName("exsub_out").start()
+    try {
+      in.addData(arrivals.map { case (id, t) => (id, t, t0) }: _*)
+      q.processAllAvailable()
+      // advance the watermark past t0 (batch 2), then one more batch
+      // so the aggregation emits under the advanced watermark
+      in.addData((800099L, novel, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      in.addData((800098L, novel, ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val got = spark.table("exsub_out")
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // reference: islands over offsets whose L-gram is in the corpus set
+      val corpusGrams = corpusRows.iterator.flatMap { case (_, t) =>
+        val tk = t.split(" ")
+        if (tk.length < L) Iterator.empty
+        else tk.sliding(L).map(_.mkString(" "))
+      }.toSet
+      val expect = arrivals.flatMap { case (id, t) =>
+        val tk = t.split(" ")
+        val hits = (1 to tk.length - L + 1)
+          .filter(o => corpusGrams.contains(tk.slice(o - 1, o - 1 + L).mkString(" ")))
+        hits.foldLeft(List.empty[(Long, Long)]) { (acc, o) =>
+          acc match {
+            case (s, e) :: tail if o <= e => (s, math.max(e, o + L)) :: tail
+            case _                        => (o.toLong, (o + L).toLong) :: acc
+          }
+        }.reverse.map { case (s, e) => (id, s, e, e - s) }
+      }.toSet
+      assert(got == expect, s"diff=${(got diff expect) ++ (expect diff got)}")
+      // shape of the three cases: full-doc span for the copy, one
+      // interior span for the embed, nothing for the novel doc
+      val n = donorToks.length.toLong
+      assert(got.contains((800001L, 1L, n + 1, n)),
+        s"exact copy must span the whole doc [1, ${n + 1}): $got")
+      assert(got.count(_._1 == 800002L) == 1)
+      assert(!got.exists(_._1 == 800003L))
+    } finally q.stop()
+  }
+
   test("streaming fuzzy match probes a distributed index via stream-static equi-joins") {
     implicit val sql = spark.sqlContext
     val catalog = Tables.load(spark, sf0001, "part")

@@ -940,6 +940,39 @@ class TextDedupSpec extends SparkSpec {
     assert(block.contains((1L, 2L)) && block.contains((3L, 4L)))
   }
 
+  test("ExactSubstr: maximal duplicated spans found exactly, within-doc repeats included") {
+    def toksOf(n: Int, tag: String) = (1 to n).map(i => s"$tag$i")
+    // docs 1 and 2 share tokens 5..20 of doc 1 (a 16-token span, docs
+    // otherwise disjoint); doc 3 repeats its own 8-token phrase twice;
+    // doc 4 is all-unique filler
+    val shared = toksOf(16, "s")
+    val d1 = (toksOf(4, "a") ++ shared ++ toksOf(10, "b")).mkString(" ")
+    val d2 = (shared ++ toksOf(12, "c")).mkString(" ")
+    val phrase = toksOf(8, "p")
+    val d3 = (phrase ++ toksOf(5, "d") ++ phrase).mkString(" ")
+    val d4 = toksOf(30, "z").mkString(" ")
+    val df = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+    // run the registered plan body against the fixture via a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_exsub").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.queries("dedup_exact_substring")(spark, dir)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: shared span is tokens 5..20 → duplicated 8-gram offsets
+    // 5..13 → island [5, 21); doc 2: offsets 1..9 → [1, 17)
+    assert(got.contains((1L, 5L, 21L, 16L)), got.toString)
+    assert(got.contains((2L, 1L, 17L, 16L)), got.toString)
+    // doc 3: the phrase duplicates WITHIN the doc — both occurrences
+    // surface ([1, 9) and [14, 22))
+    assert(got.contains((3L, 1L, 9L, 8L)), got.toString)
+    assert(got.contains((3L, 14L, 22L, 8L)), got.toString)
+    // doc 4 has no duplicated 8-gram anywhere
+    assert(!got.exists(_._1 == 4L), got.toString)
+    assert(got.size == 4, got.toString)
+  }
+
   test("SNM-edge survivors equal exact-edge survivors on the harness corpus") {
     // holds because SNM recall is 1.0 here (the audit test pins that);
     // on a corpus where SNM missed pairs the two would diverge — which
