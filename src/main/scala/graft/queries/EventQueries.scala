@@ -30,7 +30,10 @@ object EventQueries {
     * (user_id, event_type, ts) — so the streaming operator's
     * finalization replay and the spec's parity check run the IDENTICAL
     * semantics on the identical rows. */
-  private[graft] def cepFirstMatch(e0: DataFrame): DataFrame = {
+  /** The three greedy first-match CEP stages per (user, day) — shared
+    * by [[cepFirstMatch]] (full matches) and [[cepTimeouts]] (the
+    * Flink `within()` timeout side-output). */
+  private def cepStages(e0: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val step = expr(s"INTERVAL $CepStepMinutes MINUTES")
     val e = e0.select(col("user_id"),
       to_date(col("ts")).as("day"), col("event_type"), col("ts"))
@@ -47,7 +50,30 @@ object EventQueries {
       .groupBy("user_id", "day")
       .agg(min(col("t_view")).as("t_view"), min(col("t_click")).as("t_click"),
         min(col("ts")).as("t_purchase"))
+    (v, c, p)
+  }
+
+  private[graft] def cepFirstMatch(e0: DataFrame): DataFrame = {
+    val (_, _, p) = cepStages(e0)
     p.select("user_id", "day", "t_view", "t_click", "t_purchase")
+  }
+
+  /** Flink CEP timeout side-output parity: the (user, day) groups whose
+    * greedy pattern STALLED — a first view with no qualifying click in
+    * the step window ('view'), or a matched click with no qualifying
+    * purchase ('click') — with the last matched timestamp and the
+    * deadline that expired. Anti-joins against the next stage, both
+    * keyed (user, day) like every CEP shuffle here. */
+  private[graft] def cepTimeouts(e0: DataFrame): DataFrame = {
+    val step = expr(s"INTERVAL $CepStepMinutes MINUTES")
+    val (v, c, p) = cepStages(e0)
+    val toClick = v.join(c.select("user_id", "day"), Seq("user_id", "day"), "left_anti")
+      .select(col("user_id"), col("day"), lit("view").as("stage_reached"),
+        col("t_view").as("t_last"), (col("t_view") + step).as("deadline"))
+    val toPurchase = c.join(p.select("user_id", "day"), Seq("user_id", "day"), "left_anti")
+      .select(col("user_id"), col("day"), lit("click").as("stage_reached"),
+        col("t_click").as("t_last"), (col("t_click") + step).as("deadline"))
+    toClick.unionByName(toPurchase)
   }
 
   /** The q_resample_interpolate body as a pure frame function over
@@ -407,6 +433,12 @@ object EventQueries {
     // as the funnel: every shuffle keyed (user, day), map-side
     // combined, no new shape at 100 TB.
     "q_cep_first_match" -> ((s, dir) => cepFirstMatch(events(s, dir))),
+
+    // the timeout SIDE-OUTPUT of the CEP pattern (Flink `within()`
+    // parity): who stalled, at which stage, and when the window
+    // expired — the abandonment metric the first-match query cannot
+    // see; anti-joins on the same (user, day) keys
+    "q_cep_timeouts" -> ((s, dir) => cepTimeouts(events(s, dir))),
 
     // hourly conversion funnel: the windowed form of q_funnel_stages —
     // stage ordering evaluated WITHIN each (user, hour) scope, so the
@@ -774,6 +806,35 @@ object EventQueries {
         |    AND e.ts <= c.t_click + INTERVAL 240 MINUTE
         |  GROUP BY 1, 2)
         |SELECT user_id, day, t_view, t_click, t_purchase FROM p""".stripMargin,
+
+    // same three stage CTEs, NOT EXISTS against the next stage
+    "q_cep_timeouts" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT e.user_id, v.day, min(v.t_view) AS t_view, min(e.ts) AS t_click
+        |  FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND CAST(e.ts AS DATE) = v.day
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 240 MINUTE
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT e.user_id, c.day, min(e.ts) AS t_purchase
+        |  FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND CAST(e.ts AS DATE) = c.day
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 240 MINUTE
+        |  GROUP BY 1, 2)
+        |SELECT v.user_id, v.day, 'view' AS stage_reached, v.t_view AS t_last,
+        |       v.t_view + INTERVAL 240 MINUTE AS deadline
+        |FROM v
+        |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = v.user_id AND c.day = v.day)
+        |UNION ALL
+        |SELECT c.user_id, c.day, 'click', c.t_click,
+        |       c.t_click + INTERVAL 240 MINUTE
+        |FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id AND p.day = c.day)""".stripMargin,
 
     "q_funnel_hourly" ->
       """WITH f1 AS (

@@ -979,6 +979,9 @@ object StreamingJobs {
   case class CepMatch(user_id: Long, day: java.time.LocalDate, t_view: Timestamp,
       t_click: Timestamp, t_purchase: Timestamp)
 
+  case class CepTimeout(user_id: Long, day: java.time.LocalDate,
+      stage_reached: String, t_last: Timestamp, deadline: Timestamp)
+
   /** Streaming CEP first-match — the live form of `q_cep_first_match`
     * (Flink-CEP parity: view → click → purchase, each step within
     * [[graft.queries.EventQueries.CepStepMinutes]] of the previous,
@@ -1048,6 +1051,67 @@ object StreamingJobs {
               rows.map(r => (r.event_type, micros(r.ts)))
             state.update(buf)
             state.setTimeoutTimestamp(key._2 + dayMillis) // finalize at day end
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming CEP TIMEOUT side-output — the live form of
+    * `q_cep_timeouts` (Flink `within()` timeout parity): a (user, day)
+    * whose greedy pattern stalls emits (stage_reached, t_last,
+    * deadline) instead of silence. Same buffer-until-day-close state
+    * machine as [[cepStreaming]] (greedy-from-first is not
+    * incrementally decidable under disorder), so the EMISSION time is
+    * the day finalization, not the deadline instant — the CONTENT is
+    * identical to Flink's side output and to the batch twin, which
+    * StreamingSpec pins on replayed events. */
+  def cepTimeoutsStreaming(events: DataFrame, tsCol: String, userCol: String,
+      lateness: String = "1 hour"): Dataset[CepTimeout] = {
+    import events.sparkSession.implicits._
+    val dayMillis = 86400000L
+    val stepUs = graft.queries.EventQueries.CepStepMinutes * 60L * 1000000L
+    val sessionZone = java.time.ZoneId.of(
+      events.sparkSession.conf.get("spark.sql.session.timeZone"))
+    def dayOf(bucketMs: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochMilli(bucketMs).atZone(sessionZone).toLocalDate
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .select(col(userCol).cast("long").as("user_id"),
+        date_trunc("day", col(tsCol)).as("bucket"),
+        col("event_type"), col(tsCol).as("ts"))
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withWatermark("ts", lateness)
+      .as[CepEvent]
+      .groupByKey(r => (r.user_id, r.bucket.getTime))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), rows: Iterator[CepEvent], state: GroupState[List[(String, Long)]]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            def minIn(tpe: String, lo: Long, hi: Long): Option[Long] = {
+              val ts = buf.collect { case (t, us) if t == tpe && us > lo && us <= hi => us }
+              if (ts.isEmpty) None else Some(ts.min)
+            }
+            val t1 = minIn("view", Long.MinValue, Long.MaxValue)
+            val t2 = t1.flatMap(v => minIn("click", v, v + stepUs))
+            val t3 = t2.flatMap(c => minIn("purchase", c, c + stepUs))
+            (t1, t2, t3) match {
+              case (Some(v), None, _) => Iterator.single(CepTimeout(
+                key._1, dayOf(key._2), "view", toTs(v), toTs(v + stepUs)))
+              case (Some(_), Some(c), None) => Iterator.single(CepTimeout(
+                key._1, dayOf(key._2), "click", toTs(c), toTs(c + stepUs)))
+              case _ => Iterator.empty
+            }
+          } else {
+            val buf = state.getOption.getOrElse(Nil) ++
+              rows.map(r => (r.event_type, micros(r.ts)))
+            state.update(buf)
+            state.setTimeoutTimestamp(key._2 + dayMillis)
             Iterator.empty
           }
       }

@@ -163,6 +163,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CEP timeout side-output == batch q_cep_timeouts on replayed events") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val rows = Seq(
+      // user 1: full match — NOT in the timeout output
+      (1L, "view", ts("2024-01-01 00:05:00")),
+      (1L, "click", ts("2024-01-01 02:00:00")),
+      (1L, "purchase", ts("2024-01-01 05:30:00")),
+      // user 2: click 6 h after the view — stalls at 'view'
+      (2L, "view", ts("2024-01-01 01:00:00")),
+      (2L, "click", ts("2024-01-01 07:00:00")),
+      // user 5: greedy click at 00:20 opens a purchase window that
+      // lapses (purchase at 05:00) — stalls at 'click'
+      (5L, "view", ts("2024-01-01 00:10:00")),
+      (5L, "click", ts("2024-01-01 00:20:00")),
+      (5L, "click", ts("2024-01-01 02:00:00")),
+      (5L, "purchase", ts("2024-01-01 05:00:00")))
+    val q = cepTimeoutsStreaming(in.toDF().toDF("user_id", "event_type", "t"), "t", "user_id",
+        lateness = "6 hours")
+      .writeStream.outputMode("append").format("memory").queryName("cep_to_out")
+      .start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      // push the watermark past the day end so groups finalize
+      in.addData((9L, "view", ts("2024-01-02 06:30:00")))
+      q.processAllAvailable()
+      in.addData((9L, "view", ts("2024-01-02 06:31:00")))
+      q.processAllAvailable()
+      val got = spark.table("cep_to_out")
+        .select($"user_id", $"day".cast("string"), $"stage_reached", $"t_last", $"deadline")
+        .as[(Long, String, String, Timestamp, Timestamp)].collect().toSet
+      assert(got.contains((2L, "2024-01-01", "view",
+        ts("2024-01-01 01:00:00"), ts("2024-01-01 05:00:00"))), got.toString)
+      assert(got.contains((5L, "2024-01-01", "click",
+        ts("2024-01-01 00:20:00"), ts("2024-01-01 04:20:00"))), got.toString)
+      assert(!got.exists(_._1 == 1L), s"full match must not time out: $got")
+      // parity with the batch twin on the same rows (user 9's lone
+      // views time out at 'view' in both engines)
+      val batch = graft.queries.EventQueries
+        .cepTimeouts(rows.toDF("user_id", "event_type", "ts")
+          .unionByName(Seq(
+            (9L, "view", ts("2024-01-02 06:30:00")),
+            (9L, "view", ts("2024-01-02 06:31:00"))).toDF("user_id", "event_type", "ts")))
+        .select($"user_id", $"day".cast("string"), $"stage_reached", $"t_last", $"deadline")
+        .as[(Long, String, String, Timestamp, Timestamp)].collect().toSet
+      // day 2024-01-02 hasn't closed in the stream, so compare day 1 only
+      assert(batch.filter(_._2 == "2024-01-01") == got,
+        s"batch=$batch streaming=$got")
+    } finally q.stop()
+  }
+
   test("streaming CEP emits the session-calendar day under a non-UTC session zone") {
     // `day` must come from the session calendar, not epoch-day division
     // of the bucket instant (UTC-only — off by one for every UTC+
