@@ -712,6 +712,51 @@ object RelationalQueries {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
 
+    // RFM SEGMENTATION (recency / frequency / monetary quintiles per
+    // customer — the classic CRM cut): scores come from the SORT-FREE
+    // histogram-quantile pattern curriculum_deciles uses — per
+    // dimension, a distinct-VALUE histogram, a running below-count,
+    // and bucket = (below·5) div total — never a single-partition
+    // ntile over customers. The histograms are value-bounded by
+    // construction: r_days by the date range, n_orders small, and
+    // monetary is pre-bucketed to $100 (integer CENTS sum first, so
+    // the bucket is exact — no float-fold-order edge can move a
+    // customer across a quintile boundary). Customer frame joins each
+    // broadcast histogram on its value.
+    "q_rfm_segments" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val ref = o.agg(max(col("d")).as("ref"))
+      val cust = o.groupBy("o_custkey").agg(
+          max(col("d")).as("last_d"), count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("cents"))
+        .crossJoin(broadcast(ref))
+        .select(col("o_custkey"),
+          datediff(col("ref"), col("last_d")).cast("long").as("r_days"),
+          col("n_orders"), col("cents"))
+        .withColumn("m_bucket", expr("cents div 10000"))
+      def hist(dim: String): DataFrame = {
+        val w = Window.orderBy(dim)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val all = Window.partitionBy()
+        cust.groupBy(dim).agg(count(lit(1)).as("c"))
+          .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+          .withColumn("total", sum(col("c")).over(all))
+          .select(col(dim), least(lit(4L), expr("(below * 5) div total")).as("q"))
+      }
+      cust
+        .join(broadcast(hist("r_days").withColumnRenamed("q", "rq")), "r_days")
+        .join(broadcast(hist("n_orders").withColumnRenamed("q", "fq")), "n_orders")
+        .join(broadcast(hist("m_bucket").withColumnRenamed("q", "mq")), "m_bucket")
+        .select(col("o_custkey"), col("r_days"), col("n_orders"), col("cents"),
+          (lit(5L) - col("rq")).as("r_score"),
+          (col("fq") + lit(1L)).as("f_score"),
+          (col("mq") + lit(1L)).as("m_score"))
+        .withColumn("segment", concat(col("r_score").cast("string"),
+          col("f_score").cast("string"), col("m_score").cast("string")))
+    }),
+
     // ENTITY-RESOLUTION fuzzy join (the Ed-Join shape, Xiao et al.
     // 2008): distinct part names within Levenshtein distance ≤ 2,
     // WITHOUT an all-pairs scan. Candidate generation is gram-prefix
@@ -1181,6 +1226,51 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
+
+    // same integer-cents monetary, same $100 bucket, same sort-free
+    // (below·5) div total histogram quantiles per dimension
+    "q_rfm_segments" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |ref AS (SELECT max(d) AS ref FROM o),
+        |cust AS (
+        |  SELECT o_custkey,
+        |         CAST(date_diff('day', max(d), (SELECT ref FROM ref)) AS BIGINT) AS r_days,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM o GROUP BY 1),
+        |c2 AS (SELECT *, cents // 10000 AS m_bucket FROM cust),
+        |hr AS (
+        |  SELECT r_days, least(4, (below * 5) // total) AS rq FROM (
+        |    SELECT r_days,
+        |           coalesce(sum(c) OVER (ORDER BY r_days
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |           sum(c) OVER () AS total
+        |    FROM (SELECT r_days, count(*) AS c FROM c2 GROUP BY 1))),
+        |hf AS (
+        |  SELECT n_orders, least(4, (below * 5) // total) AS fq FROM (
+        |    SELECT n_orders,
+        |           coalesce(sum(c) OVER (ORDER BY n_orders
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |           sum(c) OVER () AS total
+        |    FROM (SELECT n_orders, count(*) AS c FROM c2 GROUP BY 1))),
+        |hm AS (
+        |  SELECT m_bucket, least(4, (below * 5) // total) AS mq FROM (
+        |    SELECT m_bucket,
+        |           coalesce(sum(c) OVER (ORDER BY m_bucket
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |           sum(c) OVER () AS total
+        |    FROM (SELECT m_bucket, count(*) AS c FROM c2 GROUP BY 1)))
+        |SELECT c2.o_custkey, c2.r_days, c2.n_orders, c2.cents,
+        |       CAST(5 - rq AS BIGINT) AS r_score,
+        |       CAST(fq + 1 AS BIGINT) AS f_score,
+        |       CAST(mq + 1 AS BIGINT) AS m_score,
+        |       CAST(5 - rq AS VARCHAR) || CAST(fq + 1 AS VARCHAR)
+        |         || CAST(mq + 1 AS VARCHAR) AS segment
+        |FROM c2
+        |JOIN hr USING (r_days) JOIN hf USING (n_orders) JOIN hm USING (m_bucket)""".stripMargin,
 
     // same (df, gram)-ordered 5-gram prefix + short-name block + the
     // same length filter and levenshtein verify (DuckDB's levenshtein

@@ -609,6 +609,24 @@ object SimilarityQueries {
         .select("vec_id", "rank", "neighbor_id", "cos")
     }),
 
+    // mutual-kNN clusters over the graph above: an edge survives only
+    // if BOTH endpoints rank each other in their top-4 (the standard
+    // mutual-kNN symmetrization that kills hub-induced chaining), then
+    // connected components label the clusters — the SemDeDup-style
+    // grouping consumers read cluster exemplars from. Edge volume
+    // ≤ 4n before symmetrization; CC shuffles are graph-sized.
+    "sim_knn_clusters" -> ((s, dir) => {
+      val g = queries("sim_knn_graph")(s, dir)
+        .select(col("vec_id"), col("neighbor_id"))
+      val mutual = g.as("a").join(g.as("b"),
+          col("a.vec_id") === col("b.neighbor_id") &&
+            col("a.neighbor_id") === col("b.vec_id") &&
+            col("a.vec_id") < col("a.neighbor_id"))
+        .select(col("a.vec_id").as("doc_a"), col("a.neighbor_id").as("doc_b"))
+      graft.ops.Graph.connectedComponents(mutual)
+        .select(col("node").as("vec_id"), col("rep"))
+    }),
+
     // product-quantization ANN (Jégou et al., "Product Quantization for
     // Nearest Neighbor Search"): 64 dims → 8 subspaces × 16 centroids,
     // so each corpus vector compresses to an 8-nibble code and the scan
@@ -1316,6 +1334,37 @@ object SimilarityQueries {
     "sim_ann_lsh" -> lshOracle,
     "sim_ann_lsh_multiprobe" -> lshMultiprobeOracle,
     "sim_ann_ivf" -> ivfOracle,
+
+    // the knn CTE chain + mutual-edge join + recursive reachability
+    "sim_knn_clusters" ->
+      s"""WITH RECURSIVE ${ivfAssignCtes},
+         |pr AS (
+         |  SELECT x.vec_id, y.vec_id AS neighbor_id,
+         |         round(list_reduce(list_prepend(0.0,
+         |                 list_transform(range(1, 65), i -> xn.v[i] * yn.v[i])), (p, q) -> p + q)
+         |               / (xn.nrm * yn.nrm), 6) AS cos
+         |  FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+         |  JOIN n xn ON xn.vec_id = x.vec_id
+         |  JOIN n yn ON yn.vec_id = y.vec_id),
+         |kg AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT vec_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM pr)
+         |  WHERE rk <= 4),
+         |mu AS (
+         |  SELECT a.vec_id AS doc_a, a.neighbor_id AS doc_b
+         |  FROM kg a JOIN kg b
+         |    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+         |   AND a.vec_id < a.neighbor_id),
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM mu
+         |      UNION SELECT doc_b, doc_a FROM mu),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM ed
+         |  UNION
+         |  SELECT r2.src, e2.dst FROM reach r2 JOIN ed e2 ON r2.dst = e2.src)
+         |SELECT src AS vec_id, least(src, min(dst)) AS rep
+         |FROM reach GROUP BY src""".stripMargin,
 
     // same IVF bootstrap assignment, same within-bucket exact cosine,
     // same rounded-then-ranked determinism contract

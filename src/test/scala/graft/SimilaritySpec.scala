@@ -389,4 +389,25 @@ class SimilaritySpec extends SparkSpec {
     // the graph covers every corpus vector that has ≥ 1 bucket-mate
     assert(byVec.size > 100)
   }
+
+  test("knn clusters == union-find over the MUTUAL top-4 edge set") {
+    val g = graft.queries.SimilarityQueries.queries("sim_knn_graph")(spark, sf0001)
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = g.filter { case (a, b) => a < b && g.contains((b, a)) }
+    assume(mutual.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(x => (x, find(x))).toSet
+    val got = graft.queries.SimilarityQueries.queries("sim_knn_clusters")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"diff=${(got diff expect) ++ (expect diff got)}")
+  }
 }
