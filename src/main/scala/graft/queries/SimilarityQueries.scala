@@ -607,6 +607,9 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 4)
         .select("vec_id", "rank", "neighbor_id", "cos")
+        .persist() // ≤ 4n rows; sim_knn_clusters re-derives the same
+                   // plan and the CacheManager dedupes, so the pair
+                   // join is paid once per session, not per consumer
     }),
 
     // mutual-kNN clusters over the graph above: an edge survives only
