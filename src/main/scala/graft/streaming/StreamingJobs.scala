@@ -1397,7 +1397,7 @@ object StreamingJobs {
     // the gram branch, so the union stays duplicate-free
     val viaShort = probes.filter(length(col("name")) <= 5)
       .select(col("name"), col("pg"),
-        explode(sequence(greatest(length(col("name")) - 2, lit(1)),
+        explode(sequence(greatest(length(col("name")) - 2, lit(0)),
           length(col("name")) + 2)).as("cat_len"))
       .join(shortIdx, Seq("cat_len"))
       .where(!arrays_overlap(col("pg"), gramsOf(col("cat_name"))))

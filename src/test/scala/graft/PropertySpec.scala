@@ -355,4 +355,132 @@ class PropertySpec extends SparkSpec {
       replayViaReplace(toks, merges) == expected
     })
   }
+
+  test("∀ corpora: exact-substring spans == brute-force maximal duplicated spans") {
+    // small alphabet forces duplicated grams; docs long enough for
+    // 8-gram spans to exist
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(4, 40)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) }
+    val L = graft.queries.DedupQueries.ExactSubstrL
+    def brute(docs: List[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+      val grams = docs.flatMap { case (id, t) =>
+        val tk = t.split(" ")
+        (1 to tk.length - L + 1).map(o => (tk.slice(o - 1, o - 1 + L).mkString(" "), id, o))
+      }
+      val dup = grams.groupBy(_._1).filter(_._2.size > 1).keySet
+      docs.flatMap { case (id, t) =>
+        val tk = t.split(" ")
+        val hits = (1 to tk.length - L + 1)
+          .filter(o => dup.contains(tk.slice(o - 1, o - 1 + L).mkString(" ")))
+        hits.foldLeft(List.empty[(Long, Long)]) { (acc, o) =>
+          acc match {
+            case (s, e) :: tail if o <= e => (s, math.max(e, o + L)) :: tail
+            case _                        => (o.toLong, (o + L).toLong) :: acc
+          }
+        }.reverse.map { case (s, e) => (id, s, e, e - s) }
+      }.toSet
+    }
+    check(Prop.forAll(corpusGen) { docs =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_exsub_prop").toString
+      docs.toDF("doc_id", "text")
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.queries.DedupQueries.queries("dedup_exact_substring")(spark, dir)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      got == brute(docs)
+    })
+  }
+
+  test("∀ corpora: global-order SNM pairs == reference sliding window over the total sort") {
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(2, 15)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 10)
+        toks <- Gen.listOfN(len, Gen.oneOf("aa", "ab", "ba", "bb", "cc"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) }
+    val w = graft.queries.DedupQueries.SnmWindow
+    def brute(docs: List[(Long, String)]): Set[(Long, Long)] = {
+      def key2(tk: Array[String]) = tk.take(2).mkString(" ")
+      val keyed = docs.flatMap { case (id, t) =>
+        val tk = t.split(" ")
+        Seq(("head", key2(tk), id, t.length.toLong),
+          ("tail", key2(tk.reverse), id, t.length.toLong))
+      }
+      val sorted = keyed.sortBy { case (p, k, id, n) => (p, k, n, id) }
+      sorted.zipWithIndex.flatMap { case ((p1, _, id1, _), i) =>
+        sorted.slice(i + 1, i + w).collect {
+          case (p2, _, id2, _) if p1 == p2 =>
+            (math.min(id1, id2), math.max(id1, id2))
+        }
+      }.toSet
+    }
+    check(Prop.forAll(corpusGen) { docs =>
+      val df = docs.map { case (id, t) => (id, t, t.length.toLong) }
+        .toDF("doc_id", "text", "n_chars")
+      val got = graft.queries.DedupQueries.snmGlobalCandidates(df)
+        .as[(Long, Long)].collect().toSet
+      got == brute(docs)
+    })
+  }
+
+  test("∀ probe perturbations: streaming fuzzy candidates == brute lev ≤ 2 against the catalog") {
+    // the df-ordered rarest-first gram prefix must stay recall-lossless
+    // for arbitrary probes, not just catalog replays
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val catalog = Seq("almond antique blue", "almond antique blu", "azure aquamarine",
+      "rose metallic", "rose metalic", "red", "re", "r", "", "navy royal sky",
+      "navy royal skye", "mint").toDF("name")
+    val catalogNames = catalog.as[String].collect().toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val probeGen: Gen[String] = for {
+      base <- Gen.oneOf(catalogNames.filter(_.nonEmpty))
+      nEdits <- Gen.choose(0, 2)
+      edited <- (1 to nEdits).foldLeft(Gen.const(base)) { (g, _) =>
+        g.flatMap { s =>
+          for {
+            pos <- Gen.choose(0, math.max(0, s.length - 1))
+            c <- Gen.oneOf('a', 'z', 'q')
+            op <- Gen.oneOf(0, 1, 2)
+          } yield op match {
+            case 0 if s.nonEmpty => s.updated(pos, c)                       // substitute
+            case 1               => s.substring(0, pos) + c + s.substring(pos) // insert
+            case _ if s.nonEmpty => s.substring(0, pos) + s.substring(math.min(pos + 1, s.length)) // delete
+            case _               => s
+          }
+        }
+      }
+    } yield edited
+    check(Prop.forAll(Gen.listOfN(6, probeGen)) { probes =>
+      val in = MemoryStream[String]
+      val q = graft.streaming.StreamingJobs
+        .fuzzyMatchStreaming(in.toDF().toDF("name"), catalog)
+        .writeStream.outputMode("append").format("memory").queryName("fuzzy_prop_out")
+        .start()
+      try {
+        in.addData(probes: _*)
+        q.processAllAvailable()
+        val got = spark.table("fuzzy_prop_out")
+          .select("probe_name", "cat_name", "lev")
+          .as[(String, String, Long)].collect().toSet
+        val expect = probes.toSet.flatMap { (p: String) =>
+          catalogNames.collect { case c if lev(p, c) <= 2 => (p, c, lev(p, c).toLong) }
+        }
+        got == expect
+      } finally q.stop()
+    })
+  }
 }
