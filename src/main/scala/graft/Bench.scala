@@ -122,6 +122,16 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** The re-measure set of a gauge-flagged window: every baseline
+    * query plus every query over 3× its committed clean-window time
+    * (failed queries excluded — the -1 sentinel must stay a failure).
+    * Pure so BenchSpec can pin the trigger. */
+  private[graft] def suspectsOf(rs: Seq[(String, Double, Double)],
+      clean: Map[String, Double]): Seq[String] =
+    rs.filter { case (k, _, w) =>
+      w >= 0 && (baselineSet.contains(k) || clean.get(k).exists(c => w > 3 * c))
+    }.map(_._1)
+
   /** The `sf` dir BENCH_CLEAN.json was measured at (None if absent) —
     * gates the gauge-flag re-measure to the reference scale. */
   private[graft] def cleanRefSf(path: String = "BENCH_CLEAN.json"): Option[String] =
@@ -324,10 +334,7 @@ object Bench {
         results.synchronized(results.find(_._1 == name).map(_._3).getOrElse(-1.0))
       def stillOver(name: String): Boolean =
         clean.get(name).exists(c => warmOf(name) > 3 * c)
-      val suspects = snapshot()
-        .filter { case (k, _, w) =>
-          w >= 0 && (baselineSet.contains(k) || stillOver(k)) }
-        .map(_._1)
+      val suspects = suspectsOf(snapshot(), clean)
       val suspectsOrdered = orderedFamilies
         .flatMap(f => suspects.filter(n => family(n) == f).sorted) ++
         suspects.filterNot(n => orderedFamilies.contains(family(n))).sorted

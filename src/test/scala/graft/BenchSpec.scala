@@ -97,12 +97,27 @@ class BenchSpec extends SparkSpec {
   test("the clean-window reference parses the committed BENCH_CLEAN.json") {
     val ref = Bench.cleanRef()
     assert(ref.nonEmpty, "BENCH_CLEAN.json must be committed at the repo root")
-    // every baseline query has a clean reference time to compare against
-    assert(Bench.baselineSet.forall(ref.contains),
-      (Bench.baselineSet -- ref.keySet).toString)
+    // EVERY registered query has a clean reference time — a new query
+    // landing without a BENCH_CLEAN refresh escapes the 3× re-measure
+    // trigger, so this failing is the reminder to re-bench
+    assert(SparkEntry.queries.keySet.subsetOf(ref.keySet),
+      (SparkEntry.queries.keySet -- ref.keySet).toString)
     assert(ref.values.forall(v => v > 0 && v < 60))
     // a missing file disables only the re-measure trigger, never crashes
     assert(Bench.cleanRef("/nonexistent/path.json").isEmpty)
+  }
+
+  test("flagged-window suspects: baseline set always, >3x-of-clean extras, failures never") {
+    val clean = Map("q_slowpoke" -> 0.5, "q_fine" -> 0.5, "q_broken" -> 0.5)
+    val rs = Seq(
+      ("text_stats", 0.2, 0.1),      // baseline → always re-measured
+      ("q_slowpoke", 2.0, 1.6),      // 3.2x its clean time → suspect
+      ("q_fine", 1.4, 1.4),          // 2.8x → not a suspect
+      ("q_unknown", 9.0, 9.0),       // no clean reference → no trigger
+      ("q_broken", -1.0, -1.0))      // failed → must stay a failure
+    assert(Bench.suspectsOf(rs, clean) == Seq("text_stats", "q_slowpoke"))
+    // with no clean reference at all, only the baseline set re-measures
+    assert(Bench.suspectsOf(rs, Map.empty) == Seq("text_stats"))
   }
 
   test("verify dumps cheapest families first so a kill loses only the tail") {
