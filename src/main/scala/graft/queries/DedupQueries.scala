@@ -510,7 +510,11 @@ object DedupQueries {
         ("minhash_lsh", lshCandidatesFromBands(corpusBands(s, dir))),
         ("ppjoin", ppjoinCandidates(sh, tauNum = 4, tauDen = 5)),
         ("winnow", winnowSharedCounts(s, dir).select("doc_a", "doc_b")),
-        ("snm", snmCandidates(docs(s, dir)))
+        ("snm", snmCandidates(docs(s, dir))),
+        // equal-key SNM vs classic global-order SNM side by side: the
+        // recall column quantifies exactly what the boundary windows
+        // buy (on boundary-free corpora the two rows are identical)
+        ("snm_global", snmGlobalCandidates(docs(s, dir)))
       ).map { case (m, cands) =>
         cands.join(broadcast(truth), Seq("doc_a", "doc_b"), "left")
           .agg(count(lit(1)).as("n_candidates"), count(col("_t")).as("n_verified"))
@@ -1612,6 +1616,15 @@ object DedupQueries {
        |  FROM srnk a JOIN srnk b
        |    ON a.pass = b.pass AND a.skey = b.skey
        |   AND b.rn > a.rn AND b.rn <= a.rn + 4),
+       |sgr AS (
+       |  SELECT pass, doc_id,
+       |         row_number() OVER (ORDER BY pass, skey, n_chars, doc_id) AS grn
+       |  FROM skeyed),
+       |snmgc AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |                  greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM sgr a JOIN sgr b
+       |    ON a.pass = b.pass AND b.grn > a.grn AND b.grn <= a.grn + 4),
        |aud AS (
        |  SELECT 'minhash_lsh' AS method,
        |         (SELECT CAST(count(*) AS BIGINT) FROM lshc) AS n_candidates,
@@ -1631,6 +1644,11 @@ object DedupQueries {
        |  SELECT 'snm',
        |         (SELECT CAST(count(*) AS BIGINT) FROM snmc),
        |         (SELECT CAST(count(*) AS BIGINT) FROM snmc c
+       |            JOIN tr ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b)
+       |  UNION ALL
+       |  SELECT 'snm_global',
+       |         (SELECT CAST(count(*) AS BIGINT) FROM snmgc),
+       |         (SELECT CAST(count(*) AS BIGINT) FROM snmgc c
        |            JOIN tr ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b))
        |SELECT method, n_candidates, n_verified,
        |       (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_true,

@@ -311,10 +311,15 @@ class TextDedupSpec extends SparkSpec {
     assert(out.except(slice).isEmpty && slice.except(out).isEmpty)
   }
 
-  test("candidate audit: all four generators at full recall, sane efficiency") {
+  test("candidate audit: all five generators at full recall, sane efficiency") {
     val rows = DedupQueries.queries("dedup_candidate_audit")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r).toMap
-    assert(rows.keySet == Set("minhash_lsh", "ppjoin", "winnow", "snm"), rows.keySet)
+    assert(rows.keySet ==
+      Set("minhash_lsh", "ppjoin", "winnow", "snm", "snm_global"), rows.keySet)
+    // boundary-free corpus: the equal-key and global-order SNM rows
+    // must agree on verified recall (the straddling fixture elsewhere
+    // is where they diverge); global can only ADD candidates
+    assert(rows("snm_global").getLong(2) >= rows("snm").getLong(2))
     rows.foreach { case (m, r) =>
       val (nc, nv, nt) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(nt > 0, "empty truth set makes the audit vacuous")
