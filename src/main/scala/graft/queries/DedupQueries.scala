@@ -1160,6 +1160,29 @@ object DedupQueries {
           (col("span_end") - col("span_start")).as("span_tokens"))
     }),
 
+    // the corpus-level headline over the spans above: what fraction of
+    // all tokens sits inside a duplicated span ≥ L — the single number
+    // the ExactSubstr paper reports per corpus, and the go/no-go for
+    // running the span rewrite at all. Islands are disjoint within a
+    // doc, so the duplicated mass is an exact Σ span_tokens; one
+    // 1-row aggregate over each side
+    "dedup_substring_mass" -> ((s, dir) => {
+      val spans = queries("dedup_exact_substring")(s, dir)
+      val tot = docs(s, dir)
+        .select(size(tokens(col("text"))).cast("long").as("n"))
+        .agg(sum(col("n")).as("total_tokens"), count(lit(1)).as("n_docs"))
+      val dup = spans.agg(
+        sum(col("span_tokens")).as("dup_tokens"),
+        count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs_hit"))
+      tot.crossJoin(dup) // 1 row × 1 row
+        .select(col("n_docs"), col("total_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          col("n_spans"), col("n_docs_hit"),
+          round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+            / col("total_tokens").cast("double"), 6).as("dup_fraction"))
+    }),
+
     // classic (global-order) sorted neighborhood: the window slides
     // across the GLOBAL (pass, skey, n_chars, doc_id) sort, catching
     // near-boundary pairs under adjacent-but-distinct keys that the
@@ -1760,6 +1783,48 @@ object DedupQueries {
         |       CAST(max(o) + 8 AS BIGINT) AS span_end,
         |       CAST(max(o) + 8 - min(o) AS BIGINT) AS span_tokens
         |FROM c GROUP BY doc_id, isl""".stripMargin,
+
+    // the span CTE chain re-aggregated to the corpus headline
+    "dedup_substring_mass" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+        |occ AS (
+        |  SELECT doc_id, toks, unnest(range(1, n - 6)) AS o FROM tk),
+        |g AS (
+        |  SELECT doc_id, o,
+        |         md5(list_aggregate(toks[CAST(o AS INTEGER):CAST(o + 7 AS INTEGER)],
+        |           'string_agg', ' ')) AS gh
+        |  FROM occ),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+        |m AS (SELECT g.doc_id, g.o FROM g JOIN dup ON g.gh = dup.gh),
+        |i AS (
+        |  SELECT doc_id, o,
+        |         max(o + 8) OVER (PARTITION BY doc_id ORDER BY o
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM m),
+        |c AS (
+        |  SELECT doc_id, o,
+        |         sum(CASE WHEN prev_end IS NULL OR o > prev_end THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY o) AS isl
+        |  FROM i),
+        |sp AS (
+        |  SELECT doc_id, max(o) + 8 - min(o) AS span_tokens
+        |  FROM c GROUP BY doc_id, isl),
+        |tot AS (
+        |  SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents),
+        |du AS (
+        |  SELECT CAST(coalesce(sum(span_tokens), 0) AS BIGINT) AS dup_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_hit
+        |  FROM sp)
+        |SELECT n_docs, total_tokens, dup_tokens, n_spans, n_docs_hit,
+        |       round(CAST(dup_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+        |         AS dup_fraction
+        |FROM tot, du""".stripMargin,
 
     // recursive reachability over the SNM-verified edge set — exact
     // replay of the generator (no recall assumption borrowed from the
