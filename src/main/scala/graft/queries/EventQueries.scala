@@ -440,6 +440,32 @@ object EventQueries {
     // see; anti-joins on the same (user, day) keys
     "q_cep_timeouts" -> ((s, dir) => cepTimeouts(events(s, dir))),
 
+    // in-session behavior as a first-order MARKOV CHAIN: consecutive
+    // event pairs within one user's 5-minute-gap session, counted per
+    // (from, to) with the row-normalized transition probability — the
+    // matrix funnel/path analyses are projections of. One per-user
+    // window (users are the parallelism, like the asof join), one
+    // grouped count, one broadcast-sized row-total join; ordering is
+    // total on (unix_micros, event_id) so ties never move a pair
+    // across engines.
+    "q_markov_transitions" -> ((s, dir) => {
+      val wu = Window.partitionBy("user_id").orderBy(col("_us"), col("event_id"))
+      val t = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("_us"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wu))
+        .withColumn("prev_us", lag(col("_us"), 1).over(wu))
+        .filter(col("prev_type").isNotNull &&
+          col("_us") - col("prev_us") <= lit(300L * 1000000L))
+      val cnt = t.groupBy(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+      cnt.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("n_from").cast("double"), 6).as("p"))
+    }),
+
     // hourly conversion funnel: the windowed form of q_funnel_stages —
     // stage ordering evaluated WITHIN each (user, hour) scope, so the
     // metric is streamable with bounded state (see
@@ -806,6 +832,26 @@ object EventQueries {
         |    AND e.ts <= c.t_click + INTERVAL 240 MINUTE
         |  GROUP BY 1, 2)
         |SELECT user_id, day, t_view, t_click, t_purchase FROM p""".stripMargin,
+
+    // same (epoch_us, event_id) total order, same 5-minute gap bound,
+    // same row-normalized probability
+    "q_markov_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS prev_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type AS from_type, event_type AS to_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE prev_type IS NOT NULL AND gap_us <= 300000000
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       round(CAST(c.n AS DOUBLE) / CAST(tt.n_from AS DOUBLE), 6) AS p
+        |FROM c JOIN tt USING (from_type)""".stripMargin,
 
     // same three stage CTEs, NOT EXISTS against the next stage
     "q_cep_timeouts" ->
