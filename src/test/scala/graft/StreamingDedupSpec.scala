@@ -516,6 +516,37 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("record-linkage screens keep stream-static equi-join shapes — no all-pairs, no cartesian") {
+    implicit val sql = spark.sqlContext
+    val t0 = ts("2024-01-01 00:00:00")
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text", $"n_chars")
+    def execPlanOf(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String): String = {
+      val in = MemoryStream[(Long, String, Long, Timestamp)]
+      val q = build(in.toDF().toDF("doc_id", "text", "n_chars", "ts"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        in.addData((700001L, "plan probe fixture body " * 4, 96L, t0))
+        q.processAllAvailable()
+        q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+          .streamingQuery.lastExecution.executedPlan.toString
+      } finally q.stop()
+    }
+    val pTrunc = execPlanOf(prefixTruncationStreaming(_, corpus), "pt_plan_out")
+    assert(!pTrunc.contains("CartesianProduct") &&
+      !pTrunc.contains("BroadcastNestedLoopJoin"), pTrunc)
+    assert(pTrunc.contains("bkey"), pTrunc) // candidates via the 32-char block key
+    val pSnm = execPlanOf(snmStreaming(_, corpus), "snm_plan_out")
+    assert(!pSnm.contains("CartesianProduct") &&
+      !pSnm.contains("BroadcastNestedLoopJoin"), pSnm)
+    assert(pSnm.contains("skey"), pSnm) // both joins keyed on (pass, skey)
+    val pEx = execPlanOf(exactSubstrStreaming(_, corpus), "ex_plan_out")
+    assert(!pEx.contains("CartesianProduct") &&
+      !pEx.contains("BroadcastNestedLoopJoin"), pEx)
+    assert(pEx.contains("LeftSemi") || pEx.contains("left_semi"), pEx)
+  }
+
   test("streaming fuzzy match probes a distributed index via stream-static equi-joins") {
     implicit val sql = spark.sqlContext
     val catalog = Tables.load(spark, sf0001, "part")
