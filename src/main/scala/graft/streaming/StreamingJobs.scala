@@ -1056,6 +1056,63 @@ object StreamingJobs {
       }
   }
 
+  case class MkEvent(user_id: Long, bucket: Timestamp, event_type: String,
+      ts: Timestamp, event_id: Long)
+
+  case class MarkovStep(user_id: Long, day: java.time.LocalDate,
+      from_type: String, to_type: String)
+
+  /** Streaming in-session transition extraction — the live form of
+    * `q_markov_transitions`'s pair stage: each (user, day) buffers its
+    * events until the watermark closes the day (the CEP state
+    * machine — consecutive-pair semantics under disorder need the
+    * closed buffer), then emits one row per consecutive pair within
+    * the 5-minute gap, ordered exactly like batch on
+    * (unix_micros, event_id). The matrix itself is the sink-side
+    * rollup (group by (from, to), normalize per from) — the
+    * compose-at-the-sink split every aggregating screen here follows,
+    * so the streamed rows stay per-user facts. DAY-SCOPED by
+    * construction: a pair whose 5-minute gap straddles midnight is
+    * not emitted (the batch global lag sees it) — the documented
+    * bucketing trade, same as the CEP day scope. State = one
+    * (user, day) of events, evicted at finalization. */
+  def markovTransitionsStreaming(events: DataFrame, tsCol: String, userCol: String,
+      lateness: String = "1 hour"): Dataset[MarkovStep] = {
+    import events.sparkSession.implicits._
+    val dayMillis = 86400000L
+    val gapUs = 300L * 1000000L
+    val sessionZone = java.time.ZoneId.of(
+      events.sparkSession.conf.get("spark.sql.session.timeZone"))
+    def dayOf(bucketMs: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochMilli(bucketMs).atZone(sessionZone).toLocalDate
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    events
+      .select(col(userCol).cast("long").as("user_id"),
+        date_trunc("day", col(tsCol)).as("bucket"),
+        col("event_type"), col(tsCol).as("ts"), col("event_id").cast("long").as("event_id"))
+      .withWatermark("ts", lateness)
+      .as[MkEvent]
+      .groupByKey(r => (r.user_id, r.bucket.getTime))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), rows: Iterator[MkEvent], state: GroupState[List[(String, Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            val ordered = buf.sortBy { case (_, us, id) => (us, id) }
+            ordered.iterator.zip(ordered.iterator.drop(1)).collect {
+              case ((from, us1, _), (to, us2, _)) if us2 - us1 <= gapUs =>
+                MarkovStep(key._1, dayOf(key._2), from, to)
+            }
+          } else {
+            val buf = state.getOption.getOrElse(Nil) ++
+              rows.map(r => (r.event_type, micros(r.ts), r.event_id))
+            state.update(buf)
+            state.setTimeoutTimestamp(key._2 + dayMillis)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming CEP TIMEOUT side-output — the live form of
     * `q_cep_timeouts` (Flink `within()` timeout parity): a (user, day)
     * whose greedy pattern stalls emits (stage_reached, t_last,

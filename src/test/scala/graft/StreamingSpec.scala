@@ -215,6 +215,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Markov transitions == ordered consecutive pairs within the 5-min gap") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp, Long)]
+    val rows = Seq(
+      // user 1: v→c (2 min), c→p (4 min) — two pairs; p→v gap 10 min breaks
+      (1L, "view", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "click", ts("2024-01-01 00:02:00"), 2L),
+      (1L, "purchase", ts("2024-01-01 00:06:00"), 3L),
+      (1L, "view", ts("2024-01-01 00:16:00"), 4L),
+      // user 2: tied timestamps — order falls to event_id (5 then 6)
+      (2L, "click", ts("2024-01-01 01:00:00"), 6L),
+      (2L, "view", ts("2024-01-01 01:00:00"), 5L))
+    val q = markovTransitionsStreaming(
+        in.toDF().toDF("user_id", "event_type", "t", "event_id"), "t", "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("mk_out").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      in.addData((9L, "view", ts("2024-01-02 06:30:00"), 99L)); q.processAllAvailable()
+      in.addData((9L, "view", ts("2024-01-02 06:31:00"), 98L)); q.processAllAvailable()
+      val got = spark.table("mk_out")
+        .select($"user_id", $"from_type", $"to_type")
+        .as[(Long, String, String)].collect().toSeq.sorted
+      assert(got == Seq(
+        (1L, "click", "purchase"), (1L, "view", "click"),
+        (2L, "view", "click")).sorted, got.toString)
+    } finally q.stop()
+  }
+
   test("streaming CEP emits the session-calendar day under a non-UTC session zone") {
     // `day` must come from the session calendar, not epoch-day division
     // of the bucket instant (UTC-only — off by one for every UTC+
