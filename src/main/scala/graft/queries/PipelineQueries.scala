@@ -793,7 +793,41 @@ object PipelineQueries {
     // zero shuffle, scan speed at 100 TB (the companion
     // dedup_cdc_storage pays the only aggregate).
     "pipeline_cdc_chunks" -> ((s, dir) =>
-      cdcChunks(Tables.load(s, dir, "documents")))
+      cdcChunks(Tables.load(s, dir, "documents"))),
+
+    // per-source RESERVOIR CAP — keep exactly min(k, n) docs per
+    // source, uniformly and deterministically, WITHOUT a per-source
+    // sort (the cap-per-domain primitive: bound any one crawl's share
+    // of the training mix). The selection key is an injective affine
+    // permutation of doc_id mod the Mersenne prime (the q_distinct_kmv
+    // hash family) — uniform, engine-replicable, and collision-free
+    // for ids < p, so "the k smallest keys" is an exact size-k set.
+    // The per-source threshold is the KMV aggregate's bounded k-minima
+    // state (map-combined, ≤ k longs per partition×source — never a
+    // sort of the source's rows); when a source holds < k docs the
+    // minima set is the whole key set and the filter keeps everything.
+    // One bounded aggregate + one broadcast join + one audit
+    // aggregate; the same `kept` predicate feeds the capped write at
+    // 100 TB. Contrast pipeline_stratified_sample: that keeps a FIXED
+    // RATE per stratum; this keeps a fixed COUNT, which is what a
+    // per-domain cap actually needs when source sizes differ by 10⁶×.
+    "pipeline_reservoir_cap" -> ((s, dir) => {
+      val k = 256
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("h",
+          (col("doc_id") * lit(2654435761L) + lit(104729L)) % lit(2147483647L))
+      val thr = docs.groupBy("source")
+        .agg(graft.functions.Sketches.kmvMinima(col("h"), k).as("minima"))
+        .select(col("source"),
+          element_at(col("minima"), size(col("minima"))).as("thr"))
+      docs.join(broadcast(thr), "source")
+        .select(col("source"), col("n_chars"),
+          (col("h") <= col("thr")).cast("long").as("kept"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+          sum(when(col("kept") === 1L, col("n_chars")).otherwise(lit(0L)))
+            .as("kept_chars"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1283,6 +1317,22 @@ object PipelineQueries {
         |  GROUP BY 1)
         |SELECT doc_id, n_feats,
         |       round(CAST(sum_r AS DOUBLE) / 10000.0 / CAST(n_feats AS DOUBLE), 6) AS dsir_weight
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    // rank-over-the-same-injective-key replica: rn <= k picks exactly
+    // the k smallest keys, which is the KMV threshold set
+    "pipeline_reservoir_cap" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |         (doc_id * 2654435761 + 104729) % 2147483647 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN rn <= 256 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM r GROUP BY 1""".stripMargin
   )
 }

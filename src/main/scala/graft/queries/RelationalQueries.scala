@@ -778,6 +778,392 @@ object RelationalQueries {
         .join(broadcast(names.select(col("name").as("name_a"), col("n_rows").as("n_rows_a"))), "name_a")
         .join(broadcast(names.select(col("name").as("name_b"), col("n_rows").as("n_rows_b"))), "name_b")
         .select("name_a", "name_b", "lev", "n_rows_a", "n_rows_b")
+    }),
+
+    // TPC-H Q6 shape: pure scan + pushed predicates + global agg.
+    // The whole query is one parquet scan whose filters all reach the
+    // reader (PushedFilters on shipdate/discount/quantity) followed by
+    // a partial+final aggregate — zero shuffle rows beyond 32 partial
+    // states. At 100 TB this is the I/O-bound floor: wall-clock is
+    // bytes-after-pruning / scan bandwidth.
+    "q6_revenue_delta" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    // year. The two nation dims are pre-filtered to the pair BEFORE
+    // broadcasting, so the supplier/customer broadcast-hash probes
+    // discard non-pair rows early; only the surviving fact rows reach
+    // the (supp_nation, cust_nation, year) aggregate. The one shuffle
+    // is lineitem⋈orders on orderkey.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val pair = Seq("NATION_9", "NATION_11")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val ord = t(s, dir, "orders")
+      val n1 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val supp = t(s, dir, "supplier")
+      val cust = t(s, dir, "customer")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(n1), supp("s_nationkey") === col("sn_key"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(n2), cust("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q8 shape: a nation's market share of PROMO-part revenue
+    // sold to ASIA customers, by order year. share = conditional-sum /
+    // total-sum inside ONE aggregate (no second pass); the ratio is
+    // computed over the already-rounded components so the oracle's
+    // division sees bit-identical inputs.
+    "q8_market_share" -> ((s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nationC = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val nationS = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val part = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nationC), cust("c_nationkey") === col("cn_key"))
+        .join(broadcast(region), col("n_regionkey") === region("r_regionkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(nationS), supp("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_9", vol)
+            .otherwise(lit(0.0))), 2).as("nation_rev"),
+          round(sum(vol), 2).as("total_rev"))
+        .withColumn("mkt_share", round(col("nation_rev") / col("total_rev"), 4))
+    }),
+
+    // TPC-H Q15 shape: top supplier(s) by quarterly revenue. The
+    // per-supplier revenue frame is supplier-catalog-sized, so the
+    // argmax is a 1-row broadcast aggregate probed by an equi-join on
+    // the ROUNDED revenue (cent-exact on both sides — no double-ulp
+    // tie ambiguity); ties all surface, as in the spec's VIEW form.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(mx), rev("total_revenue") === mx("mx"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // TPC-H Q4 shape (adapted): priority mix of orders in a quarter
+    // that had at least one RETURNED line (this schema carries no
+    // commit/receipt dates, so the EXISTS predicate is l_returnflag =
+    // 'R' instead of late delivery — the plan shape is identical: a
+    // date-pruned orders scan left-semi-joined to a filtered lineitem
+    // scan on orderkey, then a tiny grouped count).
+    "q4_priority_returns" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val ret = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      ord.join(ret, ord("o_orderkey") === ret("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q22 shape (adapted): per-nation count + balance of
+    // wealthy lapsed customers — above-average positive balance and
+    // no order since 1998-01-01 (the spec's "no orders for 7 years"
+    // reading; this generator gives every customer at least one
+    // lifetime order, so the literal never-ordered form is vacuous,
+    // and the schema has no phone column so the country filter is the
+    // nation dim itself). The average-balance threshold is
+    // evaluated in INTEGER cents — c_cents * n_pos > total_cents ⟺
+    // c_acctbal > avg — so the boundary is exact in both engines
+    // (doubles would make `> avg` an ulp-lottery for a customer
+    // sitting on the mean). The 1-row threshold frame is a benign
+    // scalar broadcast; the anti-join on orders is the only shuffle.
+    "q22_idle_balance" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .withColumn("c_cents", round(col("c_acctbal") * 100).cast("long"))
+      val thr = cust.filter(col("c_cents") > 0L)
+        .agg(count(lit(1)).as("n_pos"), sum(col("c_cents")).as("total_cents"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      cust.crossJoin(broadcast(thr)) // rows × 1 scalar row
+        .filter(col("c_cents") * col("n_pos") > col("total_cents"))
+        .join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+    }),
+
+    // ---- The remaining TPC-H shapes (Q2/Q9/Q11/Q16/Q20 need the
+    // partsupp table this schema doesn't ship; it is DERIVED from
+    // lineitem as the distinct (l_partkey, l_suppkey) observations
+    // with ps_supplycost := min observed unit price and
+    // ps_availqty := total shipped quantity. The derived frame is
+    // bounded by |part| × |supplier| (catalog², not event volume), so
+    // at 100 TB it is an aggregate over the fact scan that then
+    // behaves exactly like the catalog-sized partsupp it stands in
+    // for. min() over identical doubles is order-independent, so the
+    // cost is bit-deterministic in both engines; quantities are
+    // integral-valued doubles, so their sums are exact. ----
+
+    // TPC-H Q2 shape: min-cost supplier per size-15 part with the
+    // supplier in EUROPE; argmin via an equality join against the
+    // per-part min (same pattern as q15's argmax), top-20 by supplier
+    // balance with a unique (acctbal, s_name, p_partkey) tie-break.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+      val part = t(s, dir, "part").filter(col("p_size") === 15)
+      val region = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val eligible = ps
+        .join(broadcast(part), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      val minCost = eligible.groupBy(col("ps_partkey").as("mk"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      eligible.join(broadcast(minCost),
+          col("ps_partkey") === col("mk") && col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_name"), round(col("ps_supplycost"), 4).as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q9 shape: product-line profit by supplier nation and
+    // order year, parts chosen by a name LIKE filter. profit =
+    // revenue − derived-cost × qty; the derived partsupp side is
+    // pre-pruned by the broadcast part filter BEFORE the fact join so
+    // the (partkey, suppkey) shuffle carries only matching parts.
+    "q9_product_profit" -> ((s, dir) => {
+      val part = t(s, dir, "part").filter(col("p_name").like("%bolt%"))
+      val ps = t(s, dir, "lineitem")
+        .join(broadcast(part.select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      li.join(broadcast(part.select(col("p_partkey").as("pk"))), li("l_partkey") === col("pk"))
+        .join(ps, li("l_partkey") === col("ps_partkey") && li("l_suppkey") === col("ps_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")), li("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("ps_supplycost") * col("l_quantity")), 2).as("profit"))
+    }),
+
+    // TPC-H Q11 shape: parts whose derived inventory value held by
+    // NATION_9 suppliers exceeds 0.1% of that nation's total. The
+    // threshold compares the ROUNDED per-part value against the
+    // rounded grand total × 0.001 (identical rounded inputs ⇒ the
+    // boundary is decided identically in both engines); the grand
+    // total is the benign 1-row scalar broadcast.
+    "q11_important_parts" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"),
+          sum(col("l_quantity")).as("ps_availqty"))
+      val supp = t(s, dir, "supplier")
+      val nation = t(s, dir, "nation").filter(col("n_name") === "NATION_9")
+      val held = ps
+        .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("ps_partkey"), (col("ps_supplycost") * col("ps_availqty")).as("v"))
+      val perPart = held.groupBy(col("ps_partkey").as("p_partkey"))
+        .agg(round(sum(col("v")), 2).as("part_value"))
+      val total = held.agg(round(sum(col("v")), 2).as("total_value"))
+      perPart.crossJoin(broadcast(total)) // rows × 1 scalar row
+        .filter(col("part_value") > col("total_value") * 0.001)
+        .select(col("p_partkey"), col("part_value"))
+    }),
+
+    // TPC-H Q12 shape (adapted): priority mix of 1996-shipped lines
+    // by return flag (no l_shipmode column — the flag plays the mode's
+    // role; the CASE-conditional dual count inside one aggregate is
+    // the shape being exercised).
+    "q12_priority_lines" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val ord = t(s, dir, "orders")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
+
+    // TPC-H Q16 shape: distinct supplier count per (brand, type,
+    // size) bucket over the derived part-supplier pairs, excluding
+    // one brand, a size list, and "complaint" suppliers (negative
+    // balance — this schema has no comment text); the exclusion list
+    // is a broadcast anti-join, the count a partial-aggregated
+    // count(DISTINCT).
+    "q16_supplier_variety" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+      val part = t(s, dir, "part")
+        .filter(col("p_brand") =!= "BRAND_1" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_key"))
+      pairs
+        .join(broadcast(part), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("ps_suppkey") === col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q20 shape (adapted): ASIA suppliers who DOMINATE the
+    // supply of a 'small %' part — shipped more than 1/8 of that
+    // part's total quantity, an order of magnitude above the ~1% fair
+    // share across this catalog's ~100 suppliers (the spec's
+    // excess-stock predicate recast on the derived availqty; no
+    // supplier crosses 50% in this generator, so the literal half
+    // bound is vacuous). Quantities are integral doubles, so qty·8 >
+    // total is exact; the per-part totals frame is catalog-sized and
+    // broadcast.
+    "q20_dominant_suppliers" -> ((s, dir) => {
+      val part = t(s, dir, "part").filter(col("p_name").like("small %"))
+      val shipped = t(s, dir, "lineitem")
+        .join(broadcast(part.select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("k"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val totals = shipped.groupBy(col("k").as("tk")).agg(sum(col("qty")).as("total_qty"))
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      shipped.join(broadcast(totals), col("k") === col("tk"))
+        .filter(col("qty") * 8 > col("total_qty"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_parts"))
+    }),
+
+    // TPC-H Q21 shape (adapted): suppliers SOLELY to blame in
+    // multi-supplier finished orders — their line came back 'R' while
+    // every co-supplier's lines stayed clean (no receipt/commit dates
+    // in this schema, so the returned flag plays the late-delivery
+    // role). The famous EXISTS / NOT-EXISTS pair compiles to one
+    // left-semi and one left-anti hash join on orderkey with a
+    // suppkey-inequality residual — never a pair expansion.
+    "q21_sole_blame" -> ((s, dir) => {
+      val fin = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val li = t(s, dir, "lineitem")
+        .join(fin, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val ret = li.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val all = li.select(col("l_orderkey").as("a_ok"), col("l_suppkey").as("a_sk"))
+        .distinct()
+      val hasOther = ret.join(all,
+        col("l_orderkey") === col("a_ok") && col("l_suppkey") =!= col("a_sk"),
+        "left_semi")
+      val sole = hasOther.join(
+        ret.select(col("l_orderkey").as("r_ok"), col("l_suppkey").as("r_sk")),
+        col("l_orderkey") === col("r_ok") && col("l_suppkey") =!= col("r_sk"),
+        "left_anti")
+      sole.join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
+    // BUCKETED co-located join — the big-big join technique the rest
+    // of the suite only talks about, executed for real: both fact
+    // tables are WRITTEN bucketed by the join key (16 buckets,
+    // bucket-sorted), then joined via a merge join that needs NO
+    // shuffle on either side — the scan's bucket layout already
+    // satisfies the join's partitioning requirement, so the only
+    // exchange in the whole plan is the final tiny groupBy. At 100 TB
+    // this is the difference between re-shuffling both fact tables on
+    // every join and paying the layout cost once at write time; the
+    // `merge` hint keeps the demonstration honest at test scale (where
+    // the optimizer would otherwise just broadcast the small side).
+    // PlanSpec pins the bucketed-scan + single-exchange shape; the
+    // oracle is the identical join over the raw tables — layout must
+    // never change results.
+    "q_bucketed_join" -> ((s, dir) => {
+      // external tables with per-sf names+paths: a fresh session's
+      // empty in-memory catalog can always re-create them (a MANAGED
+      // table would trip LOCATION_ALREADY_EXISTS on the leftover dir)
+      val sfTag = new java.io.File(dir).getName.replace('.', '_')
+      def bucketed(src: String, key: String): String = {
+        val tbl = s"b_${src}_$sfTag"
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        t(s, dir, src)
+          .write.mode("overwrite")
+          .option("path", new java.io.File(s"target/layout/$tbl").getAbsolutePath)
+          .bucketBy(16, key).sortBy(key)
+          .saveAsTable(tbl)
+        tbl
+      }
+      val ordersTbl = bucketed("orders", "o_orderkey")
+      val lineitemTbl = bucketed("lineitem", "l_orderkey")
+      s.table(lineitemTbl).hint("merge")
+        .join(s.table(ordersTbl).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
+
+    // PARTITION-PRUNED layout — the other physical-layout lever:
+    // events are WRITTEN hive-partitioned by event type, and a
+    // point-query on one type then never opens the other partitions'
+    // files at all (PartitionFilters in the scan, pinned in PlanSpec —
+    // distinct from q_filter_pushdown's row-group pruning, which still
+    // lists every file). At 100 TB partition pruning is the first
+    // 10–100× any query sees; the layout write is per-sf so Verify,
+    // Bench, and the sf1 run never share a directory. The oracle runs
+    // the same filter over the raw table — layout must never change
+    // results.
+    "q_partition_prune" -> ((s, dir) => {
+      val path = s"target/layout/prune_${new java.io.File(dir).getName}"
+      Tables.load(s, dir, "events")
+        .withColumn("etype", col("event_type"))
+        .write.mode("overwrite").partitionBy("etype").parquet(path)
+      s.read.parquet(path)
+        .filter(col("etype") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
     })
   )
 
@@ -1306,6 +1692,227 @@ object RelationalQueries {
         |SELECT v.name_a, v.name_b, v.lev, na.n_rows AS n_rows_a, nb.n_rows AS n_rows_b
         |FROM v
         |JOIN names na ON na.name = v.name_a
-        |JOIN names nb ON nb.name = v.name_b""".stripMargin
+        |JOIN names nb ON nb.name = v.name_b""".stripMargin,
+
+    "q6_revenue_delta" ->
+      """SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE)
+        |  AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND n1.n_name IN ('NATION_9', 'NATION_11')
+        |  AND n2.n_name IN ('NATION_9', 'NATION_11')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH yr AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         round(CAST(sum(CASE WHEN ns.n_name = 'NATION_9'
+        |                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS DOUBLE), 2) AS nation_rev,
+        |         round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS total_rev
+        |  FROM lineitem
+        |  JOIN part     ON l_partkey = p_partkey
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region   ON nc.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY 1)
+        |SELECT o_year, nation_rev, total_rev,
+        |       round(nation_rev / total_rev, 4) AS mkt_share
+        |FROM yr""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON supplier_no = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+
+    "q4_priority_returns" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+
+    "q22_idle_balance" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS c_cents
+        |  FROM customer),
+        |thr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pos,
+        |         CAST(sum(c_cents) AS BIGINT) AS total_cents
+        |  FROM c WHERE c_cents > 0)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+        |FROM c
+        |CROSS JOIN thr
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_cents * n_pos > total_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY 1""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |elig AS (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |         ps_supplycost, ps_partkey
+        |  FROM ps
+        |  JOIN part ON ps_partkey = p_partkey
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size = 15 AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       round(ps_supplycost, 4) AS supply_cost
+        |FROM elig e
+        |WHERE ps_supplycost = (SELECT min(ps_supplycost) FROM elig x
+        |                       WHERE x.ps_partkey = e.ps_partkey)
+        |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 20""".stripMargin,
+
+    "q9_product_profit" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        |  GROUP BY 1, 2)
+        |SELECT n_name,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       round(CAST(sum(l_extendedprice * (1 - l_discount)
+        |             - ps_supplycost * l_quantity) AS DOUBLE), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(l_extendedprice / l_quantity) AS ps_supplycost,
+        |         sum(l_quantity) AS ps_availqty
+        |  FROM lineitem GROUP BY 1, 2),
+        |held AS (
+        |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+        |  FROM ps
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_9'),
+        |per_part AS (
+        |  SELECT ps_partkey AS p_partkey,
+        |         round(CAST(sum(v) AS DOUBLE), 2) AS part_value
+        |  FROM held GROUP BY 1),
+        |total AS (
+        |  SELECT round(CAST(sum(v) AS DOUBLE), 2) AS total_value FROM held)
+        |SELECT p_partkey, part_value
+        |FROM per_part CROSS JOIN total
+        |WHERE part_value > total_value * 0.001""".stripMargin,
+
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |      FROM lineitem) pairs
+        |JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'BRAND_1'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q20_dominant_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey AS k, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+        |  GROUP BY 1, 2),
+        |totals AS (SELECT k AS tk, sum(qty) AS total_qty FROM shipped GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_parts
+        |FROM shipped
+        |JOIN totals ON k = tk
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE qty * 8 > total_qty AND r_name = 'ASIA'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q21_sole_blame" ->
+      """WITH fin AS (
+        |  SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')),
+        |ret AS (SELECT DISTINCT l_orderkey, l_suppkey FROM fin WHERE l_returnflag = 'R'),
+        |alls AS (SELECT DISTINCT l_orderkey AS a_ok, l_suppkey AS a_sk FROM fin)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM ret r
+        |JOIN supplier ON r.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM alls
+        |              WHERE a_ok = r.l_orderkey AND a_sk <> r.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM ret x
+        |                  WHERE x.l_orderkey = r.l_orderkey
+        |                    AND x.l_suppkey <> r.l_suppkey)
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_partition_prune" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -601,4 +601,89 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("q6 is a single pushed-filter scan + partial aggregate — no shuffle rows beyond partial states") {
+    val p = plan("q6_revenue_delta")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("IsNotNull(l_discount)") || p.contains("GreaterThanOrEqual(l_discount"), p)
+    assert(!p.contains("Join"), p) // no join operator of any kind
+  }
+
+  test("q7/q8 keep every dimension broadcast — the only shuffle is fact⋈fact on orderkey") {
+    for (q <- Seq("q7_volume_shipping", "q8_market_share")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("q15 argmax is a 1-row broadcast equi-join on the rounded revenue, not a global re-sort") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q4 priority mix is a left-semi equi-join, never a pair expansion") {
+    val p = plan("q4_priority_returns")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q22 threshold is the benign 1-row scalar broadcast; the lapsed screen is an anti equi-join") {
+    val p = plan("q22_idle_balance")
+    assert(p.contains("LeftAnti"), p)
+    // exactly one BNLJ — the 1-row threshold frame
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q2/q9/q20 derived-partsupp chains stay broadcast-dimensional — no pair expansion") {
+    for (q <- Seq("q2_min_cost_supplier", "q9_product_profit", "q20_dominant_suppliers")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("q11 grand total is the benign 1-row scalar broadcast over a catalog-sized frame") {
+    val p = plan("q11_important_parts")
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q12/q16 are equi-joins with partial aggregation — no BNLJ anywhere") {
+    for (q <- Seq("q12_priority_lines", "q16_supplier_variety")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("q21 EXISTS/NOT-EXISTS pair compiles to semi+anti hash joins on orderkey") {
+    val p = plan("q21_sole_blame")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bucketed co-located join: merge join fed by bucketed scans, exchange only at the final agg") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // both scans read the bucketed layout…
+    assert(p.split("SelectedBucketsCount").length - 1 == 2, p)
+    // …and neither side shuffles before the join: the single exchange
+    // in the whole plan is the final groupBy's
+    assert(p.split("Exchange").length - 1 == 1, p)
+  }
+
+  test("partition-pruned layout: the point query's filter prunes PARTITIONS, not just row groups") {
+    val p = plan("q_partition_prune")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("purchase"), p)
+  }
+
+  test("reservoir cap is a bounded k-minima aggregate + broadcast threshold — never a per-source sort") {
+    val p = plan("pipeline_reservoir_cap")
+    assert(p.contains("ObjectHashAggregate"), p) // the KMV TypedImperativeAggregate, map-combined
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p) // the oracle's row_number is the replica, not the plan
+  }
 }
