@@ -525,6 +525,57 @@ object EventQueries {
         .agg(cells.head, cells.tail: _*)
         .unpivot(Array(col("hour")), types.map(col).toArray, "event_type", "cnt")
         .filter(col("cnt") > 0)
+    }),
+
+    // WINDOW JOIN — the Flink DataStream join family member the suite
+    // had not named yet (stream.join(other).where(key).window(tumble)):
+    // clicks and purchases of the same user meeting in the same
+    // 10-minute tumbling window, aggregated per window. The join key
+    // is (user, window) — a pure equi-join whose window component also
+    // gives the STREAMING twin its state-eviction bound
+    // ([[graft.streaming.StreamingJobs.windowJoinStreaming]], parity
+    // in StreamingSpec). Pair fan-out is bounded by per-user-per-
+    // window activity, never corpus size.
+    "q_window_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          window(col("ts"), "10 minutes").as("cw"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          window(col("ts"), "10 minutes").as("pw"), col("value"))
+      purchases.join(clicks,
+          col("p_user") === col("c_user") && col("pw") === col("cw"))
+        .groupBy(col("pw.start").as("window_start"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("p_user")).as("n_users"),
+          round(sum(col("value")), 2).as("paired_value"))
+    }),
+
+    // DAU/WAU/MAU stickiness — the product-health dashboard staple:
+    // per-day distinct actives joined to the calendar-week and
+    // calendar-month distinct actives covering that day, stickiness =
+    // dau/mau. Three distinct-count aggregates at three grains (each
+    // map-side partially aggregated on (grain, user)); the weekly and
+    // monthly frames are calendar-sized, so they broadcast — the fact
+    // table shuffles only for its own distinct, never for the join.
+    // The calendar grains (not a 28-day sliding window) are the
+    // at-scale formulation: a sliding distinct would hold per-day user
+    // sets in window state, while calendar grains stay pure aggregates.
+    "q_dau_mau" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        date_trunc("day", col("ts")).as("day"),
+        date_trunc("week", col("ts")).as("week"),
+        date_trunc("month", col("ts")).as("month"),
+        col("user_id"))
+      val dau = ev.groupBy("day", "week", "month")
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ev.groupBy("week").agg(countDistinct(col("user_id")).as("wau"))
+      val mau = ev.groupBy("month").agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(broadcast(wau), "week").join(broadcast(mau), "month")
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          round(col("dau").cast("double") / col("mau").cast("double"), 6)
+            .as("stickiness"))
     })
   )
 
@@ -917,6 +968,36 @@ object EventQueries {
     "q_unpivot_roundtrip" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       CAST(count(*) AS BIGINT) AS cnt
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_window_join" ->
+      """WITH c AS (
+        |  SELECT user_id, time_bucket(INTERVAL '10 minutes', ts) AS w
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, time_bucket(INTERVAL '10 minutes', ts) AS w, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.w AS window_start, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+        |       round(CAST(sum(p.value) AS DOUBLE), 2) AS paired_value
+        |FROM p JOIN c ON p.user_id = c.user_id AND p.w = c.w
+        |GROUP BY 1""".stripMargin,
+
+    "q_dau_mau" ->
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         date_trunc('week', ts) AS week,
+        |         date_trunc('month', ts) AS month, user_id
+        |  FROM events),
+        |d AS (SELECT day, week, month,
+        |             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |      FROM e GROUP BY 1, 2, 3),
+        |w AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |      FROM e GROUP BY 1),
+        |m AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |      FROM e GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau, m.mau,
+        |       round(CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE), 6) AS stickiness
+        |FROM d JOIN w USING (week) JOIN m USING (month)""".stripMargin
   )
 }

@@ -1154,6 +1154,46 @@ object RelationalQueries {
     // Bench, and the sf1 run never share a directory. The oracle runs
     // the same filter over the raw table — layout must never change
     // results.
+    // JOIN-KEY SKEW REPORT — the audit you run BEFORE deciding to
+    // salt (q_salted_join) or broadcast: for each candidate join key
+    // of the fact table, its cardinality, the hottest key's share,
+    // and a hot-key census (keys whose count exceeds 10× the mean —
+    // the integer-exact predicate cnt·n_keys > 10·total, no doubles
+    // at the boundary) with the row mass those hot keys carry. ONE
+    // scan feeds all three key columns via the explode trick
+    // (q_zorder_layout's pattern); everything after is key-cardinality
+    // frames + 1-row scalar broadcasts. No ranking window anywhere —
+    // a per-key-column top-N rank would single-thread the billion-key
+    // frame at 100 TB, while max/census aggregates stay partial+final.
+    "q_skew_report" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .select(explode(array(
+          struct(lit("l_orderkey").as("key_col"), col("l_orderkey").as("key")),
+          struct(lit("l_partkey").as("key_col"), col("l_partkey").as("key")),
+          struct(lit("l_suppkey").as("key_col"), col("l_suppkey").as("key")))).as("kk"))
+        .groupBy(col("kk.key_col").as("key_col"), col("kk.key").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = counts.groupBy("key_col")
+        .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_cnt"))
+      counts.join(broadcast(totals), "key_col") // 3-row totals frame
+        .groupBy(col("key_col"))
+        .agg(
+          first(col("n_keys")).as("n_keys"),
+          first(col("total")).as("total"),
+          first(col("max_cnt")).as("max_cnt"),
+          sum(when(col("cnt") * col("n_keys") > col("total") * 10L, 1L)
+            .otherwise(0L)).as("n_hot"),
+          sum(when(col("cnt") * col("n_keys") > col("total") * 10L, col("cnt"))
+            .otherwise(0L)).as("hot_mass"))
+        .select(col("key_col"), col("n_keys"), col("total"), col("max_cnt"),
+          round(col("max_cnt").cast("double") / col("total").cast("double"), 6)
+            .as("top1_share"),
+          col("n_hot"),
+          round(col("hot_mass").cast("double") / col("total").cast("double"), 6)
+            .as("hot_share"))
+    }),
+
     "q_partition_prune" -> ((s, dir) => {
       val path = s"target/layout/prune_${new java.io.File(dir).getName}"
       Tables.load(s, dir, "events")
@@ -1907,6 +1947,25 @@ object RelationalQueries {
         |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH k AS (
+        |  SELECT 'l_orderkey' AS key_col, l_orderkey AS key FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+        |c AS (SELECT key_col, key, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM k GROUP BY 1, 2),
+        |t AS (SELECT key_col, CAST(sum(cnt) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS n_keys,
+        |             CAST(max(cnt) AS BIGINT) AS max_cnt
+        |      FROM c GROUP BY 1)
+        |SELECT c.key_col, t.n_keys, t.total, t.max_cnt,
+        |       round(CAST(t.max_cnt AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS top1_share,
+        |       CAST(sum(CASE WHEN c.cnt * t.n_keys > t.total * 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+        |       round(CAST(sum(CASE WHEN c.cnt * t.n_keys > t.total * 10 THEN c.cnt ELSE 0 END) AS DOUBLE)
+        |             / CAST(t.total AS DOUBLE), 6) AS hot_share
+        |FROM c JOIN t USING (key_col)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q_partition_prune" ->
       """SELECT date_trunc('hour', ts) AS hour,

@@ -797,8 +797,63 @@ object TextQueries {
     // [[winnowSelected]] for the plan shape (map-side HOFs, zero
     // shuffle — the selection never leaves the scan task).
     "text_winnow_fingerprint" -> ((s, dir) =>
-      winnowSelected(docs(s, dir), WinnowK, WinnowW))
+      winnowSelected(docs(s, dir), WinnowK, WinnowW)),
+
+    // RAKE keyword extraction (Rose et al. 2010) — the classic
+    // unsupervised keyphrase miner, corpus-level: candidate phrases
+    // are maximal stopword-free token runs (gaps-and-islands over
+    // token positions, per-doc — the window is doc-length-bounded, so
+    // parallelism is per-document like every other text op);
+    // word stats freq(w) = #occurrences, deg(w) = Σ (phrase_len − 1)
+    // over the phrases containing each occurrence; per-word score
+    // (deg+freq)/freq is materialized FIXED-POINT — each word's
+    // rational is floored to 10⁻⁶ INDIVIDUALLY (longDiv), so the
+    // phrase score is a sum of exact integers and can never depend on
+    // engine fold order. Stopword list = the langMarkers 'en' set the
+    // quality scorer already uses. Output: top-20 phrases by score
+    // (ties broken by phrase text — total order). Shape at 100 TB:
+    // two vocab-sized aggregates + one vocab-keyed equi-join; nothing
+    // pairs, nothing collects.
+    "text_rake_keywords" -> ((s, dir) => rakeKeywords(docs(s, dir)))
   )
+
+  /** RAKE core over any (doc_id, text) frame — see the registered
+    * query's scaladoc for semantics; factored out so PropertySpec can
+    * replay it against a brute-force in-memory RAKE on random corpora.
+    */
+  private[graft] def rakeKeywords(d0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.KernelExpressions.longDiv
+    val stop = langMarkers.collectFirst { case ("en", ws) => ws }.get
+    val toks = d0
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(!col("tok").isin(stop.map(lit): _*))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val phrases = toks
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("pt"))
+      .select(
+        array_join(transform(col("pt"), x => x.getField("tok")), " ").as("phrase"),
+        size(col("pt")).cast("long").as("len"))
+    val wordStats = phrases
+      .select(explode(split(col("phrase"), " ")).as("w"), col("len"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("len") - 1L).as("deg"))
+      .select(col("w"),
+        longDiv((col("deg") + col("freq")) * lit(1000000L), col("freq"))
+          .as("wscore"))
+    val distinctPhrases = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"))
+    distinctPhrases
+      .select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordStats, "w")
+      .groupBy("phrase", "n_occurrences")
+      .agg(sum(col("wscore")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("phrase"))
+      .limit(20)
+  }
 
   /** DuckDB replay of [[winnowSelected]] — the same positional gram
     * polyhash, the same (hash+1)·C − pos window argmin encoding, the
@@ -1300,6 +1355,37 @@ object TextQueries {
          |       CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0.0
          |            ELSE round(CAST(per.novel_spans AS DOUBLE) / CAST(per.n_spans AS DOUBLE), 6)
          |       END AS novelty
-         |FROM t LEFT JOIN per ON t.doc_id = per.doc_id""".stripMargin
+         |FROM t LEFT JOIN per ON t.doc_id = per.doc_id""".stripMargin,
+
+    // same islands (pos − row_number), same fixed-point word score
+    // (integer // floors identically), same total-order top-20
+    "text_rake_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(range(len(string_split(text, ' ')))) AS pos
+        |  FROM documents),
+        |ns AS (
+        |  SELECT doc_id, tok, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM tok
+        |  WHERE tok NOT IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it')),
+        |ph AS (
+        |  SELECT string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |         CAST(count(*) AS BIGINT) AS len
+        |  FROM ns GROUP BY doc_id, island),
+        |ws AS (
+        |  SELECT w, CAST(((sum(len - 1) + count(*)) * 1000000) // count(*) AS BIGINT) AS wscore
+        |  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, len FROM ph)
+        |  GROUP BY w),
+        |dp AS (
+        |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM ph GROUP BY phrase)
+        |SELECT x.phrase, x.n_occurrences,
+        |       CAST(sum(ws.wscore) AS BIGINT) AS score_fp
+        |FROM (SELECT phrase, n_occurrences,
+        |             unnest(string_split(phrase, ' ')) AS w FROM dp) x
+        |JOIN ws ON x.w = ws.w
+        |GROUP BY 1, 2
+        |ORDER BY score_fp DESC, x.phrase LIMIT 20""".stripMargin
   )
 }

@@ -1503,6 +1503,32 @@ object StreamingJobs {
       .select(col("event_id"), col("p_user").as("user_id"), col("p_ts"), col("c_ts"))
   }
 
+  /** Flink window-join parity (stream.join(other).where(user)
+    * .window(TumblingEventTimeWindows)): two watermarked streams
+    * equi-joined on (user, 10-minute tumbling window). The window
+    * struct in the join key is what bounds state on BOTH sides — a
+    * buffered row's window closes once the other stream's watermark
+    * passes window.end, so state is window-width × arrival rate,
+    * exactly the Flink window-join buffer. Emits PAIR-level rows
+    * (window_start, user_id, value); the batch twin `q_window_join`
+    * aggregates the same pairs per window — StreamingSpec pins the
+    * converged aggregate equal, so one stateful operator (the join)
+    * is the whole streaming plan.
+    */
+  def windowJoinStreaming(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "0 seconds")
+      .select(col("c_user"), window(col("c_ts"), "10 minutes").as("cw"))
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "0 seconds")
+      .select(col("p_user"), window(col("p_ts"), "10 minutes").as("pw"), col("value"))
+    p.join(c, col("p_user") === col("c_user") && col("pw") === col("cw"))
+      .select(col("pw.start").as("window_start"),
+        col("p_user").as("user_id"), col("value"))
+  }
+
   /** One keyed event for the stateful OVER operator. */
   case class KeyedEvent(key: String, ts: Timestamp)
 

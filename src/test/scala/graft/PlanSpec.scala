@@ -686,4 +686,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Window"), p) // the oracle's row_number is the replica, not the plan
   }
+
+  test("RAKE is vocab-keyed equi-joins + TakeOrdered — no pair expansion, no global sort") {
+    val p = plan("text_rake_keywords")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("skew report is one exploded scan + census aggregates — no ranking window, no pair join") {
+    val p = plan("q_skew_report")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the counts frame feeds both the probe side and the totals build
+    // side; statically that is two identical scan+aggregate subtrees,
+    // and AQE's exchange reuse must collapse them at runtime so the
+    // fact table is scanned ONCE — assert on the executed final plan
+    val df = SparkEntry.queries("q_skew_report")(spark, sf0001)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("ReusedExchange"), exec)
+  }
+
+  test("DAU/MAU joins its calendar-sized weekly/monthly frames broadcast") {
+    val p = plan("q_dau_mau")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

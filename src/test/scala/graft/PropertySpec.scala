@@ -483,4 +483,41 @@ class PropertySpec extends SparkSpec {
       } finally q.stop()
     })
   }
+
+  test("∀ corpora: RAKE top-20 == brute-force phrase scoring (islands, deg/freq, fixed-point)") {
+    val stop = Set("the", "and", "of", "to", "a", "in", "is", "it")
+    val wordGen = Gen.oneOf(
+      "the", "and", "of", "in", "cat", "dog", "fast", "car", "red", "blue", "sky", "run")
+    val docGen = for {
+      n <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    check(Prop.forAll(Gen.choose(1, 8).flatMap(k => Gen.listOfN(k, docGen))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.queries.TextQueries.rakeKeywords(df)
+        .as[(String, Long, Long)].collect().toList
+      // brute force: maximal stopword-free runs per doc
+      val phrases: List[List[String]] = texts.flatMap { t =>
+        val runs = scala.collection.mutable.ListBuffer[List[String]]()
+        var cur = List.empty[String]
+        t.split(" ", -1).foreach { w =>
+          if (stop(w)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+          else cur = w :: cur
+        }
+        if (cur.nonEmpty) runs += cur.reverse
+        runs.toList
+      }
+      val freq = phrases.flatten.groupBy(identity).map { case (w, l) => (w, l.size.toLong) }
+      val deg = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      phrases.foreach(p => p.foreach(w => deg(w) += (p.size - 1).toLong))
+      val wscore = freq.map { case (w, f) => (w, ((deg(w) + f) * 1000000L) / f) }
+      val expect = phrases.map(_.mkString(" ")).groupBy(identity)
+        .map { case (p, l) =>
+          (p, l.size.toLong, p.split(" ", -1).map(wscore).sum)
+        }
+        .toList.sortBy { case (p, _, s) => (-s, p) }.take(20)
+      got == expect
+    })
+  }
 }

@@ -824,6 +824,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("window join streaming: converged per-window aggregate == q_window_join batch") {
+    implicit val sql = spark.sqlContext
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"user_id", $"ts", $"event_type", $"value")
+      .as[(Long, Timestamp, String, Double)].collect()
+    val purchases = ev.filter(_._3 == "purchase").map(e => (e._1, e._2, e._4)).sortBy(_._2.getTime)
+    val clicks = ev.filter(_._3 == "click").map(e => (e._1, e._2, e._4)).sortBy(_._2.getTime)
+
+    val pIn = MemoryStream[(Long, Timestamp, Double)]
+    val cIn = MemoryStream[(Long, Timestamp, Double)]
+    val q = graft.streaming.StreamingJobs.windowJoinStreaming(
+        cIn.toDF().toDF("user_id", "ts", "value").drop("value"),
+        pIn.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.outputMode("append").format("memory").queryName("wj_out").start()
+    try {
+      // two time-ordered batches — cross-batch-line pairs must form
+      // from buffered window state
+      val (p1, p2) = purchases.splitAt(purchases.length / 2)
+      val (c1, c2) = clicks.splitAt(clicks.length / 2)
+      pIn.addData(p1.toSeq); cIn.addData(c1.toSeq); q.processAllAvailable()
+      pIn.addData(p2.toSeq); cIn.addData(c2.toSeq); q.processAllAvailable()
+      val got = spark.table("wj_out")
+        .groupBy($"window_start")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value"), 2).as("paired_value"))
+        .as[(Timestamp, Long, Long, Double)].collect().toSet
+      val want = graft.queries.EventQueries.queries("q_window_join")(spark, sf0001)
+        .as[(Timestamp, Long, Long, Double)].collect().toSet
+      assert(got == want && want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER interval join: null-pads unmatched purchases at watermark") {
     implicit val sql = spark.sqlContext
     val ev = Tables.load(spark, sf0001, "events")
