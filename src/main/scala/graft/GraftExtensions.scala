@@ -27,10 +27,16 @@ import graft.functions.{KernelExpressions, TextFunctions}
   * specialization, which these kernels deliberately avoid).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // optimizer rules and planner strategies ride the same entry
+    // point; for a live session use spark.experimental
+    // .extraOptimizations / .extraStrategies (see each scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }
 
 object GraftFunctions {

@@ -984,11 +984,17 @@ object RelationalQueries {
     }),
 
     // TPC-H Q11 shape: parts whose derived inventory value held by
-    // NATION_9 suppliers exceeds 0.1% of that nation's total. The
-    // threshold compares the ROUNDED per-part value against the
-    // rounded grand total × 0.001 (identical rounded inputs ⇒ the
-    // boundary is decided identically in both engines); the grand
-    // total is the benign 1-row scalar broadcast.
+    // NATION_9 suppliers exceeds 0.1% of that nation's total. Each
+    // (part, supplier) value is fixed-pointed to INTEGER cents at the
+    // row level — the product chain min·qty·100 is identical IEEE
+    // arithmetic in both engines with NO summation involved, so the
+    // per-row rounding is bit-deterministic — and everything after
+    // (per-part sums, the grand total, the 0.1% threshold
+    // fp·1000 > total_fp) is exact integer arithmetic. A first cut
+    // summed raw doubles and rounded after: Spark's own partition
+    // fold order then flipped a part sitting on a half-cent boundary
+    // between runs (306042.955 — caught by a repeat verify), which is
+    // precisely the ulp lottery this formulation removes.
     "q11_important_parts" -> ((s, dir) => {
       val ps = t(s, dir, "lineitem")
         .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
@@ -999,13 +1005,16 @@ object RelationalQueries {
       val held = ps
         .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
-        .select(col("ps_partkey"), (col("ps_supplycost") * col("ps_availqty")).as("v"))
+        .select(col("ps_partkey"),
+          round(col("ps_supplycost") * col("ps_availqty") * 100).cast("long")
+            .as("v_fp"))
       val perPart = held.groupBy(col("ps_partkey").as("p_partkey"))
-        .agg(round(sum(col("v")), 2).as("part_value"))
-      val total = held.agg(round(sum(col("v")), 2).as("total_value"))
+        .agg(sum(col("v_fp")).as("fp"))
+      val total = held.agg(sum(col("v_fp")).as("total_fp"))
       perPart.crossJoin(broadcast(total)) // rows × 1 scalar row
-        .filter(col("part_value") > col("total_value") * 0.001)
-        .select(col("p_partkey"), col("part_value"))
+        .filter(col("fp") * 1000L > col("total_fp"))
+        .select(col("p_partkey"),
+          round(col("fp").cast("double") / 100.0, 2).as("part_value"))
     }),
 
     // TPC-H Q12 shape (adapted): priority mix of 1996-shipped lines
@@ -1872,20 +1881,20 @@ object RelationalQueries {
         |         sum(l_quantity) AS ps_availqty
         |  FROM lineitem GROUP BY 1, 2),
         |held AS (
-        |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+        |  SELECT ps_partkey,
+        |         CAST(round(ps_supplycost * ps_availqty * 100) AS BIGINT) AS v_fp
         |  FROM ps
         |  JOIN supplier ON ps_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  WHERE n_name = 'NATION_9'),
         |per_part AS (
-        |  SELECT ps_partkey AS p_partkey,
-        |         round(CAST(sum(v) AS DOUBLE), 2) AS part_value
+        |  SELECT ps_partkey AS p_partkey, CAST(sum(v_fp) AS BIGINT) AS fp
         |  FROM held GROUP BY 1),
         |total AS (
-        |  SELECT round(CAST(sum(v) AS DOUBLE), 2) AS total_value FROM held)
-        |SELECT p_partkey, part_value
+        |  SELECT CAST(sum(v_fp) AS BIGINT) AS total_fp FROM held)
+        |SELECT p_partkey, round(CAST(fp AS DOUBLE) / 100.0, 2) AS part_value
         |FROM per_part CROSS JOIN total
-        |WHERE part_value > total_value * 0.001""".stripMargin,
+        |WHERE fp * 1000 > total_fp""".stripMargin,
 
     "q12_priority_lines" ->
       """SELECT l_returnflag,

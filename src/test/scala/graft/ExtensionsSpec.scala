@@ -85,4 +85,36 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(sql == 11.0)
   }
+
+  test("LevenshteinBandRule: sound length-band conjunct, idempotent, results unchanged") {
+    import graft.plans.LevenshteinBandRule
+    // parquet-backed (a literal Seq would fold into a LocalRelation
+    // before the rule could be observed); lengths and distances vary
+    val df = graft.model.Tables.load(spark, sf0001, "part")
+      .select($"p_name".as("x"),
+        concat(substring($"p_name", 1, 3), lit("qq")).as("y"))
+    def q = df.filter(levenshtein($"x", $"y") <= 1).select("x", "y")
+    val without = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved :+ LevenshteinBandRule
+    try {
+      val opt = q.queryExecution.optimizedPlan.toString
+      // the band landed…
+      assert(opt.contains("abs(") && opt.contains("length("), opt)
+      // …exactly once (the semanticEquals guard makes the rule a
+      // fixed point — the optimizer loop can't stack bands)
+      assert(opt.split("abs\\(").length - 1 == 1, opt)
+      // …and never changes results (soundness on a length-diverse set)
+      val withRule = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(withRule == without)
+      // the thresholded form returns −1 above its threshold, so it
+      // must NOT be banded (≤ would select far-apart pairs the band
+      // would then wrongly drop)
+      val thr = df.filter(levenshtein($"x", $"y", 1) <= 1)
+      assert(!thr.queryExecution.optimizedPlan.toString.contains("abs("),
+        thr.queryExecution.optimizedPlan.toString)
+      // -1-returning rows really are selected by ≤ and survive
+      assert(thr.count() == df.count())
+    } finally spark.experimental.extraOptimizations = saved
+  }
 }
