@@ -1163,6 +1163,40 @@ object RelationalQueries {
     // Bench, and the sf1 run never share a directory. The oracle runs
     // the same filter over the raw table — layout must never change
     // results.
+    // REFERENTIAL-INTEGRITY AUDIT — the dbt-test / data-contract
+    // staple, one row per FK relation: row count, orphan count (child
+    // keys with no parent — LEFT ANTI against the parent's key set),
+    // and null-key count. Parents are dimension-sized, so every anti
+    // probe is a broadcast hash join riding ONE pass over each child
+    // table; at 100 TB this is the nightly contract check that gates
+    // a snapshot promotion. (This generator is referentially intact,
+    // so orphans are 0 — the operator proves it rather than assumes
+    // it, which is the point of a contract.)
+    "q_referential_integrity" -> ((s, dir) => {
+      def audit(rel: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame = {
+        val keys = child.select(col(key).as("k"))
+        val orphans = keys.filter(col("k").isNotNull)
+          .join(broadcast(parent.select(col(pkey).as("p"))),
+            col("k") === col("p"), "left_anti")
+        keys.agg(count(lit(1)).as("n_rows"),
+            sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"))
+          .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+          .select(lit(rel).as("relation"), col("n_rows"), col("n_null"),
+            col("n_orphans"))
+      }
+      audit("lineitem.l_orderkey->orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")
+        .unionByName(audit("lineitem.l_partkey->part", t(s, dir, "lineitem"),
+          "l_partkey", t(s, dir, "part"), "p_partkey"))
+        .unionByName(audit("lineitem.l_suppkey->supplier", t(s, dir, "lineitem"),
+          "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(audit("orders.o_custkey->customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey"))
+        .unionByName(audit("customer.c_nationkey->nation", t(s, dir, "customer"),
+          "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+    }),
+
     // JOIN-KEY SKEW REPORT — the audit you run BEFORE deciding to
     // salt (q_salted_join) or broadcast: for each candidate join key
     // of the fact table, its cardinality, the hottest key's share,
@@ -1956,6 +1990,47 @@ object RelationalQueries {
         |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    "q_referential_integrity" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |       CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND NOT EXISTS (
+        |              SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN l_partkey IS NOT NULL AND NOT EXISTS (
+        |              SELECT 1 FROM part WHERE p_partkey = l_partkey)
+        |            THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN l_suppkey IS NOT NULL AND NOT EXISTS (
+        |              SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+        |            THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS (
+        |              SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |            THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation',
+        |       CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND NOT EXISTS (
+        |              SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+        |            THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM customer""".stripMargin,
 
     "q_skew_report" ->
       """WITH k AS (

@@ -708,6 +708,14 @@ class PlanSpec extends SparkSpec {
     assert(exec.contains("ReusedExchange"), exec)
   }
 
+  test("referential-integrity audit: every orphan probe is a broadcast anti-join") {
+    val p = plan("q_referential_integrity")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // parents are dim-sized — never shuffle the child
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("DAU/MAU joins its calendar-sized weekly/monthly frames broadcast") {
     val p = plan("q_dau_mau")
     assert(p.contains("BroadcastHashJoin"), p)
