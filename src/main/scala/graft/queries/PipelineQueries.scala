@@ -795,6 +795,25 @@ object PipelineQueries {
     "pipeline_cdc_chunks" -> ((s, dir) =>
       cdcChunks(Tables.load(s, dir, "documents"))),
 
+    // SHARD MANIFEST — the metadata a distributed training reader
+    // needs per output shard before it opens a single file: row count,
+    // token mass, and the id range (the contract a dataloader uses for
+    // length-aware scheduling and resumable reads). Shard assignment
+    // is the same stable polynomial id-hash as pipeline_hash_split
+    // (64 shards), so the manifest is recomputable from ids alone; one
+    // map-side-combined aggregate to 64 rows — at 100 TB this is the
+    // manifest the sharded write emits as a side output of the same
+    // pass.
+    "pipeline_shard_manifest" -> ((s, dir) => {
+      val shard = pmod(polyHash31(col("doc_id").cast("string")), lit(64L))
+      Tables.load(s, dir, "documents")
+        .select(shard.as("shard"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+    }),
+
     // per-source RESERVOIR CAP — keep exactly min(k, n) docs per
     // source, uniformly and deterministically, WITHOUT a per-source
     // sort (the cap-per-domain primitive: bound any one crawl's share
@@ -1318,6 +1337,21 @@ object PipelineQueries {
         |SELECT doc_id, n_feats,
         |       round(CAST(sum_r AS DOUBLE) / 10000.0 / CAST(n_feats AS DOUBLE), 6) AS dsir_weight
         |FROM d""".stripMargin,
+
+    "pipeline_shard_manifest" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (h, c) -> (h * 31 + c) % 2147483647) % 64 AS shard,
+        |         len(string_split(text, ' ')) AS n_tok
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+        |       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+        |FROM h GROUP BY 1""".stripMargin,
 
     // rank-over-the-same-injective-key replica: rn <= k picks exactly
     // the k smallest keys, which is the KMV threshold set

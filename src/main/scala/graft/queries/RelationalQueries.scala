@@ -31,6 +31,28 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Write `src` as an EXTERNAL bucketed table (16 buckets on `key`,
+    * bucket-sorted) with a per-sf name and path, and return the table
+    * name. External + DROP-IF-EXISTS because a fresh session's empty
+    * in-memory catalog must always be able to re-create it — a
+    * managed table trips LOCATION_ALREADY_EXISTS on the leftover
+    * directory. Shared by q_bucketed_join / q_bucketed_agg: pay the
+    * layout once, then joins AND aggregates on the bucket key run
+    * exchange-free.
+    */
+  private def bucketedTable(
+      s: SparkSession, dir: String, src: String, key: String): String = {
+    val sfTag = new java.io.File(dir).getName.replace('.', '_')
+    val tbl = s"b_${src}_$sfTag"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    t(s, dir, src)
+      .write.mode("overwrite")
+      .option("path", new java.io.File(s"target/layout/$tbl").getAbsolutePath)
+      .bucketBy(16, key).sortBy(key)
+      .saveAsTable(tbl)
+    tbl
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan-heavy grouped aggregate with arithmetic
     "q1_pricing_summary" -> ((s, dir) =>
@@ -1128,22 +1150,8 @@ object RelationalQueries {
     // oracle is the identical join over the raw tables — layout must
     // never change results.
     "q_bucketed_join" -> ((s, dir) => {
-      // external tables with per-sf names+paths: a fresh session's
-      // empty in-memory catalog can always re-create them (a MANAGED
-      // table would trip LOCATION_ALREADY_EXISTS on the leftover dir)
-      val sfTag = new java.io.File(dir).getName.replace('.', '_')
-      def bucketed(src: String, key: String): String = {
-        val tbl = s"b_${src}_$sfTag"
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        t(s, dir, src)
-          .write.mode("overwrite")
-          .option("path", new java.io.File(s"target/layout/$tbl").getAbsolutePath)
-          .bucketBy(16, key).sortBy(key)
-          .saveAsTable(tbl)
-        tbl
-      }
-      val ordersTbl = bucketed("orders", "o_orderkey")
-      val lineitemTbl = bucketed("lineitem", "l_orderkey")
+      val ordersTbl = bucketedTable(s, dir, "orders", "o_orderkey")
+      val lineitemTbl = bucketedTable(s, dir, "lineitem", "l_orderkey")
       s.table(lineitemTbl).hint("merge")
         .join(s.table(ordersTbl).hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
@@ -1163,6 +1171,23 @@ object RelationalQueries {
     // Bench, and the sf1 run never share a directory. The oracle runs
     // the same filter over the raw table — layout must never change
     // results.
+    // BUCKETED pre-aggregation — the layout's second dividend beyond
+    // q_bucketed_join: a groupBy on the bucket key needs NO exchange
+    // either (the bucketed scan's output partitioning already
+    // satisfies the aggregate's ClusteredDistribution). Lines-per-
+    // order histogram: the per-orderkey count — the expensive,
+    // fact-sized aggregate — runs exchange-free; only the tiny
+    // histogram re-aggregation shuffles. PlanSpec pins exactly one
+    // exchange in the whole plan.
+    "q_bucketed_agg" -> ((s, dir) => {
+      val tbl = bucketedTable(s, dir, "lineitem", "l_orderkey")
+      s.table(tbl)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+        .groupBy(col("n_lines"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // REFERENTIAL-INTEGRITY AUDIT — the dbt-test / data-contract
     // staple, one row per FK relation: row count, orphan count (child
     // keys with no parent — LEFT ANTI against the parent's key set),
@@ -1989,6 +2014,12 @@ object RelationalQueries {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
         |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_bucketed_agg" ->
+      """SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+        |      FROM lineitem GROUP BY 1)
         |GROUP BY 1""".stripMargin,
 
     "q_referential_integrity" ->

@@ -260,6 +260,25 @@ object TextQueries {
     "text_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), langId(col("text")).as("pred_lang"))),
 
+    // LANG-ID EVAL — the classifier-vs-gold confusion matrix, the
+    // model-eval audit every heuristic in a production pipeline needs
+    // next to it (documents carry a gold `lang` label): per
+    // (gold, predicted) cell the doc count plus per-gold recall from
+    // a broadcast totals frame. One scan + one tiny aggregate; the
+    // recall division is exact-integers-into-double, identical in
+    // both engines.
+    "text_langid_eval" -> ((s, dir) => {
+      val scored = docs(s, dir)
+        .select(col("lang").as("gold"), langId(col("text")).as("pred"))
+      val cells = scored.groupBy("gold", "pred").agg(count(lit(1)).as("n_docs"))
+      val totals = cells.groupBy(col("gold").as("g")).agg(sum(col("n_docs")).as("n_gold"))
+      cells.join(broadcast(totals), col("gold") === col("g"))
+        .select(col("gold"), col("pred"), col("n_docs"),
+          (col("gold") === col("pred")).cast("long").as("correct"),
+          round(col("n_docs").cast("double") / col("n_gold").cast("double"), 6)
+            .as("cell_share"))
+    }),
+
     // corpus vocabulary: top-100 tokens by frequency (explode + hash
     // agg + TakeOrderedAndProject; at 100 TB this is the classic
     // word-count shuffle with map-side partials)
@@ -963,6 +982,33 @@ object TextQueries {
         |            WHEN c_es >= c_fr THEN 'es'
         |            ELSE 'fr' END AS pred_lang
         |FROM c""".stripMargin,
+
+    // same prediction CTE joined back to the gold label
+    "text_langid_eval" ->
+      """WITH c AS (
+        |  SELECT lang AS gold,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','a','in','is','it'))) c_en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist','nicht'))) c_de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','las','y','es','que'))) c_es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','est','un','une'))) c_fr
+        |  FROM documents),
+        |p AS (
+        |  SELECT gold,
+        |         CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+        |              WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+        |              WHEN c_es >= c_fr THEN 'es'
+        |              ELSE 'fr' END AS pred
+        |  FROM c),
+        |cells AS (
+        |  SELECT gold, pred, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM p GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT gold AS g, CAST(sum(n_docs) AS BIGINT) AS n_gold
+        |  FROM cells GROUP BY 1)
+        |SELECT gold, pred, n_docs,
+        |       CAST(CASE WHEN gold = pred THEN 1 ELSE 0 END AS BIGINT) AS correct,
+        |       round(CAST(n_docs AS DOUBLE) / CAST(n_gold AS DOUBLE), 6) AS cell_share
+        |FROM cells JOIN tot ON gold = g""".stripMargin,
 
     "text_vocab" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS freq

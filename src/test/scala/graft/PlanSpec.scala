@@ -674,6 +674,13 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 == 1, p)
   }
 
+  test("bucketed pre-aggregation: the fact-sized per-key count runs exchange-free") {
+    val p = plan("q_bucketed_agg")
+    assert(p.contains("SelectedBucketsCount"), p)
+    // the only exchange is the tiny histogram re-aggregation's
+    assert(p.split("Exchange").length - 1 == 1, p)
+  }
+
   test("partition-pruned layout: the point query's filter prunes PARTITIONS, not just row groups") {
     val p = plan("q_partition_prune")
     assert(p.contains("PartitionFilters"), p)
