@@ -830,24 +830,29 @@ object PipelineQueries {
     // 100 TB. Contrast pipeline_stratified_sample: that keeps a FIXED
     // RATE per stratum; this keeps a fixed COUNT, which is what a
     // per-domain cap actually needs when source sizes differ by 10⁶×.
-    "pipeline_reservoir_cap" -> ((s, dir) => {
-      val k = 256
-      val docs = Tables.load(s, dir, "documents")
-        .withColumn("h",
-          (col("doc_id") * lit(2654435761L) + lit(104729L)) % lit(2147483647L))
-      val thr = docs.groupBy("source")
-        .agg(graft.functions.Sketches.kmvMinima(col("h"), k).as("minima"))
-        .select(col("source"),
-          element_at(col("minima"), size(col("minima"))).as("thr"))
-      docs.join(broadcast(thr), "source")
-        .select(col("source"), col("n_chars"),
-          (col("h") <= col("thr")).cast("long").as("kept"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
-          sum(when(col("kept") === 1L, col("n_chars")).otherwise(lit(0L)))
-            .as("kept_chars"))
-    })
+    "pipeline_reservoir_cap" -> ((s, dir) =>
+      reservoirCap(Tables.load(s, dir, "documents"), 256))
   )
+
+  /** Reservoir-cap core over any (source, doc_id, n_chars) frame —
+    * see the registered query's scaladoc; factored out so
+    * PropertySpec can replay it against a brute-force k-smallest on
+    * random corpora. */
+  private[graft] def reservoirCap(d0: DataFrame, k: Int): DataFrame = {
+    val docs = d0.withColumn("h",
+      (col("doc_id") * lit(2654435761L) + lit(104729L)) % lit(2147483647L))
+    val thr = docs.groupBy("source")
+      .agg(graft.functions.Sketches.kmvMinima(col("h"), k).as("minima"))
+      .select(col("source"),
+        element_at(col("minima"), size(col("minima"))).as("thr"))
+    docs.join(broadcast(thr), "source")
+      .select(col("source"), col("n_chars"),
+        (col("h") <= col("thr")).cast("long").as("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+        sum(when(col("kept") === 1L, col("n_chars")).otherwise(lit(0L)))
+          .as("kept_chars"))
+  }
 
   val oracles: Map[String, String] = Map(
     "pipeline_cdc_chunks" ->

@@ -1233,34 +1233,8 @@ object RelationalQueries {
     // frames + 1-row scalar broadcasts. No ranking window anywhere —
     // a per-key-column top-N rank would single-thread the billion-key
     // frame at 100 TB, while max/census aggregates stay partial+final.
-    "q_skew_report" -> ((s, dir) => {
-      val counts = t(s, dir, "lineitem")
-        .select(explode(array(
-          struct(lit("l_orderkey").as("key_col"), col("l_orderkey").as("key")),
-          struct(lit("l_partkey").as("key_col"), col("l_partkey").as("key")),
-          struct(lit("l_suppkey").as("key_col"), col("l_suppkey").as("key")))).as("kk"))
-        .groupBy(col("kk.key_col").as("key_col"), col("kk.key").as("key"))
-        .agg(count(lit(1)).as("cnt"))
-      val totals = counts.groupBy("key_col")
-        .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"),
-          max(col("cnt")).as("max_cnt"))
-      counts.join(broadcast(totals), "key_col") // 3-row totals frame
-        .groupBy(col("key_col"))
-        .agg(
-          first(col("n_keys")).as("n_keys"),
-          first(col("total")).as("total"),
-          first(col("max_cnt")).as("max_cnt"),
-          sum(when(col("cnt") * col("n_keys") > col("total") * 10L, 1L)
-            .otherwise(0L)).as("n_hot"),
-          sum(when(col("cnt") * col("n_keys") > col("total") * 10L, col("cnt"))
-            .otherwise(0L)).as("hot_mass"))
-        .select(col("key_col"), col("n_keys"), col("total"), col("max_cnt"),
-          round(col("max_cnt").cast("double") / col("total").cast("double"), 6)
-            .as("top1_share"),
-          col("n_hot"),
-          round(col("hot_mass").cast("double") / col("total").cast("double"), 6)
-            .as("hot_share"))
-    }),
+    "q_skew_report" -> ((s, dir) => skewReport(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))),
 
     "q_partition_prune" -> ((s, dir) => {
       val path = s"target/layout/prune_${new java.io.File(dir).getName}"
@@ -1274,6 +1248,37 @@ object RelationalQueries {
           round(sum(col("value")), 2).as("sum_value"))
     })
   )
+
+  /** Skew-report core over any fact frame and key-column list — see
+    * the registered query's scaladoc; factored out so PropertySpec
+    * can replay it against a brute-force census on random key draws.
+    */
+  private[graft] def skewReport(fact: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val counts = fact
+      .select(explode(array(keyCols.map(kc =>
+        struct(lit(kc).as("key_col"), col(kc).as("key"))): _*)).as("kk"))
+      .groupBy(col("kk.key_col").as("key_col"), col("kk.key").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("key_col")
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"))
+    counts.join(broadcast(totals), "key_col") // |keyCols|-row totals frame
+      .groupBy(col("key_col"))
+      .agg(
+        first(col("n_keys")).as("n_keys"),
+        first(col("total")).as("total"),
+        first(col("max_cnt")).as("max_cnt"),
+        sum(when(col("cnt") * col("n_keys") > col("total") * 10L, 1L)
+          .otherwise(0L)).as("n_hot"),
+        sum(when(col("cnt") * col("n_keys") > col("total") * 10L, col("cnt"))
+          .otherwise(0L)).as("hot_mass"))
+      .select(col("key_col"), col("n_keys"), col("total"), col("max_cnt"),
+        round(col("max_cnt").cast("double") / col("total").cast("double"), 6)
+          .as("top1_share"),
+        col("n_hot"),
+        round(col("hot_mass").cast("double") / col("total").cast("double"), 6)
+          .as("hot_share"))
+  }
 
   /** Gram-prefix-filtered Levenshtein self-match over a `name` frame:
     * all unordered distinct-name pairs with lev ≤ 2, found without an

@@ -484,6 +484,55 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("∀ corpora: reservoir cap keeps EXACTLY the k affine-hash-smallest docs per source") {
+    val k = 4
+    val rowGen = for {
+      src <- Gen.oneOf("s0", "s1", "s2")
+      chars <- Gen.choose(1L, 500L)
+    } yield (src, chars)
+    check(Prop.forAll(Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, rowGen))) { rows =>
+      // distinct doc_ids; hash is an injective affine permutation of id
+      val docs = rows.zipWithIndex.map { case ((src, chars), i) =>
+        (src, i.toLong * 7L + 3L, chars) // non-contiguous ids
+      }
+      val df = docs.toDF("source", "doc_id", "n_chars")
+      val got = graft.queries.PipelineQueries.reservoirCap(df, k)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val expect = docs.groupBy(_._1).map { case (src, ds) =>
+        val kept = ds.sortBy(d => (d._2 * 2654435761L + 104729L) % 2147483647L).take(k)
+        src -> ((ds.size.toLong, kept.size.toLong, kept.map(_._3).sum))
+      }
+      got == expect
+    })
+  }
+
+  test("∀ fact tables: skew report == brute-force census (cardinality, max share, hot keys)") {
+    val rowGen = for {
+      // skewed key draw: small domain with a hot head
+      k1 <- Gen.frequency(5 -> Gen.const(1L), 1 -> Gen.choose(1L, 20L))
+      k2 <- Gen.choose(1L, 5L)
+    } yield (k1, k2)
+    check(Prop.forAll(Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, rowGen))) { rows =>
+      val df = rows.toDF("ka", "kb")
+      val got = graft.queries.RelationalQueries.skewReport(df, Seq("ka", "kb"))
+        .as[(String, Long, Long, Long, Double, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+      // Spark's Round(double) goes through BigDecimal.valueOf (the
+      // toString form) — mirror that, not the exact-binary constructor
+      def rnd6(x: Double) = BigDecimal(x.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expect = Seq("ka" -> rows.map(_._1), "kb" -> rows.map(_._2)).map {
+        case (name, keys) =>
+          val c = keys.groupBy(identity).map { case (_, l) => l.size.toLong }
+          val total = keys.size.toLong
+          val hot = c.filter(_ * c.size > total * 10)
+          name -> ((c.size.toLong, total, c.max, rnd6(c.max.toDouble / total),
+            hot.size.toLong, rnd6(hot.sum.toDouble / total)))
+      }.toMap
+      got == expect
+    })
+  }
+
   test("∀ corpora: RAKE top-20 == brute-force phrase scoring (islands, deg/freq, fixed-point)") {
     val stop = Set("the", "and", "of", "to", "a", "in", "is", "it")
     val wordGen = Gen.oneOf(
