@@ -36,20 +36,30 @@ object RelationalQueries {
     * name. External + DROP-IF-EXISTS because a fresh session's empty
     * in-memory catalog must always be able to re-create it — a
     * managed table trips LOCATION_ALREADY_EXISTS on the leftover
-    * directory. Shared by q_bucketed_join / q_bucketed_agg: pay the
-    * layout once, then joins AND aggregates on the bucket key run
-    * exchange-free.
+    * directory. Shared by q_bucketed_join / q_bucketed_agg, and
+    * written ONCE PER JVM per (sf, src): "pay the layout at write
+    * time, then every join and aggregate on the bucket key rides it"
+    * is the operator's entire cost model, so repeat invocations in
+    * the same session (the bench's warm passes, the agg after the
+    * join) must reuse the layout, not silently pay the write again.
+    * The source parquet under an sf dir never changes within a run,
+    * so the cache key (sf tag, src) is sound.
     */
+  private val bucketedWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def bucketedTable(
       s: SparkSession, dir: String, src: String, key: String): String = {
     val sfTag = new java.io.File(dir).getName.replace('.', '_')
     val tbl = s"b_${src}_$sfTag"
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    t(s, dir, src)
-      .write.mode("overwrite")
-      .option("path", new java.io.File(s"target/layout/$tbl").getAbsolutePath)
-      .bucketBy(16, key).sortBy(key)
-      .saveAsTable(tbl)
+    val freshJvm = bucketedWritten.add(tbl) // false → this JVM wrote it already
+    if (freshJvm || !s.catalog.tableExists(tbl)) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      t(s, dir, src)
+        .write.mode("overwrite")
+        .option("path", new java.io.File(s"target/layout/$tbl").getAbsolutePath)
+        .bucketBy(16, key).sortBy(key)
+        .saveAsTable(tbl)
+    }
     tbl
   }
 
