@@ -122,14 +122,21 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
-  /** The re-measure set of a gauge-flagged window: every baseline
-    * query plus every query over 3× its committed clean-window time
-    * (failed queries excluded — the -1 sentinel must stay a failure).
-    * Pure so BenchSpec can pin the trigger. */
+  /** The re-measure set: every query over 3× its committed
+    * clean-window time, plus (in a gauge-flagged window) every
+    * baseline query. The per-query >3× trigger fires EVEN WHEN THE
+    * GAUGE IS CLEAN — round 9's artifact shipped 7.3×/4.9×/3.0×
+    * phantom spikes (dedup_cdc_storage, dedup_common_spans,
+    * dedup_canonical) in a gauge-clean window: the two map-side gauge
+    * queries cannot see shared-cache/shuffle-path noise, so they must
+    * not be the only tripwire. Failed queries are excluded — the -1
+    * sentinel must stay a failure. Pure so BenchSpec can pin the
+    * trigger. */
   private[graft] def suspectsOf(rs: Seq[(String, Double, Double)],
-      clean: Map[String, Double]): Seq[String] =
+      clean: Map[String, Double], includeBaseline: Boolean = true): Seq[String] =
     rs.filter { case (k, _, w) =>
-      w >= 0 && (baselineSet.contains(k) || clean.get(k).exists(c => w > 3 * c))
+      w >= 0 && ((includeBaseline && baselineSet.contains(k)) ||
+        clean.get(k).exists(c => w > 3 * c))
     }.map(_._1)
 
   /** The `sf` dir BENCH_CLEAN.json was measured at (None if absent) —
@@ -162,7 +169,8 @@ object Bench {
 
   /** Full-precision detail document (BENCH_DETAIL.json contents). */
   private[graft] def detailJson(rs: Seq[(String, Double, Double)],
-      sfDir: String, partial: Boolean, flagged: Boolean = false): String = {
+      sfDir: String, partial: Boolean, flagged: Boolean = false,
+      remeasured: Seq[String] = Nil): String = {
     val (totalCold, totalWarm, b44Warm, b44N) = totals(rs)
     def fullMap(sel: ((String, Double, Double)) => Double): String =
       rs.map { case r @ (k, _, _) => "\"" + k + "\":" + sel(r) }
@@ -175,8 +183,11 @@ object Bench {
       + s""","drift_gauge":${driftGaugeJson(rs)}"""
       + (if (partial) ""","partial":true""" else "")
       + (if (flagged) ""","gauge_flagged":true""" else "")
+      + (if (remeasured.nonEmpty)
+          s""","remeasured":${remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+        else "")
       + s""","bench_variants":${benchVariants.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-      + s""","run_policy":"value=cold total (each one-time shared cost paid exactly once, in family order); queries=best-of-2 steady state; caches released after the dedup/pipeline/sim block and after multimodal; frame-heavy multimodal queries benched at frameLen=64/stride=4 (registered forms stay oracle-checked); gauge_flagged=drift gauge exceeded clean bounds and the baseline set plus any query >3x its BENCH_CLEAN.json time was re-measured min-of-3"}""")
+      + s""","run_policy":"value=cold total (each one-time shared cost paid exactly once, in family order); queries=best-of-2 steady state; caches released after the dedup/pipeline/sim block and after multimodal; frame-heavy multimodal queries benched at frameLen=64/stride=4 (registered forms stay oracle-checked); remeasured=queries re-run min-of-3 because they exceeded 3x their BENCH_CLEAN.json time (fires even in gauge-clean windows); gauge_flagged=drift gauge exceeded clean bounds and the whole baseline set was additionally re-measured"}""")
   }
 
   /** The stdout artifact of record: baseline comparison set + anything
@@ -184,7 +195,7 @@ object Bench {
     * ~2000-byte stdout tail the consumer keeps. */
   private[graft] def compactLine(rs: Seq[(String, Double, Double)],
       sfDir: String, partial: Boolean, detailPath: String,
-      flagged: Boolean = false): String = {
+      flagged: Boolean = false, remeasuredN: Int = 0): String = {
     val (totalCold, totalWarm, b44Warm, b44N) = totals(rs)
     def line(sel: Set[String]): String = {
       val m = rs.filter(r => sel.contains(r._1))
@@ -197,6 +208,7 @@ object Bench {
         s""","drift_gauge":${driftGaugeJson(rs)}""" +
         (if (partial) ""","partial":true""" else "") +
         (if (flagged) ""","gauge_flagged":true""" else "") +
+        (if (remeasuredN > 0) s""","remeasured_n":$remeasuredN""" else "") +
         s""","sf":"$sfDir","detail":"$detailPath"}"""
     }
     val slowExtras = rs.filter(r => !baselineSet.contains(r._1) && r._3 >= 1.0)
@@ -234,6 +246,10 @@ object Bench {
     // (suspects are then re-measured); rides both artifacts so the
     // judge knows the window was noisy and the times were min-of-3'd
     @volatile var windowFlagged = false
+    // queries re-run min-of-3 by the >3×-of-clean trigger — stamped
+    // into both artifacts so a spike in the record is provably either
+    // re-measured or genuinely reproducible
+    @volatile var remeasuredNames: Seq[String] = Nil
 
     /** Emit the artifact of record exactly once — from the normal path
       * or, if the JVM is killed first, from the shutdown hook. */
@@ -249,12 +265,13 @@ object Bench {
       // the stdout line is the artifact of record — a failed detail
       // write (read-only cwd, full disk) must never discard the run
       try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-        (detailJson(rs, sfDir, partial, windowFlagged) + "\n").getBytes("UTF-8"))
+        (detailJson(rs, sfDir, partial, windowFlagged, remeasuredNames) + "\n").getBytes("UTF-8"))
       catch {
         case e: java.io.IOException =>
           System.err.println(s"[bench] detail write failed: ${e.getMessage}")
       }
-      println(compactLine(rs, sfDir, partial, detailPath, windowFlagged))
+      println(compactLine(rs, sfDir, partial, detailPath, windowFlagged,
+        remeasuredNames.size))
       System.out.flush()
     }
 
@@ -312,14 +329,21 @@ object Bench {
         graft.model.Tables.clearCaches(spark)
     }
 
-    // gauge-flagged window: a noisy box must not write phantom
-    // regressions into the artifact of record (round 8: a flagged
-    // driver window reported 45× slowdowns on untouched code). If the
-    // drift gauge exceeded its clean bounds, re-measure the baseline
-    // comparison set plus every query over 3× its committed
-    // clean-window time — min-of-3 (one extra run, a second only if
-    // still over 3×), in family order so shared memo caches amortize
-    // exactly as in the main loop.
+    // Noise guard: a noisy box must not write phantom regressions into
+    // the artifact of record. Two triggers, independent:
+    //  - PER-QUERY (always at reference scale): any query whose warm
+    //    time exceeds 3× its committed clean-window time is re-measured
+    //    min-of-3 — even when the drift gauge is clean. Round 9's
+    //    gauge-clean window shipped dedup_cdc_storage at 7.3×,
+    //    dedup_common_spans at 4.9×, dedup_canonical at 3.0× their
+    //    clean times on unchanged code: the two map-side gauge queries
+    //    cannot see shared-cache / shuffle-path noise.
+    //  - WINDOW (gauge-flagged): the whole baseline comparison set is
+    //    additionally re-measured (round 8: a flagged window reported
+    //    45× phantom slowdowns on untouched code).
+    // min-of-3 = one extra run, a second only if still over 3×, in
+    // family order so shared memo caches amortize exactly as in the
+    // main loop.
     // the gauge bounds and BENCH_CLEAN.json reference times are
     // measured at the driver's sf0.1 dir — at any other scale every
     // query legitimately exceeds them and the re-measure would rerun
@@ -327,35 +351,39 @@ object Bench {
     // reference scale
     val atReferenceScale = sfDir == "/root/testdata/sf0.1" ||
       cleanRefSf().contains(sfDir)
-    if (!stopped && atReferenceScale && gaugeFlagged(snapshot())) {
-      windowFlagged = true
+    if (!stopped && atReferenceScale) {
+      windowFlagged = gaugeFlagged(snapshot())
       val clean = cleanRef()
       def warmOf(name: String): Double =
         results.synchronized(results.find(_._1 == name).map(_._3).getOrElse(-1.0))
       def stillOver(name: String): Boolean =
         clean.get(name).exists(c => warmOf(name) > 3 * c)
-      val suspects = suspectsOf(snapshot(), clean)
+      val suspects = suspectsOf(snapshot(), clean, includeBaseline = windowFlagged)
       val suspectsOrdered = orderedFamilies
         .flatMap(f => suspects.filter(n => family(n) == f).sorted) ++
         suspects.filterNot(n => orderedFamilies.contains(family(n))).sorted
-      System.err.println(
-        s"[bench] drift gauge over clean bounds — re-measuring ${suspectsOrdered.size} queries")
-      suspectsOrdered.foreach { name =>
-        val fn = benchVariants.getOrElse(name, SparkEntry.queries(name))
-        var runs = 0
-        while (runs < 2 && !stopped && (runs == 0 || stillOver(name))) {
-          val t = try once(fn) catch { case _: Throwable => -1.0 }
-          if (t >= 0) results.synchronized {
-            val i = results.indexWhere(_._1 == name)
-            if (i >= 0) {
-              val (k, cold, w) = results(i)
-              results(i) = (k, cold, math.min(w, t))
+      if (suspectsOrdered.nonEmpty) {
+        System.err.println(
+          s"[bench] ${if (windowFlagged) "drift gauge over clean bounds" else "per-query >3x-of-clean spikes"}"
+            + s" — re-measuring ${suspectsOrdered.size} queries")
+        suspectsOrdered.foreach { name =>
+          val fn = benchVariants.getOrElse(name, SparkEntry.queries(name))
+          var runs = 0
+          while (runs < 2 && !stopped && (runs == 0 || stillOver(name))) {
+            val t = try once(fn) catch { case _: Throwable => -1.0 }
+            if (t >= 0) results.synchronized {
+              val i = results.indexWhere(_._1 == name)
+              if (i >= 0) {
+                val (k, cold, w) = results(i)
+                results(i) = (k, cold, math.min(w, t))
+              }
             }
+            runs += 1
           }
-          runs += 1
         }
+        remeasuredNames = suspectsOrdered
+        if (!stopped) graft.model.Tables.clearCaches(spark)
       }
-      if (!stopped) graft.model.Tables.clearCaches(spark)
     }
 
     emit(partial = stopped)

@@ -3,15 +3,16 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, Expression, GenericInternalRow, JoinedRow, LessThan,
-  LessThanOrEqual, Literal, RowNumber, SortOrder, UnsafeProjection, UnsafeRow,
-  WindowExpression, WindowSpecDefinition}
+  Alias, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
+  LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, UnsafeProjection,
+  UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.IntegerType
 
 /** Custom planner strategy: plan the idiomatic per-key top-k pattern
@@ -38,6 +39,24 @@ import org.apache.spark.sql.types.IntegerType
   * both are equally arbitrary within ties. The emitted rank column
   * keeps the original expression id, so parents resolve untouched.
   *
+  * Memory rails (a replaced WindowExec could SPILL; this operator must
+  * not OOM where vanilla planning survives):
+  *  - the strategy refuses k > `spark.graft.topk.maxK` (default 1024)
+  *    — a huge k literal means per-key state is no longer "small",
+  *    so the spill-capable window plan is the right physical choice;
+  *  - the map-side partial's heap table is capped at
+  *    `spark.graft.topk.maxBufferedKeys` keys (default 1 << 16): past
+  *    the cap, rows of UNSEEN keys pass through unpruned — always
+  *    correct (the final pass re-selects exactly), merely less
+  *    shuffle-reducing, which is partial aggregation's own degradation
+  *    mode under high key cardinality;
+  *  - the FINAL pass is sort-based, not hash-based: it requires
+  *    child ordering on (partition keys, order spec), so
+  *    EnsureRequirements plants a SortExec — which spills — under it,
+  *    and the operator itself streams one group at a time holding at
+  *    most the current row. The sort's input is already partial-pruned
+  *    to ≤ k rows per (map partition, key), a sliver of the original.
+  *
   * Opt-in like [[LevenshteinBandRule]]: `GraftExtensions` injects it
   * for `--conf spark.sql.extensions` sessions;
   * `spark.experimental.extraStrategies` adds it to a live session
@@ -45,6 +64,9 @@ import org.apache.spark.sql.types.IntegerType
   * window form on real data).
   */
 object TopKPerKeyStrategy extends SparkStrategy {
+
+  private def maxK: Int =
+    SQLConf.get.getConfString("spark.graft.topk.maxK", "1024").toInt
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case logical.Filter(cond, w: logical.Window)
@@ -61,12 +83,19 @@ object TopKPerKeyStrategy extends SparkStrategy {
             case _ => None
           }
           kOpt match {
-            case Some(k) if k >= 1 =>
+            case Some(k) if k >= 1 && k <= maxK =>
               // InferWindowGroupLimit may already sit below the window;
-              // this operator subsumes it, so plan over its child
+              // this operator subsumes it, so plan over its child — but
+              // ONLY when the pruning it performed is provably a
+              // superset of ours: same keys and order, a row_number
+              // rank (rank/dense_rank keep ties beyond the limit), and
+              // a limit at least as large as our k. Anything else keeps
+              // the group-limit in place (correct, merely redundant).
               val realChild = w.child match {
                 case g: logical.WindowGroupLimit
-                  if g.partitionSpec == part && g.orderSpec == order => g.child
+                  if g.partitionSpec == part && g.orderSpec == order &&
+                    g.rankLikeFunction.isInstanceOf[RowNumber] &&
+                    g.limit >= k => g.child
                 case c => c
               }
               val partialPass = TopKPerKeyExec(
@@ -82,12 +111,12 @@ object TopKPerKeyStrategy extends SparkStrategy {
 }
 
 /** Bounded per-key top-k. `partial = true` runs pre-shuffle with no
-  * distribution requirement and emits its survivors unranked;
-  * `partial = false` requires clustering on the keys (EnsureRequirements
-  * inserts the exchange), re-selects across the partial survivors, and
-  * emits rows with the row_number column appended. Memory per task is
-  * (#keys in partition) × k rows — the hash-aggregate state class.
-  */
+  * distribution requirement and emits its survivors unranked, passing
+  * rows through unpruned past the buffered-key cap; `partial = false`
+  * requires clustering AND ordering on the keys (EnsureRequirements
+  * inserts the exchange and a spill-capable sort), then streams each
+  * key group emitting its first k rows with the row_number column
+  * appended — O(current row) state. */
 case class TopKPerKeyExec(
     limit: Int,
     partitionExprs: Seq[Expression],
@@ -103,51 +132,118 @@ case class TopKPerKeyExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(partitionExprs))
 
+  /** Final pass streams sorted groups; the planted SortExec is the
+    * spill path the round-9 advice asked for. Group-prefix direction
+    * is arbitrary — Ascending matches what the exchange's sort would
+    * pick anyway. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(partitionExprs.map(SortOrder(_, Ascending)) ++ orderSpec)
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil
+    else partitionExprs.map(SortOrder(_, Ascending)) ++ orderSpec
+
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+
+  private def maxBufferedKeys: Int = SQLConf.get
+    .getConfString("spark.graft.topk.maxBufferedKeys", (1 << 16).toString).toInt
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val partExprs = partitionExprs
     val order = orderSpec
     val k = limit
-    val isPartial = partial
     val rank = rankAttr
-    child.execute().mapPartitions ({ it =>
-      val keyProj = UnsafeProjection.create(partExprs, childOutput)
-      val ord: Ordering[InternalRow] = GenerateOrdering.generate(order, childOutput)
-      // PriorityQueue dequeues the MAXIMUM per `ord`, i.e. the worst
-      // row currently kept — exactly the eviction candidate
-      val heaps = scala.collection.mutable.LinkedHashMap
-        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      while (it.hasNext) {
-        val row = it.next()
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
-            heaps.put(key.copy(), h)
-            h
+    if (partial) {
+      val keyCap = maxBufferedKeys
+      child.execute().mapPartitions({ it =>
+        val keyProj = UnsafeProjection.create(partExprs, childOutput)
+        val ord: Ordering[InternalRow] = GenerateOrdering.generate(order, childOutput)
+        // PriorityQueue dequeues the MAXIMUM per `ord`, i.e. the worst
+        // row currently kept — exactly the eviction candidate
+        val heaps = scala.collection.mutable.LinkedHashMap
+          .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+        new Iterator[InternalRow] {
+          // over-the-cap rows stream out IMMEDIATELY (held only between
+          // one hasNext/next pair, so no copy and no growth); buffered
+          // heap survivors follow once the input is exhausted
+          private var passRow: InternalRow = null
+          private var tail: Iterator[InternalRow] = null
+          def hasNext: Boolean = {
+            if (tail != null) return tail.hasNext
+            while (passRow == null && it.hasNext) {
+              val row = it.next()
+              val key = keyProj(row)
+              heaps.get(key) match {
+                case Some(h) =>
+                  if (h.size < k) h.enqueue(row.copy())
+                  else if (ord.compare(row, h.head) < 0) {
+                    h.dequeue(); h.enqueue(row.copy())
+                  }
+                case None if heaps.size < keyCap =>
+                  val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+                  h.enqueue(row.copy())
+                  heaps.put(key.copy(), h)
+                case None =>
+                  // over the key cap: ship the row unpruned (correct —
+                  // the final pass re-selects exactly; this is partial
+                  // aggregation's own high-cardinality degradation)
+                  passRow = row
+              }
+            }
+            if (passRow != null) true
+            else {
+              tail = heaps.valuesIterator.flatMap(_.iterator)
+              tail.hasNext
+            }
+          }
+          def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            if (tail != null) tail.next()
+            else { val r = passRow; passRow = null; r }
+          }
         }
-        if (heap.size < k) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
-        }
-      }
-      if (isPartial) heaps.valuesIterator.flatMap(_.iterator)
-      else {
+      }, preservesPartitioning = true)
+    } else {
+      child.execute().mapPartitions({ it =>
+        val keyProj = UnsafeProjection.create(partExprs, childOutput)
         val boundOut = childOutput :+ rank
         val outProj = UnsafeProjection.create(boundOut, boundOut)
         val rankRow = new GenericInternalRow(1)
         val joined = new JoinedRow
-        heaps.valuesIterator.flatMap { h =>
-          h.toArray.sorted(ord).iterator.zipWithIndex.map { case (row, i) =>
-            rankRow.update(0, i + 1)
-            outProj(joined(row, rankRow)).copy(): InternalRow
+        // input arrives key-grouped and order-sorted (requiredChild-
+        // Ordering): emit the first k rows of each group, ranked
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = null
+          private var emitted = 0
+          private var pending: InternalRow = null
+          private def advance(): Unit = {
+            while (pending == null && it.hasNext) {
+              val row = it.next()
+              val key = keyProj(row)
+              if (curKey == null || key != curKey) {
+                curKey = key.copy()
+                emitted = 0
+              }
+              if (emitted < k) {
+                emitted += 1
+                rankRow.update(0, emitted)
+                pending = outProj(joined(row, rankRow))
+              }
+            }
+          }
+          def hasNext: Boolean = { advance(); pending != null }
+          def next(): InternalRow = {
+            advance()
+            if (pending == null) throw new NoSuchElementException
+            val r = pending
+            pending = null
+            r
           }
         }
-      }
-    }, preservesPartitioning = true)
+      }, preservesPartitioning = true)
+    }
   }
 }

@@ -256,9 +256,14 @@ object EventQueries {
       events(s, dir)
         .withColumn("_salt", pmod(col("event_id"), lit(16)))
         .groupBy(col("event_type"), col("_salt"))
-        .agg(count(lit(1)).as("partial"), sum(col("value")).as("psum"))
+        // value is cent-valued → integer cents at the ROW, so both the
+        // salted partials and their merge are exact BIGINT sums (the
+        // q11 ulp-lottery discipline; RelationalQueries.cents)
+        .agg(count(lit(1)).as("partial"),
+          sum(RelationalQueries.cents(col("value"))).as("pcents"))
         .groupBy("event_type")
-        .agg(sum(col("partial")).as("cnt"), round(sum(col("psum")), 2).as("sum_value"))),
+        .agg(sum(col("partial")).as("cnt"),
+          RelationalQueries.money(sum(col("pcents"))).as("sum_value"))),
 
     // plain grouped aggregate over the stream table (A1 surface)
     "q_agg_value_stats" -> ((s, dir) =>
@@ -266,7 +271,8 @@ object EventQueries {
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("cnt"),
-          round(sum(col("value")), 2).as("sum_value"),
+          RelationalQueries.money(sum(RelationalQueries.cents(col("value"))))
+            .as("sum_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))),
 
@@ -549,7 +555,8 @@ object EventQueries {
         .groupBy(col("pw.start").as("window_start"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("p_user")).as("n_users"),
-          round(sum(col("value")), 2).as("paired_value"))
+          RelationalQueries.money(sum(RelationalQueries.cents(col("value"))))
+            .as("paired_value"))
     }),
 
     // DAU/WAU/MAU stickiness — the product-health dashboard staple:
@@ -829,12 +836,12 @@ object EventQueries {
 
     "q_salted_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
-        |       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        |       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_agg_value_stats" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
-        |       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+        |       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1""".stripMargin,
 
@@ -979,7 +986,7 @@ object EventQueries {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT p.w AS window_start, CAST(count(*) AS BIGINT) AS n_pairs,
         |       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
-        |       round(CAST(sum(p.value) AS DOUBLE), 2) AS paired_value
+        |       round(CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS paired_value
         |FROM p JOIN c ON p.user_id = c.user_id AND p.w = c.w
         |GROUP BY 1""".stripMargin,
 

@@ -699,14 +699,41 @@ object PipelineQueries {
 
     // Cross-split SEMANTIC leakage audit: after the deterministic
     // hash split (same rule as pipeline_hash_split), any semantic
-    // near-dup pair (SemDeDup cosine τ=0.4 — the dedup_semantic edge
-    // set) that straddles two splits means an eval example is
+    // near-dup edge that straddles two splits means an eval example is
     // semantically present in training — the leak that inflates
-    // benchmarks even when VERBATIM decontamination passes. Pure
-    // map-side over the pair set: the split labels derive from the
-    // ids already on the pair row, so the audit adds zero joins and
-    // zero shuffles to the pair query it composes.
+    // benchmarks even when VERBATIM decontamination passes. The
+    // DEFAULT edge set is the MUTUAL-kNN graph (both endpoints rank
+    // each other in their top-4 — sim_knn_clusters' edges, ≤ 4n before
+    // symmetrization): these are the edges SemDeDup-style grouping
+    // actually clusters on, and the audit over them is graph-sized
+    // regardless of how dense the near-dup mass is. The exhaustive
+    // τ=0.4 pair set survives as pipeline_semantic_leakage_full. The
+    // split labels derive from ids already on the edge row — zero
+    // joins and zero shuffles beyond the edge query composed.
     "pipeline_semantic_leakage" -> ((s, dir) => {
+      def split(c: org.apache.spark.sql.Column) = {
+        val h = pmod(polyHash31(c.cast("string")), lit(10L))
+        when(h < 8, lit("train")).when(h === 8, lit("val")).otherwise(lit("test"))
+      }
+      val g = SimilarityQueries.queries("sim_knn_graph")(s, dir)
+        .select(col("vec_id"), col("neighbor_id"), col("cos"))
+      g.as("a").join(g.as("b"),
+          col("a.vec_id") === col("b.neighbor_id") &&
+            col("a.neighbor_id") === col("b.vec_id") &&
+            col("a.vec_id") < col("a.neighbor_id"))
+        .select(col("a.vec_id").as("vec_a"),
+          col("a.neighbor_id").as("vec_b"), col("a.cos").as("cos"))
+        .withColumn("split_a", split(col("vec_a")))
+        .withColumn("split_b", split(col("vec_b")))
+        .filter(col("split_a") =!= col("split_b"))
+        .select("vec_a", "split_a", "vec_b", "split_b", "cos")
+    }),
+
+    // the opt-in EXHAUSTIVE form of the audit above: every SemDeDup
+    // τ=0.4 within-cluster pair (the dedup_semantic edge set, k ∝ n),
+    // not just the mutual-kNN skeleton — linear under the fixed mean
+    // cluster size, but with a near-dup-density-dependent constant
+    "pipeline_semantic_leakage_full" -> ((s, dir) => {
       def split(c: org.apache.spark.sql.Column) = {
         val h = pmod(polyHash31(c.cast("string")), lit(10L))
         when(h < 8, lit("train")).when(h === 8, lit("val")).otherwise(lit("test"))
@@ -1230,15 +1257,54 @@ object PipelineQueries {
         |FROM c
         |WHERE cum // greatest(tot // 100, 1) > (cum - wgt) // greatest(tot // 100, 1)""".stripMargin,
 
-    // the semantic pair CTE chain + the hash-split CASE applied to
-    // both pair ids map-side
+    // the mutual-kNN edge CTE chain (same kg/mu as sim_knn_clusters,
+    // carrying cos) + the hash-split CASE applied to both edge ids
     "pipeline_semantic_leakage" -> {
       def bucketSql(id: String) =
         s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
            |           list_transform(string_split(CAST($id AS VARCHAR), ''),
            |             c -> CAST(ascii(c) AS BIGINT))),
            |           (h, c) -> (h * 31 + c) % 2147483647) % 10""".stripMargin
-      s"""WITH ${SimilarityQueries.ivfAssignCtes},
+      s"""WITH ${SimilarityQueries.semAssignCtes},
+         |pr AS (
+         |  SELECT x.vec_id, y.vec_id AS neighbor_id,
+         |         round(list_reduce(list_prepend(0.0,
+         |                 list_transform(range(1, 65), i -> xn.v[i] * yn.v[i])), (p, q) -> p + q)
+         |               / (xn.nrm * yn.nrm), 6) AS cos
+         |  FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+         |  JOIN n xn ON xn.vec_id = x.vec_id
+         |  JOIN n yn ON yn.vec_id = y.vec_id),
+         |kg AS (
+         |  SELECT vec_id, neighbor_id, cos FROM (
+         |    SELECT vec_id, neighbor_id, cos,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM pr)
+         |  WHERE rk <= 4),
+         |mu AS (
+         |  SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b, a.cos
+         |  FROM kg a JOIN kg b
+         |    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+         |   AND a.vec_id < a.neighbor_id),
+         |lab AS (
+         |  SELECT vec_a, vec_b, cos,
+         |         CASE WHEN ${bucketSql("vec_a")} < 8 THEN 'train'
+         |              WHEN ${bucketSql("vec_a")} = 8 THEN 'val' ELSE 'test' END AS split_a,
+         |         CASE WHEN ${bucketSql("vec_b")} < 8 THEN 'train'
+         |              WHEN ${bucketSql("vec_b")} = 8 THEN 'val' ELSE 'test' END AS split_b
+         |  FROM mu)
+         |SELECT vec_a, split_a, vec_b, split_b, cos
+         |FROM lab WHERE split_a <> split_b""".stripMargin
+    },
+
+    // the semantic pair CTE chain + the hash-split CASE applied to
+    // both pair ids map-side — the exhaustive-audit twin
+    "pipeline_semantic_leakage_full" -> {
+      def bucketSql(id: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |           list_transform(string_split(CAST($id AS VARCHAR), ''),
+           |             c -> CAST(ascii(c) AS BIGINT))),
+           |           (h, c) -> (h * 31 + c) % 2147483647) % 10""".stripMargin
+      s"""WITH ${SimilarityQueries.semAssignCtes},
          |pr AS (
          |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
          |         round(list_reduce(list_prepend(0.0,
@@ -1270,7 +1336,7 @@ object PipelineQueries {
            |           list_transform(string_split(CAST($id AS VARCHAR), ''),
            |             c -> CAST(ascii(c) AS BIGINT))),
            |           (h, c) -> (h * 31 + c) % 2147483647) % 10""".stripMargin
-      s"""WITH RECURSIVE ${SimilarityQueries.ivfAssignCtes},
+      s"""WITH RECURSIVE ${SimilarityQueries.semAssignCtes},
          |pr AS (
          |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
          |  FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id < y.vec_id

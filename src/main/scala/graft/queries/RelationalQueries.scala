@@ -31,6 +31,29 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Row-level integer-cents monetary term: `round(expr · 100)` per
+    * ROW. The rounded value is a pure IEEE product chain over one
+    * row's columns — no summation is involved, so it is bit-identical
+    * in Spark and DuckDB — and everything summed afterwards is exact
+    * BIGINT arithmetic, immune to partition fold order. This is the
+    * q11_important_parts discipline, generalized after that query was
+    * CAUGHT flipping on a half-cent boundary (306042.955) between two
+    * verify sweeps: `round(sum(double))` is only probabilistically
+    * safe whenever the summed terms carry cent fractions (binary-
+    * inexact), because the final rounding can sit one ulp from a
+    * .xx5 boundary that Spark's own fold order crosses run-to-run.
+    * Monetary columns (l_extendedprice, c_acctbal, o_totalprice,
+    * events.value) are cent-valued in this schema, so ·100 recovers
+    * exact integers; l_quantity is INTEGER-valued, so plain double
+    * sums of it are exact (integers are closed under double addition
+    * up to 2^53) and stay in the direct form. */
+  private[queries] def cents(e: Column): Column = round(e * 100).cast("long")
+
+  /** Exact integer cents back to the 2-dp double the result schema
+    * declares — a single final division+round, no summed doubles. */
+  private[queries] def money(sumCents: Column): Column =
+    round(sumCents.cast("double") / 100.0, 2)
+
   /** Write `src` as an EXTERNAL bucketed table (16 buckets on `key`,
     * bucket-sorted) with a per-sf name and path, and return the table
     * name. External + DROP-IF-EXISTS because a fresh session's empty
@@ -47,20 +70,53 @@ object RelationalQueries {
     */
   private val bucketedWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Per-layout write locks: the write-once check is check-then-act on
+    * JVM-global state, so two sessions racing the same table would both
+    * see "not written yet" and DROP+overwrite a path the other is mid-
+    * write on (q_bucketed_join and q_bucketed_agg share the lineitem
+    * layout). The per-key monitor serializes writers; losers re-check
+    * under the lock and ride the winner's layout. */
+  private val layoutLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def layoutLock(key: String): Object =
+    layoutLocks.computeIfAbsent(key, _ => new Object)
   private def bucketedTable(
       s: SparkSession, dir: String, src: String, key: String): String = {
     val sfTag = new java.io.File(dir).getName.replace('.', '_')
     val tbl = s"b_${src}_$sfTag"
-    val freshJvm = bucketedWritten.add(tbl) // false → this JVM wrote it already
-    if (freshJvm || !s.catalog.tableExists(tbl)) {
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      t(s, dir, src)
-        .write.mode("overwrite")
-        .option("path", new java.io.File(s"target/layout/$tbl").getAbsolutePath)
-        .bucketBy(16, key).sortBy(key)
-        .saveAsTable(tbl)
+    layoutLock(tbl).synchronized {
+      val freshJvm = bucketedWritten.add(tbl) // false → this JVM wrote it already
+      if (freshJvm || !s.catalog.tableExists(tbl)) {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        t(s, dir, src)
+          .write.mode("overwrite")
+          .option("path", new java.io.File(s"target/layout/$tbl").getAbsolutePath)
+          .bucketBy(16, key).sortBy(key)
+          .saveAsTable(tbl)
+      }
     }
     tbl
+  }
+
+  /** Hive-partitioned events layout for q_partition_prune, written once
+    * per JVM per sf (same memo discipline as [[bucketedTable]]): the
+    * query's cost model is "pay the partitioned write once, then every
+    * pruned read rides the directory structure" — rewriting inside the
+    * query lambda made warm/bench timings measure the WRITE, and a
+    * concurrent invocation could overwrite a layout another reader is
+    * scanning. */
+  private val pruneWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def prunedEventsLayout(s: SparkSession, dir: String): String = {
+    val path = s"target/layout/prune_${new java.io.File(dir).getName}"
+    layoutLock(path).synchronized {
+      if (pruneWritten.add(path)) {
+        Tables.load(s, dir, "events")
+          .withColumn("etype", col("event_type"))
+          .write.mode("overwrite").partitionBy("etype").parquet(path)
+      }
+    }
+    path
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -70,9 +126,14 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+          // l_quantity is integer-valued → the double sum is exact
+          // (integers close under double addition to 2^53); the
+          // monetary sums carry cent fractions → integer cents (see
+          // [[cents]] — the q11 ulp-lottery discipline)
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          money(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
+          money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+            .as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
 
     // TPC-H Q3 shape: fact-fact join + broadcast dim, grouped revenue, top-10
@@ -83,7 +144,7 @@ object RelationalQueries {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -103,7 +164,7 @@ object RelationalQueries {
         .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
     }),
 
     // broadcast-dim join + grouped agg
@@ -309,7 +370,7 @@ object RelationalQueries {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_mktsegment")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -323,7 +384,8 @@ object RelationalQueries {
         .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
       li.join(avgQty, li("l_partkey") === avgQty("p_key"))
         .filter(col("l_quantity") < col("half_avg"))
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        .agg(round(sum(cents(col("l_extendedprice"))).cast("double") / 700.0, 2)
+          .as("avg_yearly"),
           count(lit(1)).as("n_lines"))
     }),
 
@@ -358,8 +420,11 @@ object RelationalQueries {
       val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
       li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
         .agg(
+          // both operands of the share are EXACT integer cent sums;
+          // the single division + round is then bit-deterministic
           round(coalesce(
-            lit(100.0) * sum(when(col("p_type") === "PROMO", rev)) / sum(rev),
+            lit(100.0) * sum(when(col("p_type") === "PROMO", cents(rev))).cast("double")
+              / sum(cents(rev)).cast("double"),
             lit(0.0)), 2).as("promo_pct"),
           count(lit(1)).as("n_lines"))
     }),
@@ -404,9 +469,9 @@ object RelationalQueries {
           col("l_quantity").between(20, 30))
       li.join(broadcast(part), li("l_partkey") === part("p_partkey") && blocks)
         .agg(
-          round(coalesce(
-            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), lit(0.0)
-          ), 2).as("revenue"),
+          money(coalesce(
+            sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))), lit(0L)
+          )).as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
 
@@ -418,10 +483,15 @@ object RelationalQueries {
       graft.ops.Windows
         .lagUsChunked(Tables.load(s, dir, "events"), col("ts"), col("event_type"), 300L)
         .filter(col("prev_us").isNotNull)
-        .withColumn("gap_s", (col("_us") - col("prev_us")).cast("double") / 1e6)
+        // gaps stay EXACT integer microseconds through the aggregate
+        // (avg(double) is the same partition-fold-order ulp lottery as
+        // round(sum(double)) — see [[cents]]); the single division
+        // chain at the end is bit-deterministic
+        .withColumn("gap_us", col("_us") - col("prev_us"))
         .groupBy("event_type")
-        .agg(round(avg(col("gap_s")), 3).as("avg_gap_s"),
-          round(max(col("gap_s")), 3).as("max_gap_s"),
+        .agg(round(sum(col("gap_us")).cast("double")
+            / count(lit(1)).cast("double") / 1e6, 3).as("avg_gap_s"),
+          round(max(col("gap_us")).cast("double") / 1e6, 3).as("max_gap_s"),
           count(lit(1)).as("n_gaps"))),
 
     // pushdown showcase: selective filter + narrow projection on the scan
@@ -429,7 +499,7 @@ object RelationalQueries {
       t(s, dir, "lineitem")
         .filter(col("l_quantity") > 45 && col("l_discount") < 0.02)
         .groupBy("l_linestatus")
-        .agg(count(lit(1)).as("cnt"), round(sum(col("l_extendedprice")), 2).as("sum_price"))),
+        .agg(count(lit(1)).as("cnt"), money(sum(cents(col("l_extendedprice")))).as("sum_price"))),
 
     // AS-OF join — for each event, the user's most recent order as of
     // the event time (ties on date broken by max order key). Spark has
@@ -741,7 +811,7 @@ object RelationalQueries {
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_lines"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
     }),
 
     // RFM SEGMENTATION (recency / frequency / monetary quintiles per
@@ -824,7 +894,7 @@ object RelationalQueries {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(money(sum(cents(col("l_extendedprice") * col("l_discount")))).as("revenue"),
           count(lit(1)).as("n_lines"))),
 
     // TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
@@ -853,7 +923,7 @@ object RelationalQueries {
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))))
           .as("revenue"))
     }),
 
@@ -885,9 +955,9 @@ object RelationalQueries {
         .join(broadcast(nationS), supp("s_nationkey") === col("sn_key"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(
-          round(sum(when(col("supp_nation") === "NATION_9", vol)
-            .otherwise(lit(0.0))), 2).as("nation_rev"),
-          round(sum(vol), 2).as("total_rev"))
+          money(sum(when(col("supp_nation") === "NATION_9", cents(vol))
+            .otherwise(lit(0L)))).as("nation_rev"),
+          money(sum(cents(vol))).as("total_rev"))
         .withColumn("mkt_share", round(col("nation_rev") / col("total_rev"), 4))
     }),
 
@@ -901,13 +971,16 @@ object RelationalQueries {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("total_revenue"))
-      val mx = rev.agg(max(col("total_revenue")).as("mx"))
-      rev.join(broadcast(mx), rev("total_revenue") === mx("mx"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("rev_cents"))
+      // the argmax equi-join keys on the revenue — EXACT integer
+      // cents, so the max-probe can never straddle an ulp boundary
+      val mx = rev.agg(max(col("rev_cents")).as("mx"))
+      rev.join(broadcast(mx), rev("rev_cents") === mx("mx"))
         .join(broadcast(t(s, dir, "supplier")),
           col("supplier_no") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .select(col("s_suppkey"), col("s_name"),
+          money(col("rev_cents")).as("total_revenue"))
     }),
 
     // TPC-H Q4 shape (adapted): priority mix of orders in a quarter
@@ -952,7 +1025,7 @@ object RelationalQueries {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("numcust"),
-          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+          money(sum(col("c_cents"))).as("totacctbal"))
     }),
 
     // ---- The remaining TPC-H shapes (Q2/Q9/Q11/Q16/Q20 need the
@@ -1011,8 +1084,8 @@ object RelationalQueries {
         .join(broadcast(t(s, dir, "supplier")), li("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
-          col("ps_supplycost") * col("l_quantity")), 2).as("profit"))
+        .agg(money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("ps_supplycost") * col("l_quantity")))).as("profit"))
     }),
 
     // TPC-H Q11 shape: parts whose derived inventory value held by
@@ -1167,7 +1240,7 @@ object RelationalQueries {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))))
             .as("revenue"))
     }),
 
@@ -1247,15 +1320,12 @@ object RelationalQueries {
       Seq("l_orderkey", "l_partkey", "l_suppkey"))),
 
     "q_partition_prune" -> ((s, dir) => {
-      val path = s"target/layout/prune_${new java.io.File(dir).getName}"
-      Tables.load(s, dir, "events")
-        .withColumn("etype", col("event_type"))
-        .write.mode("overwrite").partitionBy("etype").parquet(path)
+      val path = prunedEventsLayout(s, dir)
       s.read.parquet(path)
         .filter(col("etype") === "purchase")
         .groupBy(date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"))
+          money(sum(cents(col("value")))).as("sum_value"))
     })
   )
 
@@ -1343,15 +1413,15 @@ object RelationalQueries {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
-        |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
-        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+        |       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_disc_price,
         |       CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2""".stripMargin,
 
     "q3_top_revenue" ->
       """SELECT o_orderkey, o_orderdate,
-        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -1359,7 +1429,7 @@ object RelationalQueries {
 
     "q5_region_revenue" ->
       """SELECT n_name,
-        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
@@ -1512,14 +1582,14 @@ object RelationalQueries {
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, c_mktsegment,
-        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE l_returnflag = 'R'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q17_small_quantity" ->
-      """SELECT round(CAST(sum(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly,
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 700.0, 2) AS avg_yearly,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem l1
         |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
@@ -1534,9 +1604,9 @@ object RelationalQueries {
 
     "q14_promo_revenue" ->
       """SELECT round(CAST(coalesce(
-        |         100.0 * sum(CASE WHEN p_type = 'PROMO'
-        |                          THEN l_extendedprice * (1 - l_discount) END)
-        |         / sum(l_extendedprice * (1 - l_discount)), 0.0) AS DOUBLE), 2) AS promo_pct,
+        |         100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                          THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) END) AS DOUBLE)
+        |         / CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE), 0.0) AS DOUBLE), 2) AS promo_pct,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
@@ -1553,7 +1623,7 @@ object RelationalQueries {
 
     "q19_discounted_revenue" ->
       """SELECT round(CAST(coalesce(
-        |         sum(l_extendedprice * (1 - l_discount)), 0.0) AS DOUBLE), 2) AS revenue,
+        |         sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0, 2) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -1566,16 +1636,17 @@ object RelationalQueries {
     "q_lag_gap" ->
       """WITH g AS (
         |  SELECT event_type,
-        |         CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type ORDER BY ts)) AS DOUBLE) / 1e6 AS gap_s
+        |         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type ORDER BY ts)) AS gap_us
         |  FROM events)
-        |SELECT event_type, round(CAST(avg(gap_s) AS DOUBLE), 3) AS avg_gap_s,
-        |       round(CAST(max(gap_s) AS DOUBLE), 3) AS max_gap_s,
+        |SELECT event_type,
+        |       round(CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 3) AS avg_gap_s,
+        |       round(CAST(max(gap_us) AS DOUBLE) / 1e6, 3) AS max_gap_s,
         |       CAST(count(*) AS BIGINT) AS n_gaps
-        |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin,
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
 
     "q_filter_pushdown" ->
       """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
-        |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+        |       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price
         |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02 GROUP BY 1""".stripMargin,
 
     // the oracle mirrors the union-merge formulation (DuckDB's native
@@ -1731,7 +1802,7 @@ object RelationalQueries {
     // plain join: the bloom prune must not change the result
     "q_bloom_join" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
-        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
@@ -1818,7 +1889,7 @@ object RelationalQueries {
         |JOIN names nb ON nb.name = v.name_b""".stripMargin,
 
     "q6_revenue_delta" ->
-      """SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue,
+      """SELECT round(CAST(sum(CAST(round((l_extendedprice * l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1830,7 +1901,7 @@ object RelationalQueries {
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -1848,8 +1919,9 @@ object RelationalQueries {
       """WITH yr AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |         round(CAST(sum(CASE WHEN ns.n_name = 'NATION_9'
-        |                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS DOUBLE), 2) AS nation_rev,
-        |         round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS total_rev
+        |                 THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+        |                 ELSE CAST(0 AS BIGINT) END) AS DOUBLE) / 100.0, 2) AS nation_rev,
+        |         round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_rev
         |  FROM lineitem
         |  JOIN part     ON l_partkey = p_partkey
         |  JOIN orders   ON l_orderkey = o_orderkey
@@ -1869,14 +1941,15 @@ object RelationalQueries {
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey AS supplier_no,
-        |         round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS total_revenue
+        |         CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate <  TIMESTAMP '1996-04-01'
         |  GROUP BY 1)
-        |SELECT s_suppkey, s_name, total_revenue
+        |SELECT s_suppkey, s_name,
+        |       round(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS total_revenue
         |FROM rev JOIN supplier ON supplier_no = s_suppkey
-        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+        |WHERE rev_cents = (SELECT max(rev_cents) FROM rev)""".stripMargin,
 
     "q4_priority_returns" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
@@ -1897,7 +1970,7 @@ object RelationalQueries {
         |         CAST(sum(c_cents) AS BIGINT) AS total_cents
         |  FROM c WHERE c_cents > 0)
         |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
-        |       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+        |       round(CAST(sum(c_cents) AS DOUBLE) / 100.0, 2) AS totacctbal
         |FROM c
         |CROSS JOIN thr
         |JOIN nation ON c_nationkey = n_nationkey
@@ -1937,8 +2010,8 @@ object RelationalQueries {
         |  GROUP BY 1, 2)
         |SELECT n_name,
         |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |       round(CAST(sum(l_extendedprice * (1 - l_discount)
-        |             - ps_supplycost * l_quantity) AS DOUBLE), 2) AS profit
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+        |             - ps_supplycost * l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
@@ -2027,7 +2100,7 @@ object RelationalQueries {
 
     "q_bucketed_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
-        |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
 
@@ -2100,7 +2173,7 @@ object RelationalQueries {
     "q_partition_prune" ->
       """SELECT date_trunc('hour', ts) AS hour,
         |       CAST(count(*) AS BIGINT) AS n_events,
-        |       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        |       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin
   )

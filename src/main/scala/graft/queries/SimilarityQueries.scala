@@ -124,6 +124,63 @@ object SimilarityQueries {
     (withScores, assign, probes)
   }
 
+  /** SemDeDup shard count wired to CORPUS SIZE: k = max(16,
+    * ceil(n / 32)) — i.e. a fixed MEAN CLUSTER SIZE of ~32 vectors,
+    * which is SemDeDup's own contract (Abbas et al. 2023 fix cluster
+    * size, not cluster count). A fixed k makes Σ_cluster |cluster|²
+    * quadratic as the corpus grows (round-9 measured 3.8–6.7× work at
+    * 10× data with k=16); with k ∝ n the within-cluster pair mass is
+    * n·(mean size), i.e. linear. At sf0.01 (500 vectors) the formula
+    * resolves to exactly the historical k=16, so small-sf oracles and
+    * specs are unchanged by the wiring. */
+  private[queries] val semTargetClusterSize = 32
+
+  private[queries] def semK(s: SparkSession, dir: String): Int = {
+    val n = vectors(s, dir).count() // persisted — a count, not a rescan
+    math.max(16, math.ceil(n.toDouble / semTargetClusterSize).toInt)
+  }
+
+  /** Corpus-size-aware IVF bootstrap assignment for the SemDeDup
+    * family (dedup_semantic, sim_knn_graph/clusters, the leakage
+    * audits): every vector labeled with its first-max centroid among
+    * the first [[semK]] corpus vectors. Unlike [[ivfParts]] (whose k
+    * is a FIXED INDEX PARAMETER baked into the plan as literals —
+    * right for the ANN queries, wrong for dedup sharding), centroids
+    * here are a k-row broadcast frame: k grows with n, and a
+    * thousands-wide literal score array would blow generated-code
+    * limits. Cost: one n×k broadcast expansion scored map-side, then
+    * a partial+final max-struct aggregate — no window sort anywhere.
+    * (At 100 TB, k itself outgrows a broadcast; the production path
+    * is hierarchical assignment — coarse-quantize the centroids —
+    * which changes this one join, not the family above it.)
+    *
+    * Determinism contract (mirrored in [[semAssignCtes]]): centroid
+    * ids are row_number over vec_id order; scores are the ascending
+    * 0-seeded kernel dot over raw doubles; first-max ties break to the
+    * lowest cent_id via max(struct(score, −cent_id)). Memoized per
+    * (session, dir) — every family member reads the same artifact. */
+  private[queries] def semAssigned(s: SparkSession, dir: String): DataFrame =
+    memoShortlist(s, dir, "sem_assign") {
+      val vs = vectors(s, dir)
+      val k = semK(s, dir)
+      val cents = vs.filter(col("vec_id") < k)
+        .select(
+          row_number().over(Window.orderBy(col("vec_id"))).cast("long").as("cent_id"),
+          col("v").as("cv"),
+          sqrt(dot(col("v"), col("v"))).as("cnrm"))
+      val scored = vs.select(col("vec_id"), col("v"), col("nrm"))
+        .crossJoin(broadcast(cents)) // the n×k IVF assignment expansion
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+          (dot(col("v"), col("cv")) / col("cnrm")).as("score"))
+      scored
+        .groupBy(col("vec_id"))
+        .agg(
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          max(struct(col("score"), (-col("cent_id")).as("negc"))).as("m"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          (-col("m.negc")).as("bucket"))
+    }
+
   /** Product-quantization pieces: per-subspace squared-L2 distance
     * tables from each row's m-th subvector to the K codebook centroids.
     *
@@ -593,8 +650,9 @@ object SimilarityQueries {
     // across engines wherever last-ulp fold order could differ —
     // the same determinism contract every sim query here follows.
     "sim_knn_graph" -> ((s, dir) => {
-      val (vs, assign, _) = ivfParts(s, dir, k = 16, nprobe = 4)
-      val assigned = vs.select(col("vec_id"), col("v"), col("nrm"), assign.as("bucket"))
+      // k ∝ corpus size via semAssigned: the graph's Σ_cluster n²
+      // comparison mass stays linear under a fixed mean cluster size
+      val assigned = semAssigned(s, dir)
       val a = assigned.select(col("bucket"), col("vec_id"),
         col("v").as("va"), col("nrm").as("na"))
       val b = assigned.select(col("bucket"), col("vec_id").as("neighbor_id"),
@@ -1045,6 +1103,28 @@ object SimilarityQueries {
        |  SELECT vec_id, cent_id AS bucket FROM sc
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cent_id ASC) = 1)""".stripMargin
 
+  /** Corpus-size-aware variant of [[ivfAssignCtes]] for the SemDeDup
+    * family: identical CTE chain except the centroid filter is the
+    * dynamic k = greatest(16, ceil(n/32)) — the [[semK]] formula —
+    * instead of the fixed index parameter 16. At sf0.01 the subquery
+    * evaluates to 16, so the two chains coincide there. */
+  private[queries] val semAssignCtes: String =
+    s"""$vectorCtes,
+       |kk AS (
+       |  SELECT greatest(16, CAST(ceil(count(*) / 32.0) AS BIGINT)) AS k FROM n),
+       |cents AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cent_id, v AS cv,
+       |         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS cnrm
+       |  FROM n WHERE vec_id < (SELECT k FROM kk)),
+       |sc AS (
+       |  SELECT n.vec_id, cents.cent_id,
+       |         list_reduce(list_prepend(0.0,
+       |           list_transform(range(1, 65), i -> n.v[i] * cents.cv[i])), (x, y) -> x + y) / cents.cnrm AS score
+       |  FROM n CROSS JOIN cents),
+       |assign AS (
+       |  SELECT vec_id, cent_id AS bucket FROM sc
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cent_id ASC) = 1)""".stripMargin
+
   /** sim_ann_ivf is likewise deterministic end-to-end: centroids are
     * the first k=16 vectors (the driver-side bootstrap collect), the
     * argmax tie-break is first-max (row_number ORDER BY score DESC,
@@ -1340,7 +1420,7 @@ object SimilarityQueries {
 
     // the knn CTE chain + mutual-edge join + recursive reachability
     "sim_knn_clusters" ->
-      s"""WITH RECURSIVE ${ivfAssignCtes},
+      s"""WITH RECURSIVE ${semAssignCtes},
          |pr AS (
          |  SELECT x.vec_id, y.vec_id AS neighbor_id,
          |         round(list_reduce(list_prepend(0.0,
@@ -1372,7 +1452,7 @@ object SimilarityQueries {
     // same IVF bootstrap assignment, same within-bucket exact cosine,
     // same rounded-then-ranked determinism contract
     "sim_knn_graph" ->
-      s"""WITH ${ivfAssignCtes},
+      s"""WITH ${semAssignCtes},
          |pr AS (
          |  SELECT x.vec_id, y.vec_id AS neighbor_id,
          |         round(list_reduce(list_prepend(0.0,

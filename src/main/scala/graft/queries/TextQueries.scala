@@ -643,6 +643,27 @@ object TextQueries {
           md5(concat_ws("\u0001", col("enc")).cast("binary")).as("enc_digest"))
     }),
 
+    // ITERATIVE BPE TRAINING — the loop that text_bigram_merges (one
+    // count) and text_bpe_encode (frozen table) bracket: learn merge
+    // #1, RE-COUNT the re-encoded corpus, learn merge #2, … for 6
+    // rounds — true BPE, where merge r's counts see merges 1..r−1
+    // (the single-count top-8 table text_bpe_encode freezes is the
+    // round-1 approximation). Each round is ONE corpus pass — the
+    // documented cost structure of corpus-scale tokenizer training —
+    // whose job is a word-count shuffle + a 1-row TakeOrdered; the
+    // merge table lives on the driver, bounded by the TOKENIZER
+    // parameter (6 rows), like the ANN index bootstraps. Re-encoding
+    // is the same chained map-side aggregate-fold as text_bpe_encode,
+    // so round r's count runs over r−1 stacked codegen'd projections —
+    // no shuffle beyond the count itself. The (freq DESC, a, b)
+    // argmax is a total order, hence engine-exact; merged tokens keep
+    // their inner spaces, so (a, b) ride as separate columns (a naive
+    // split-on-space of "x y z" cannot recover whether x|y z or
+    // x y|z merged — the bug the struct pair avoids). PropertySpec
+    // pins equivalence with a direct driver-side greedy
+    // reimplementation.
+    "text_bpe_train" -> ((s, dir) => bpeTrain(s, dir, rounds = 6)),
+
     // corpus length distribution: documents histogrammed by token count
     // in width-10 buckets — the first diagnostic run on any training
     // corpus (truncation/padding budgets, outlier screens). Bucketing
@@ -898,6 +919,67 @@ object TextQueries {
        |         FROM wu)""".stripMargin
   }
 
+  /** Iterative BPE training core (see the registered query's
+    * scaladoc); factored out so PropertySpec can run it at small
+    * round counts against a brute-force greedy reimplementation. */
+  private[graft] def bpeTrain(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    import s.implicits._
+    // The corpus rides as the chr(2)‖tok‖chr(3) DELIMITER-ENCODED
+    // STRING — the same representation the oracle (and text_bpe_encode's
+    // oracle) uses — so each greedy left-to-right merge is ONE
+    // codegen'd StringReplace, linear in the document. The first cut
+    // kept a token array and applied merges as aggregate() HOF folds:
+    // higher-order functions are CodegenFallback (interpreted) and the
+    // array_append accumulator copies the array per token (O(T²) per
+    // doc) — 11.7 s at sf0.1, the slowest query in the suite; this
+    // form runs the identical arithmetic in ~1 s. Each round applies
+    // its merge to the PERSISTED previous encoding and re-materializes,
+    // so round r costs two single-op passes (pair count + encode) —
+    // the documented "one corpus pass per round" cost structure —
+    // never r stacked rewrites.
+    val d2 = "\u0002"; val d3 = "\u0003"
+    var cur = docs(s, dir)
+      .select(concat(lit(d2), array_join(tokens(col("text")), d3 + d2), lit(d3))
+        .as("enc")).persist()
+    // split back to tokens for the pair count: tokens never contain
+    // the delimiters, so translate-stripping the split residue is exact
+    val toksOfEnc = transform(split(col("enc"), d3 + d2),
+      x => translate(x, d2 + d3, ""))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = cur
+        .select(toksOfEnc.as("l"))
+        .select(explode(expr(
+          """zip_with(slice(l, 1, greatest(size(l) - 1, 0)),
+            |         slice(l, 2, greatest(size(l) - 1, 0)),
+            |         (a, b) -> named_struct('a', a, 'b', b))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        val f = top(0).getLong(2)
+        learned += ((r.toLong, a + " " + b, f))
+        if (r < rounds) {
+          val next = cur.select(org.apache.spark.sql.functions.replace(col("enc"),
+            lit(d2 + a + d3 + d2 + b + d3), lit(d2 + a + " " + b + d3)).as("enc"))
+            .persist()
+          next.count() // materialize BEFORE dropping the parent cache
+          cur.unpersist()
+          cur = next
+        }
+      }
+      r += 1
+    }
+    cur.unpersist()
+    learned.toSeq.toDF("round", "pair", "freq")
+  }
+
   val oracles: Map[String, String] = Map(
     "text_winnow_fingerprint" ->
       s"""WITH $winnowSelCtes
@@ -1132,6 +1214,47 @@ object TextQueries {
          |             / CAST(n_tokens AS DOUBLE), 6) AS compression,
          |       md5(trim(replace(s, chr(3) || chr(2), chr(1)), chr(2) || chr(3))) AS enc_digest
          |FROM e8""".stripMargin
+    },
+
+    // the 6-round learn→replace→re-count chain over the same
+    // chr(2)‖tok‖chr(3) delimiter encoding text_bpe_encode validated:
+    // each round extracts adjacent pairs by splitting the encoded
+    // stream back to a token list (chr(1) joins (a,b) — merged tokens
+    // contain spaces, so space cannot be the pair separator), takes
+    // the (freq DESC, a, b) argmax, and applies it as one
+    // leftmost-first replace. COALESCE(…, chr(1)) keeps an exhausted
+    // round a no-op, mirroring the Spark loop's early stop.
+    "text_bpe_train" -> {
+      val rounds = 6
+      val steps = (1 to rounds).map { k =>
+        val prev = s"e${k - 1}"
+        s"""l$k AS (
+           |  SELECT list_transform(string_split(s, chr(3) || chr(2)),
+           |           x -> trim(x, chr(2) || chr(3))) AS l
+           |  FROM $prev),
+           |p$k AS (
+           |  SELECT unnest(list_transform(range(1, len(l)),
+           |           i -> l[CAST(i AS INTEGER)] || chr(1) || l[CAST(i AS INTEGER) + 1])) AS ab
+           |  FROM l$k),
+           |m$k AS (
+           |  SELECT string_split(ab, chr(1))[1] AS a, string_split(ab, chr(1))[2] AS b,
+           |         CAST(count(*) AS BIGINT) AS freq
+           |  FROM p$k GROUP BY 1, 2
+           |  ORDER BY freq DESC, a, b LIMIT 1),
+           |e$k AS (
+           |  SELECT replace(s,
+           |    chr(2) || COALESCE((SELECT a FROM m$k), chr(1)) || chr(3) ||
+           |    chr(2) || COALESCE((SELECT b FROM m$k), chr(1)) || chr(3),
+           |    chr(2) || COALESCE((SELECT a || ' ' || b FROM m$k), chr(1)) || chr(3)) AS s
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to rounds).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS round, a || ' ' || b AS pair, freq FROM m$k")
+        .mkString("\nUNION ALL\n")
+      s"""WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         |e0 AS (SELECT chr(2) || array_to_string(toks, chr(3) || chr(2)) || chr(3) AS s FROM tok),
+         |$steps
+         |$out""".stripMargin
     },
 
     // same pair enumeration; the (freq DESC, pair) top-1000 cut is a

@@ -1,0 +1,158 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.model.Tables
+import graft.streaming.StreamingJobs
+
+/** Streaming THROUGHPUT artifact (`runMain graft.tools.StreamBench`):
+  * the ~30 stateful streaming operators are batch-parity-proven in
+  * StreamingSpec/StreamingDedupSpec, but a state-bound claim without a
+  * number is a promise, not a measurement. This feeds each headline
+  * stateful operator a MemoryStream of the sf dir's real rows in
+  * event-time order, drains it with `processAllAvailable`, and
+  * reports rows/s plus the MAX state rows the progress listener saw —
+  * the two numbers that decide whether an operator survives a real
+  * ingest rate: throughput is the capacity claim, max-state is the
+  * memory claim (each operator's scaladoc promises an eviction bound;
+  * this artifact is where the promise meets a measurement).
+  *
+  * Method: rows arrive in `chunks` equal slices, one micro-batch
+  * minimum per slice (addData + processAllAvailable), wall-clock over
+  * the whole drain. MemoryStream + the memory sink isolate OPERATOR
+  * cost from source/sink I/O — the number is the state machine's,
+  * not parquet's. Absolute rows/s on local[32] does not transfer to a
+  * cluster, but the RELATIVE cost across operators and the state
+  * ceilings do.
+  *
+  * Output: one JSON line on stdout + STREAM_BENCH.json (full
+  * precision), keyed per operator:
+  * {"rows":…,"sec":…,"rows_per_sec":…,"max_state_rows":…,"out_rows":…}
+  */
+object StreamBench {
+
+  private case class R(name: String, rows: Long, sec: Double,
+      maxStateRows: Long, outRows: Long)
+
+  private def maxStateOf(q: StreamingQuery): Long =
+    q.recentProgress.map(p =>
+      Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L))
+      .foldLeft(0L)(math.max)
+
+  private def drain[T](name: String, rows: Seq[T], chunks: Int,
+      start: Seq[T] => (MemoryStream[T], StreamingQuery)): R = {
+    val (in, q) = start(rows)
+    try {
+      val t0 = System.nanoTime()
+      rows.grouped(math.max(1, rows.size / chunks)).foreach { slice =>
+        in.addData(slice)
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val out = q.sparkSession.table(s"sb_$name").count()
+      R(name, rows.size.toLong, sec, maxStateOf(q), out)
+    } finally q.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "20").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.nanosConf, "true")
+      .config(Tables.ntzConf, "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def mem[T](ds: org.apache.spark.sql.DataFrame, name: String): StreamingQuery =
+      ds.writeStream.outputMode("append").format("memory")
+        .queryName(s"sb_$name").start()
+
+    // event-time-ordered feeds — the realistic arrival order, and what
+    // the watermark-eviction bounds are stated against
+    val events = Tables.load(spark, sfDir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .orderBy("ts").collect()
+    val keyed = events.map(r => StreamingJobs.KeyedEvent(
+      r.getString(1), r.getAs[Timestamp](2))).toSeq
+    val typed = events.map(r => (r.getString(1), r.getAs[Timestamp](2))).toSeq
+    val userEv = events.map(r =>
+      (r.getLong(0), r.getString(1), r.getAs[Timestamp](2))).toSeq
+    val docsDf = Tables.load(spark, sfDir, "documents")
+    val docRows = docsDf.select($"doc_id", $"text").collect()
+      .zipWithIndex.map { case (r, i) =>
+        // synthetic in-order arrival times, one second apart
+        (r.getLong(0), r.getString(1), new Timestamp(1704067200000L + i * 1000L))
+      }.toSeq
+    val catalog = Tables.load(spark, sfDir, "part")
+      .select($"p_name".as("name")).distinct()
+    val names = catalog.as[String].collect().toSeq
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[R]
+
+    results += drain[StreamingJobs.KeyedEvent]("sliding_count", keyed, chunks, rows => {
+      val in = MemoryStream[StreamingJobs.KeyedEvent]
+      val q = mem(StreamingJobs.slidingCountStreaming(
+        in.toDS(), 60L, evictIdleAfter = Some("1 hour")).toDF(), "sliding_count")
+      (in, q)
+    })
+
+    results += drain[(String, Timestamp)]("anomaly", typed, chunks, rows => {
+      val in = MemoryStream[(String, Timestamp)]
+      val q = mem(StreamingJobs.anomalyStreaming(
+        in.toDF().toDF("event_type", "ts"), "ts", "event_type").toDF(), "anomaly")
+      (in, q)
+    })
+
+    results += drain[(Long, String, Timestamp)]("cep", userEv, chunks, rows => {
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val q = mem(StreamingJobs.cepStreaming(
+        in.toDF().toDF("user_id", "event_type", "t"), "t", "user_id").toDF(), "cep")
+      (in, q)
+    })
+
+    results += drain[String]("fuzzy_match", names, chunks, rows => {
+      val in = MemoryStream[String]
+      val q = mem(StreamingJobs.fuzzyMatchStreaming(
+        in.toDF().toDF("name"), catalog), "fuzzy_match")
+      (in, q)
+    })
+
+    results += drain[(Long, String, Timestamp)]("exact_substr", docRows, chunks, rows => {
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val q = mem(StreamingJobs.exactSubstrStreaming(
+        in.toDF().toDF("doc_id", "text", "ts"), docsDf), "exact_substr")
+      (in, q)
+    })
+
+    def f3(v: Double) =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val ops = results.map { r =>
+      val rps = if (r.sec > 0) r.rows / r.sec else -1.0
+      s""""${r.name}":{"rows":${r.rows},"sec":${f3(r.sec)}""" +
+        s""","rows_per_sec":${f3(rps)},"max_state_rows":${r.maxStateRows}""" +
+        s""","out_rows":${r.outRows}}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"stream_bench","operators":$ops,"chunks":$chunks,"sf":"$sfDir"""" +
+        s""","method":"MemoryStream feed in event-time order, memory sink, wall-clock over processAllAvailable drains; max_state_rows = max over progress of sum(stateOperators.numRowsTotal)"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("STREAM_BENCH.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[stream-bench] write failed: ${e.getMessage}")
+    }
+    println(line)
+    spark.stop()
+  }
+}

@@ -120,6 +120,36 @@ class BenchSpec extends SparkSpec {
     assert(Bench.suspectsOf(rs, Map.empty) == Seq("text_stats"))
   }
 
+  test("the per-query >3x trigger fires in a GAUGE-CLEAN window too (the r9 blind spot)") {
+    // r9 shipped dedup_cdc_storage at 7.3x its clean time in a window
+    // whose map-side gauge was clean — the per-query trigger must not
+    // depend on the gauge
+    val clean = Map("dedup_cdc_storage" -> 0.58, "q_fine" -> 0.5)
+    val rs = Seq(
+      ("text_stats", 0.2, 0.1),          // baseline but gauge clean → NOT re-measured
+      ("dedup_cdc_storage", 4.3, 4.27),  // 7.3x → suspect regardless of gauge
+      ("q_fine", 1.0, 0.9))              // 1.8x → fine
+    assert(Bench.suspectsOf(rs, clean, includeBaseline = false)
+      == Seq("dedup_cdc_storage"))
+    // a clean run with no spikes re-measures nothing
+    val quiet = Seq(("q_fine", 1.0, 0.9))
+    assert(Bench.suspectsOf(quiet, clean, includeBaseline = false).isEmpty)
+  }
+
+  test("re-measured queries are stamped into both artifacts") {
+    val rs = Seq(("q_ok", 1.0, 0.9), ("dedup_cdc_storage", 4.3, 0.6))
+    val line = Bench.compactLine(rs, "/sf", partial = false, "d.json",
+      remeasuredN = 1)
+    assert(parsable(line)("remeasured_n") == 1L)
+    val detail = Bench.detailJson(rs, "/sf", partial = false,
+      remeasured = Seq("dedup_cdc_storage"))
+    assert(detail.contains("\"remeasured\":[\"dedup_cdc_storage\"]"))
+    // no stamp at all when nothing was re-measured
+    assert(!Bench.compactLine(rs, "/sf", partial = false, "d.json")
+      .contains("remeasured"))
+    assert(!Bench.detailJson(rs, "/sf", partial = false).contains("\"remeasured\""))
+  }
+
   test("verify dumps cheapest families first so a kill loses only the tail") {
     val order = Verify.dumpOrder(SparkEntry.queries.keys.toSeq)
     def famIdx(prefix: String): Seq[Int] =

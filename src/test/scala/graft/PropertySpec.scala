@@ -569,4 +569,36 @@ class PropertySpec extends SparkSpec {
       got == expect
     })
   }
+  test("BPE training: 4 engine rounds == driver-side greedy reimplementation (sf0.001)") {
+    val got = graft.queries.TextQueries.bpeTrain(spark, sf0001, rounds = 4)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toList
+    val docs = graft.model.Tables.load(spark, sf0001, "documents")
+      .select(split(col("text"), " ").as("toks")).as[Seq[String]].collect()
+      .map(_.toList).toList
+    var corpus = docs
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (r <- 1 to 4) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      corpus.foreach { ts =>
+        ts.zip(ts.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + 1L)
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), f) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        want += ((r.toLong, a + " " + b, f))
+        corpus = corpus.map { ts =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var carry: String = null
+          ts.foreach { t =>
+            if (carry == null) carry = t
+            else if (carry == a && t == b) { out += (a + " " + b); carry = null }
+            else { out += carry; carry = t }
+          }
+          if (carry != null) out += carry
+          out.toList
+        }
+      }
+    }
+    assert(got == want.toList && got.size == 4)
+  }
+
 }

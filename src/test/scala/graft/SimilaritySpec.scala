@@ -198,7 +198,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("semantic leakage audit == split-labeled cross pairs of the semantic edge set") {
+  test("full semantic leakage audit == split-labeled cross pairs of the semantic edge set") {
     val pairs = graft.queries.DedupQueries.queries("dedup_semantic")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     def split(id: Long): String = {
@@ -208,11 +208,36 @@ class SimilaritySpec extends SparkSpec {
     val expected = pairs.collect { case (a, b, cos) if split(a) != split(b) =>
       (a, split(a), b, split(b), cos)
     }.toSet
-    val out = graft.queries.PipelineQueries.queries("pipeline_semantic_leakage")(spark, sf0001)
+    val out = graft.queries.PipelineQueries
+      .queries("pipeline_semantic_leakage_full")(spark, sf0001)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getDouble(4)))
       .toSet
     assert(pairs.nonEmpty, "fixture must contain semantic pairs")
+    assert(out == expected, s"out=$out expected=$expected")
+  }
+
+  test("default semantic leakage == split-labeled cross MUTUAL-kNN edges") {
+    val g = graft.queries.SimilarityQueries.queries("sim_knn_graph")(spark, sf0001)
+      .select("vec_id", "neighbor_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val dir = g.map { case (a, b, _) => (a, b) }.toSet
+    val mutual = g.collect { case (a, b, cos) if a < b && dir.contains((b, a)) =>
+      (a, b, cos)
+    }
+    def split(id: Long): String = {
+      val b = id.toString.foldLeft(0L)((h, c) => (h * 31L + c.toLong) % 2147483647L) % 10L
+      if (b < 8) "train" else if (b == 8) "val" else "test"
+    }
+    val expected = mutual.collect { case (a, b, cos) if split(a) != split(b) =>
+      (a, split(a), b, split(b), cos)
+    }.toSet
+    val out = graft.queries.PipelineQueries
+      .queries("pipeline_semantic_leakage")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSet
+    assert(mutual.nonEmpty, "fixture must contain mutual-kNN edges")
     assert(out == expected, s"out=$out expected=$expected")
   }
 
@@ -321,7 +346,7 @@ class SimilaritySpec extends SparkSpec {
     // leaks (semantic_leakage nonempty), so zero cross pairs here
     // means group-hashing actually moved ids across splits
     val naiveLeaks = graft.queries.PipelineQueries
-      .queries("pipeline_semantic_leakage")(spark, sf0001).count()
+      .queries("pipeline_semantic_leakage_full")(spark, sf0001).count()
     assert(naiveLeaks > 0, "fixture must make the naive split leak")
   }
 

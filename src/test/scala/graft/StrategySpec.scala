@@ -55,6 +55,30 @@ class StrategySpec extends SparkSpec {
       rows.map(_.last).toSet == (1 to rows.size).map(i => i: Any).toSet))
   }
 
+  test("memory rails: k over spark.graft.topk.maxK falls through to vanilla planning") {
+    withStrategy {
+      spark.conf.set("spark.graft.topk.maxK", "3")
+      try {
+        val q = topkQuery // k = 5 > 3 → per-key state deemed too big; let WindowExec spill
+        assert(!q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        assert(q.count() > 0)
+      } finally spark.conf.unset("spark.graft.topk.maxK")
+    }
+  }
+
+  test("memory rails: a 1-key buffered cap still yields exact rows via pass-through") {
+    val want = topkQuery.collect().map(_.toSeq).toSet // vanilla planning
+    val got = withStrategy {
+      spark.conf.set("spark.graft.topk.maxBufferedKeys", "1")
+      try {
+        val q = topkQuery
+        assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        q.collect().map(_.toSeq).toSet
+      } finally spark.conf.unset("spark.graft.topk.maxBufferedKeys")
+    }
+    assert(got == want && want.nonEmpty)
+  }
+
   test("guards: rank() or extra conjuncts fall through to Spark's own planning") {
     withStrategy {
       val rk = events
