@@ -104,7 +104,8 @@ object StreamBench {
     results += drain[StreamingJobs.KeyedEvent]("sliding_count", keyed, chunks, rows => {
       val in = MemoryStream[StreamingJobs.KeyedEvent]
       val q = mem(StreamingJobs.slidingCountStreaming(
-        in.toDS(), 60L, evictIdleAfter = Some("1 hour")).toDF(), "sliding_count")
+        in.toDS().withWatermark("ts", "0 seconds"), 60L,
+        evictIdleAfter = Some("1 hour")).toDF(), "sliding_count")
       (in, q)
     })
 
