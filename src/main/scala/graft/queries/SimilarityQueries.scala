@@ -142,40 +142,76 @@ object SimilarityQueries {
 
   /** Corpus-size-aware IVF bootstrap assignment for the SemDeDup
     * family (dedup_semantic, sim_knn_graph/clusters, the leakage
-    * audits): every vector labeled with its first-max centroid among
+    * audits): every vector labeled with a first-max centroid among
     * the first [[semK]] corpus vectors. Unlike [[ivfParts]] (whose k
     * is a FIXED INDEX PARAMETER baked into the plan as literals —
     * right for the ANN queries, wrong for dedup sharding), centroids
     * here are a k-row broadcast frame: k grows with n, and a
     * thousands-wide literal score array would blow generated-code
-    * limits. Cost: one n×k broadcast expansion scored map-side, then
-    * a partial+final max-struct aggregate — no window sort anywhere.
-    * (At 100 TB, k itself outgrows a broadcast; the production path
-    * is hierarchical assignment — coarse-quantize the centroids —
-    * which changes this one join, not the family above it.)
+    * limits.
+    *
+    * Assignment is TWO-LEVEL (the hierarchical/IMI trick every
+    * large-scale IVF build uses): with k ∝ n, a flat n×k scoring pass
+    * is n²/32 dot products — quadratic again, just moved from the
+    * pair join into the assignment (1.25 B dots at a 20 k corpus ×10).
+    * Instead, the first k₁ = ⌈√k⌉ centroids act as a coarse
+    * quantizer: each centroid joins the cell of its first-max coarse
+    * centroid (k×k₁ work; a centroid that IS coarse lands in its own
+    * cell — self-cosine is maximal, ties to the lower id), each
+    * vector picks its coarse cell (n×k₁), then scores ONLY that
+    * cell's centroids (n×(k/k₁) expected). Total n·2√k ≈ O(n^1.5)
+    * dot products — 32 M instead of 1.25 B at the ×100 corpus. The
+    * resulting partition differs from the flat argmax (a vector near
+    * a cell boundary may land one cell over), which is immaterial to
+    * SemDeDup — ANY deterministic sharding with bounded mean cell
+    * size serves — and the oracle replicates the two-level rule
+    * exactly. Recursing the trick gives O(n log n) at 100 TB; one
+    * level suffices for every corpus this repo can hold.
     *
     * Determinism contract (mirrored in [[semAssignCtes]]): centroid
     * ids are row_number over vec_id order; scores are the ascending
-    * 0-seeded kernel dot over raw doubles; first-max ties break to the
-    * lowest cent_id via max(struct(score, −cent_id)). Memoized per
+    * 0-seeded kernel dot over raw doubles divided by the centroid
+    * norm (rank-equal to cosine for a fixed vector); every argmax is
+    * first-max via max(struct(score, −id)). Memoized per
     * (session, dir) — every family member reads the same artifact. */
   private[queries] def semAssigned(s: SparkSession, dir: String): DataFrame =
     memoShortlist(s, dir, "sem_assign") {
       val vs = vectors(s, dir)
       val k = semK(s, dir)
+      val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
       val cents = vs.filter(col("vec_id") < k)
         .select(
           row_number().over(Window.orderBy(col("vec_id"))).cast("long").as("cent_id"),
           col("v").as("cv"),
           sqrt(dot(col("v"), col("v"))).as("cnrm"))
-      val scored = vs.select(col("vec_id"), col("v"), col("nrm"))
-        .crossJoin(broadcast(cents)) // the n×k IVF assignment expansion
+      val coarse = cents.filter(col("cent_id") <= k1)
+        .select(col("cent_id").as("co_id"), col("cv").as("co_v"),
+          col("cnrm").as("co_nrm"))
+      // cell of each centroid: k×k₁ — tiny, stays on the driver-side
+      // broadcast path end to end
+      val cellOfCent = cents
+        .crossJoin(broadcast(coarse))
+        .select(col("cent_id"), col("cv"), col("cnrm"), col("co_id"),
+          (dot(col("cv"), col("co_v")) / col("co_nrm")).as("cs"))
+        .groupBy(col("cent_id"))
+        .agg(first(col("cv")).as("cv"), first(col("cnrm")).as("cnrm"),
+          max(struct(col("cs"), (-col("co_id")).as("negc"))).as("m"))
+        .select(col("cent_id"), col("cv"), col("cnrm"), (-col("m.negc")).as("cell"))
+      // coarse cell of each vector: n×k₁ expansion, map-side combined
+      val cellOfVec = vs.select(col("vec_id"), col("v"), col("nrm"))
+        .crossJoin(broadcast(coarse))
+        .select(col("vec_id"), col("v"), col("nrm"), col("co_id"),
+          (dot(col("v"), col("co_v")) / col("co_nrm")).as("cs"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          max(struct(col("cs"), (-col("co_id")).as("negc"))).as("m"))
+        .select(col("vec_id"), col("v"), col("nrm"), (-col("m.negc")).as("cell"))
+      // fine argmax within the vector's cell: n×(k/k₁) expected
+      cellOfVec.join(broadcast(cellOfCent), Seq("cell"))
         .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
           (dot(col("v"), col("cv")) / col("cnrm")).as("score"))
-      scored
         .groupBy(col("vec_id"))
-        .agg(
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
           max(struct(col("score"), (-col("cent_id")).as("negc"))).as("m"))
         .select(col("vec_id"), col("v"), col("nrm"),
           (-col("m.negc")).as("bucket"))
@@ -1104,11 +1140,15 @@ object SimilarityQueries {
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cent_id ASC) = 1)""".stripMargin
 
   /** Corpus-size-aware variant of [[ivfAssignCtes]] for the SemDeDup
-    * family: identical CTE chain except the centroid filter is the
-    * dynamic k = greatest(16, ceil(n/32)) — the [[semK]] formula —
-    * instead of the fixed index parameter 16. At sf0.01 the subquery
-    * evaluates to 16, so the two chains coincide there. */
-  private[queries] val semAssignCtes: String =
+    * family: the centroid pool is the dynamic k = greatest(16,
+    * ceil(n/32)) ([[semK]]) instead of the fixed index parameter 16,
+    * and assignment replicates [[semAssigned]]'s TWO-LEVEL rule —
+    * coarse cell via the first ⌈√k⌉ centroids, fine argmax within
+    * the cell. Every argmax is (score DESC, id ASC) — the same
+    * total order on the same IEEE arithmetic. */
+  private[queries] val semAssignCtes: String = {
+    val dotVC = """list_reduce(list_prepend(0.0,
+                  |           list_transform(range(1, 65), i -> n.v[i] * %s)), (x, y) -> x + y)""".stripMargin
     s"""$vectorCtes,
        |kk AS (
        |  SELECT greatest(16, CAST(ceil(count(*) / 32.0) AS BIGINT)) AS k FROM n),
@@ -1116,14 +1156,36 @@ object SimilarityQueries {
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cent_id, v AS cv,
        |         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS cnrm
        |  FROM n WHERE vec_id < (SELECT k FROM kk)),
-       |sc AS (
-       |  SELECT n.vec_id, cents.cent_id,
-       |         list_reduce(list_prepend(0.0,
-       |           list_transform(range(1, 65), i -> n.v[i] * cents.cv[i])), (x, y) -> x + y) / cents.cnrm AS score
-       |  FROM n CROSS JOIN cents),
+       |coarse AS (
+       |  SELECT cent_id AS co_id, cv AS co_v, cnrm AS co_nrm FROM cents
+       |  WHERE cent_id <= (SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) FROM kk)),
+       |gc AS (
+       |  SELECT cent_id, cv, cnrm, co_id AS cell FROM (
+       |    SELECT c.cent_id, c.cv, c.cnrm, o.co_id,
+       |           row_number() OVER (PARTITION BY c.cent_id
+       |             ORDER BY list_reduce(list_prepend(0.0,
+       |               list_transform(range(1, 65), i -> c.cv[i] * o.co_v[i])), (x, y) -> x + y) / o.co_nrm DESC,
+       |             o.co_id ASC) AS rk
+       |    FROM cents c CROSS JOIN coarse o)
+       |  WHERE rk = 1),
+       |hv AS (
+       |  SELECT vec_id, co_id AS cell FROM (
+       |    SELECT n.vec_id, o.co_id,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${dotVC.format("o.co_v[i]")} / o.co_nrm DESC,
+       |             o.co_id ASC) AS rk
+       |    FROM n CROSS JOIN coarse o)
+       |  WHERE rk = 1),
        |assign AS (
-       |  SELECT vec_id, cent_id AS bucket FROM sc
-       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cent_id ASC) = 1)""".stripMargin
+       |  SELECT vec_id, cent_id AS bucket FROM (
+       |    SELECT hv.vec_id, gc.cent_id,
+       |           row_number() OVER (PARTITION BY hv.vec_id
+       |             ORDER BY ${dotVC.format("gc.cv[i]")} / gc.cnrm DESC,
+       |             gc.cent_id ASC) AS rk
+       |    FROM hv JOIN n ON n.vec_id = hv.vec_id
+       |    JOIN gc ON gc.cell = hv.cell)
+       |  WHERE rk = 1)""".stripMargin
+  }
 
   /** sim_ann_ivf is likewise deterministic end-to-end: centroids are
     * the first k=16 vectors (the driver-side bootstrap collect), the
