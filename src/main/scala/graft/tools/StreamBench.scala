@@ -137,6 +137,41 @@ object StreamBench {
       (in, q)
     })
 
+    results += drain[(Long, String, Timestamp)]("exact_dedup", docRows, chunks, rows => {
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val q = mem(StreamingJobs.exactDedupStreaming(
+        in.toDF().toDF("doc_id", "text", "ts"), "text", "ts"), "exact_dedup")
+      (in, q)
+    })
+
+    results += drain[(Long, String, Timestamp)]("lsh_candidates", docRows, chunks, rows => {
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val banded = graft.queries.DedupQueries
+        .bandedDocs(in.toDF().toDF("doc_id", "text", "ts"), passthrough = Seq("ts"))
+        .as[StreamingJobs.BucketDoc]
+      val q = mem(StreamingJobs.lshCandidatesStreaming(banded).toDF(), "lsh_candidates")
+      (in, q)
+    })
+
+    val userEvId = events.map(r =>
+      (r.getLong(0), r.getString(1), r.getAs[Timestamp](2), r.getLong(3))).toSeq
+    results += drain[(Long, String, Timestamp, Long)]("markov_transitions", userEvId, chunks, rows => {
+      val in = MemoryStream[(Long, String, Timestamp, Long)]
+      val q = mem(StreamingJobs.markovTransitionsStreaming(
+        in.toDF().toDF("user_id", "event_type", "t", "event_id"), "t", "user_id").toDF(),
+        "markov_transitions")
+      (in, q)
+    })
+
+    // stateless scored-ingest operators: the claim is the ZERO in
+    // max_state_rows (broadcast index / pure map, no stream state)
+    results += drain[(Long, String, Timestamp)]("dsir_score", docRows, chunks, rows => {
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val q = mem(StreamingJobs.dsirScoreStreaming(
+        in.toDF().toDF("doc_id", "text", "ts"), docsDf), "dsir_score")
+      (in, q)
+    })
+
     def f3(v: Double) =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val ops = results.map { r =>
