@@ -146,9 +146,10 @@ object SimilarityQueries {
     * the first [[semK]] corpus vectors. Unlike [[ivfParts]] (whose k
     * is a FIXED INDEX PARAMETER baked into the plan as literals —
     * right for the ANN queries, wrong for dedup sharding), centroids
-    * here are a k-row broadcast frame: k grows with n, and a
+    * here are a k-row FRAME joined by cell: k grows with n, and a
     * thousands-wide literal score array would blow generated-code
-    * limits.
+    * limits. Only the O(√k) coarse quantizer is broadcast-hinted;
+    * the k-row fine frame is size-planned (see the fine join below).
     *
     * Assignment is TWO-LEVEL (the hierarchical/IMI trick every
     * large-scale IVF build uses): with k ∝ n, a flat n×k scoring pass
@@ -174,7 +175,7 @@ object SimilarityQueries {
     * norm (rank-equal to cosine for a fixed vector); every argmax is
     * first-max via max(struct(score, −id)). Memoized per
     * (session, dir) — every family member reads the same artifact. */
-  private[queries] def semAssigned(s: SparkSession, dir: String): DataFrame =
+  private[graft] def semAssigned(s: SparkSession, dir: String): DataFrame =
     memoShortlist(s, dir, "sem_assign") {
       val vs = vectors(s, dir)
       val k = semK(s, dir)
@@ -206,8 +207,19 @@ object SimilarityQueries {
         .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
           max(struct(col("cs"), (-col("co_id")).as("negc"))).as("m"))
         .select(col("vec_id"), col("v"), col("nrm"), (-col("m.negc")).as("cell"))
-      // fine argmax within the vector's cell: n×(k/k₁) expected
-      cellOfVec.join(broadcast(cellOfCent), Seq("cell"))
+      // fine argmax within the vector's cell: n×(k/k₁) expected.
+      // Deliberately UNHINTED: cellOfCent is k = n/32 rows — a frame
+      // that grows with the corpus must never be forced onto the
+      // broadcast path (at 100 TB it would be a driver/executor
+      // memory killer). Left to size-based planning, AQE broadcasts
+      // it while it is genuinely small and falls back to a shuffle
+      // equi-join on `cell` once it is not — and that shuffle moves
+      // only centroid-sized data plus one corpus pass keyed by cell.
+      // The only HINTED broadcasts in this build are the two `coarse`
+      // frames above, k₁ = ⌈√k⌉ = O(√n) rows (recursing the coarse
+      // level would shrink even those; one level suffices for any
+      // corpus this repo can hold).
+      cellOfVec.join(cellOfCent, Seq("cell"))
         .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
           (dot(col("v"), col("cv")) / col("cnrm")).as("score"))
         .groupBy(col("vec_id"))

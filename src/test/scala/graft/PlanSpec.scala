@@ -10,6 +10,23 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
+  /** Count nested-loop joins that would actually EXECUTE for this
+    * query: tree traversal (unlike the plan STRING) does not descend
+    * into InMemoryTableScan's cached build plan, so prints of a
+    * memoized frame's construction don't inflate the count. AQE roots
+    * are unwrapped explicitly (AdaptiveSparkPlanExec is a leaf to
+    * TreeNode.collect). */
+  private def liveBnljCount(name: String): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    def count(p: SparkPlan): Int = p.collect {
+      case _: BroadcastNestedLoopJoinExec => 1
+      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+    }.sum
+    count(SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan)
+  }
+
   test("filters reach the parquet scan (PushedFilters)") {
     val p = plan("q_filter_pushdown")
     assert(p.contains("PushedFilters:"), p)
@@ -243,14 +260,31 @@ class PlanSpec extends SparkSpec {
     // the PAIR join is the bucket equi-join — the query's whole point
     assert(p.contains("SortMergeJoin [bucket") || p.contains("ShuffledHashJoin [bucket")
       || p.contains("BroadcastHashJoin [bucket"), p)
-    // any BNLJ occurrences in the string are prints of the memoized
-    // n×k centroid-assignment expansion (vectors × broadcast k-row
-    // centroid frame — the IVF assignment cost, k ∝ corpus size),
-    // which EXECUTES once but renders under every consumer branch of
-    // the cached relation; the print count varies with AQE/cache
-    // state, so the pinned property is the equi-join above plus the
-    // absence of any unbroadcast cartesian
-    assert(!p.contains("CartesianProduct"), p)
+    // Subtree pin (the string count above can't distinguish PRINTS of
+    // the memoized assignment's cached build plan from a join that
+    // actually runs): collect nested-loop nodes in the LIVE tree —
+    // tree traversal does not descend into InMemoryTableScan's cached
+    // plan, so any hit here is a pair join that would execute per
+    // query. dedup_semantic's live plan must have ZERO of them.
+    assert(liveBnljCount("dedup_semantic") == 0, p)
+  }
+
+  test("sem-assignment broadcast hints ride only the O(√k) coarse quantizer, never the k-row centroid frame") {
+    // k = n/32 grows with the corpus: a broadcast HINT on the fine
+    // centroid frame would pin a corpus-proportional build side at
+    // 100 TB. Only the two coarse-quantizer joins (k1 = ceil(sqrt(k))
+    // rows) may carry hints; the fine cell join must be size-planned.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val assigned = graft.queries.SimilarityQueries.semAssigned(spark, sf0001)
+    val hints = assigned.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h
+    }
+    assert(hints.nonEmpty, "coarse-quantizer broadcasts should stay hinted")
+    hints.foreach { h =>
+      val out = h.child.output.map(_.name)
+      assert(out.contains("co_id"),
+        s"broadcast hint on a non-coarse frame (cols=$out) — build side may grow with n")
+    }
   }
 
   test("k-means refine never joins or collects the corpus — one aggregate chain") {
@@ -489,16 +523,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
-  test("leakage-free split: CC labels join by id; nested-loops are the 1-row leak scalar + the printed assignment expansion") {
+  test("leakage-free split: CC labels join by id; the only live nested-loop is the 1-row leak scalar") {
     val p = plan("pipeline_leakage_free_split")
     assert(!p.contains("CartesianProduct"), p)
-    // nested-loop occurrences are the 1-row leak scalar plus PRINTS
-    // of the memoized n×k centroid-assignment expansion (executes
-    // once; the cached relation's build plan renders under every
-    // consumer branch, so the count varies with AQE/cache state).
-    // The pinned properties: no cartesian, and the label join + pair
-    // join are hash equi-joins
+    // The label join + pair join are hash equi-joins; the memoized
+    // assignment's cached build plan may PRINT nested loops under
+    // every consumer branch, but the LIVE tree (cached branches
+    // excluded) may carry at most the 1-row leak-rate scalar BNLJ.
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(liveBnljCount("pipeline_leakage_free_split") <= 1, p)
   }
 
   test("session paths: two aggregates + TakeOrdered — word-count shape, no join at all") {
