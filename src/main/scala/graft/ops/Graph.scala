@@ -48,13 +48,30 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** edges(doc_a, doc_b) → (node, rep) for every node appearing in an
-    * edge, rep = min node id of its connected component. */
+    * edge, rep = min node id of its connected component.
+    *
+    * CONTRACTION, not plain label propagation: each round every node
+    * adopts the minimum of itself and its neighbors, one pointer jump
+    * doubles the reach, and then the EDGE SET itself is relabeled
+    * under the new representatives (self-loops dropped, duplicates
+    * merged). Plain propagation scans the FULL edge set every round,
+    * so total work is O(E·log d) and grows with component diameter at
+    * scale (the round-10 ×100 probe measured 8.8× wall on the
+    * mutual-kNN graph as d grew with the corpus); under contraction
+    * the surviving edge set shrinks geometrically — most near-dup
+    * structure collapses in the first round — so total edge work is
+    * O(E) for the first pass plus rapidly vanishing tails, and later
+    * rounds run on component-skeleton-sized frames no matter how the
+    * corpus grows. The fixpoint is algorithm-independent (rep = min
+    * member id; the minimum always maps to itself and everything else
+    * monotonically merges into it), so callers and the recursive-CTE
+    * oracles see identical labels. */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     // materialize the (possibly expensive) edge lineage once: the union
-    // below scans it from two branches, and each round scans it again
-    val e = edges.select(col("doc_a").as("src"), col("doc_b").as("dst")).persist()
-    val nEdges = e.count()
+    // below scans it from two branches
+    val e0 = edges.select(col("doc_a").as("src"), col("doc_b").as("dst")).persist()
+    val nEdges = e0.count()
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     val parts = math.max(1L, math.min(prevParts.toLong, nEdges / 1000000L + 1L))
@@ -66,53 +83,60 @@ object Graph {
     // than the compiles; above it, codegen stays on and amortizes.
     if (nEdges < 10000000L) spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
-      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
-      // each round's frame is eagerly localCheckpoint'ed, NOT persisted:
-      // persist keeps execution warm but the LOGICAL plan still chains
-      // every previous round, so Catalyst re-analyzes/re-optimizes a
+      // each round's frames are eagerly localCheckpoint'ed, NOT
+      // persisted: persist keeps execution warm but the LOGICAL plan
+      // still chains every previous round, so Catalyst re-analyzes a
       // tree that grows per iteration and planning time dominates (the
       // round-2 bench measured ~2.5 s/round on a 256-edge graph, almost
       // all of it driver-side planning). Checkpointing truncates the
-      // lineage to a LogicalRDD, making per-round planning cost CONSTANT
-      // — the standard discipline for iterative Spark jobs. The
-      // checkpoint blocks are |V|-row frames; each round's goes out of
-      // scope immediately and the ContextCleaner drops it.
-      var labels = sym.select(col("src").as("node")).distinct()
+      // lineage to a LogicalRDD, making per-round planning cost
+      // CONSTANT. Intermediate checkpoint blocks go out of scope each
+      // round and the ContextCleaner drops them.
+      var e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      // cumulative mapping original node → current representative;
+      // |V|-row frame, folded once per round
+      var labels = e.select(col("src").as("node")).distinct()
         .withColumn("rep", col("node"))
         .localCheckpoint(true)
-      var converged = false
-      while (!converged) {
-        // neighbor messages + a self-tagged copy of the labels: one
-        // min-aggregate computes the new label AND carries the old one
-        val msgs = sym
-          .join(labels.withColumnRenamed("node", "src"), "src")
-          .select(col("dst").as("node"), col("rep"), lit(false).as("self"))
-        val combined = labels
-          .select(col("node"), col("rep"), lit(true).as("self"))
-          .unionByName(msgs)
-          .groupBy("node")
-          .agg(min("rep").as("rep"), min(when(col("self"), col("rep"))).as("old"))
-        // pointer jumping: rep := rep's rep — doubles propagation reach
-        // per round, so convergence is O(log diameter) instead of
-        // O(diameter). The two scans of `combined` share their shuffle
-        // via ReuseExchange.
-        val reps = combined.select(col("node").as("rep"), col("rep").as("rep2"))
-        val next = combined
-          .join(reps, Seq("rep"), "left")
-          .select(col("node"), col("old"),
-            least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
-          .localCheckpoint(true) // one materializing action per round
-        // convergence count scans the just-checkpointed rows only
-        val shrunk = next.filter(col("rep") < col("old")).count()
-        labels = next
-        converged = shrunk == 0
+      while (!e.isEmpty) {
+        // new rep of each surviving graph node: min(self, neighbors),
+        // then one pointer jump (rep := rep's rep) to double reach.
+        // reps ≤ node always, so the chain is acyclic and monotone.
+        val minN = e.groupBy("src").agg(min("dst").as("m"))
+          .select(col("src").as("node"), least(col("src"), col("m")).as("rep1"))
+        // rep1-of-rep1 via self-join; left: a rep that is itself a
+        // local minimum has no entry on the right
+        val m = minN
+          .join(minN.select(col("node").as("rep1"), col("rep1").as("rep2")),
+            Seq("rep1"), "left")
+          .select(col("node"),
+            least(col("rep1"), coalesce(col("rep2"), col("rep1"))).as("newrep"))
+          .persist() // three consumers this round; lineage is short (from checkpointed e)
+        // contract: relabel both endpoints, drop self-loops, merge
+        // parallel edges. e is symmetric and relabeling preserves
+        // symmetry, so no re-union is needed.
+        val nextE = e
+          .join(m.select(col("node").as("src"), col("newrep").as("rsrc")), "src")
+          .join(m.select(col("node").as("dst"), col("newrep").as("rdst")), "dst")
+          .select(col("rsrc").as("src"), col("rdst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .localCheckpoint(true)
+        // fold this round's mapping into the cumulative labels; reps
+        // whose component already finished have no entry in m
+        labels = labels
+          .join(m.select(col("node").as("rep"), col("newrep")), Seq("rep"), "left")
+          .select(col("node"), coalesce(col("newrep"), col("rep")).as("rep"))
+          .localCheckpoint(true)
+        m.unpersist()
+        e = nextE
       }
       labels.select(col("node"), col("rep"))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
-      e.unpersist()
+      e0.unpersist()
     }
   }
 
