@@ -44,15 +44,36 @@ object RelationalQueries {
     * .xx5 boundary that Spark's own fold order crosses run-to-run.
     * Monetary columns (l_extendedprice, c_acctbal, o_totalprice,
     * events.value) are cent-valued in this schema, so ·100 recovers
-    * exact integers; l_quantity is INTEGER-valued, so plain double
-    * sums of it are exact (integers are closed under double addition
-    * up to 2^53) and stay in the direct form. */
+    * exact integers FOR BARE COLUMNS ONLY — a product of two 2-dp
+    * terms carries four decimal digits and must use [[cents4]] or the
+    * per-row rounding quantizes half a cent. l_quantity is
+    * INTEGER-valued, so plain double sums of it are exact (integers
+    * are closed under double addition up to 2^53) and stay in the
+    * direct form. */
   private[queries] def cents(e: Column): Column = round(e * 100).cast("long")
 
   /** Exact integer cents back to the 2-dp double the result schema
     * declares — a single final division+round, no summed doubles. */
   private[queries] def money(sumCents: Column): Column =
     round(sumCents.cast("double") / 100.0, 2)
+
+  /** Row-level EXACT scaling for a product of two 2-dp monetary terms
+    * (price · (1±discount), or price·(1−disc) − supplycost·qty): the
+    * exact value carries FOUR decimal digits, so [[cents]]' ·100 would
+    * quantize up to half a cent per row and the aggregate drifts
+    * ~√n·0.29 cents from the exact decimal sum. ·10000 keeps every row
+    * exact in BIGINT (≈3·10⁸ per row, sums ≲2·10¹⁶ at sf10 — far
+    * inside long range; the one final cast-to-double before the
+    * display division rounds to nearest identically in both engines,
+    * and 2-dp display rounding is exact at these magnitudes). Same
+    * bit-determinism argument as [[cents]]: the rounded value is a
+    * pure per-row IEEE product chain, everything summed afterwards is
+    * integer arithmetic immune to fold order. */
+  private[queries] def cents4(e: Column): Column = round(e * 10000).cast("long")
+
+  /** Exact 4-dp integer units back to the 2-dp display double. */
+  private[queries] def money4(sum4: Column): Column =
+    round(sum4.cast("double") / 10000.0, 2)
 
   /** Write `src` as an EXTERNAL bucketed table (16 buckets on `key`,
     * bucket-sorted) with a per-sf name and path, and return the table
@@ -132,7 +153,7 @@ object RelationalQueries {
           // [[cents]] — the q11 ulp-lottery discipline)
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           money(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
-          money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          money4(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
 
@@ -144,7 +165,7 @@ object RelationalQueries {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
+        .agg(money4(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -164,7 +185,7 @@ object RelationalQueries {
         .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy("n_name")
-        .agg(money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
+        .agg(money4(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
     }),
 
     // broadcast-dim join + grouped agg
@@ -370,7 +391,7 @@ object RelationalQueries {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_mktsegment")
-        .agg(money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
+        .agg(money4(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -423,8 +444,8 @@ object RelationalQueries {
           // both operands of the share are EXACT integer cent sums;
           // the single division + round is then bit-deterministic
           round(coalesce(
-            lit(100.0) * sum(when(col("p_type") === "PROMO", cents(rev))).cast("double")
-              / sum(cents(rev)).cast("double"),
+            lit(100.0) * sum(when(col("p_type") === "PROMO", cents4(rev))).cast("double")
+              / sum(cents4(rev)).cast("double"),
             lit(0.0)), 2).as("promo_pct"),
           count(lit(1)).as("n_lines"))
     }),
@@ -469,8 +490,8 @@ object RelationalQueries {
           col("l_quantity").between(20, 30))
       li.join(broadcast(part), li("l_partkey") === part("p_partkey") && blocks)
         .agg(
-          money(coalesce(
-            sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))), lit(0L)
+          money4(coalesce(
+            sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))), lit(0L)
           )).as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
@@ -811,7 +832,7 @@ object RelationalQueries {
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_lines"),
-          money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
+          money4(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
     }),
 
     // RFM SEGMENTATION (recency / frequency / monetary quintiles per
@@ -894,7 +915,7 @@ object RelationalQueries {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
-        .agg(money(sum(cents(col("l_extendedprice") * col("l_discount")))).as("revenue"),
+        .agg(money4(sum(cents4(col("l_extendedprice") * col("l_discount")))).as("revenue"),
           count(lit(1)).as("n_lines"))),
 
     // TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
@@ -923,7 +944,7 @@ object RelationalQueries {
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+        .agg(money4(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))))
           .as("revenue"))
     }),
 
@@ -955,9 +976,9 @@ object RelationalQueries {
         .join(broadcast(nationS), supp("s_nationkey") === col("sn_key"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(
-          money(sum(when(col("supp_nation") === "NATION_9", cents(vol))
+          money4(sum(when(col("supp_nation") === "NATION_9", cents4(vol))
             .otherwise(lit(0L)))).as("nation_rev"),
-          money(sum(cents(vol))).as("total_rev"))
+          money4(sum(cents4(vol))).as("total_rev"))
         .withColumn("mkt_share", round(col("nation_rev") / col("total_rev"), 4))
     }),
 
@@ -971,7 +992,7 @@ object RelationalQueries {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .agg(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("rev_cents"))
       // the argmax equi-join keys on the revenue — EXACT integer
       // cents, so the max-probe can never straddle an ulp boundary
@@ -980,7 +1001,7 @@ object RelationalQueries {
         .join(broadcast(t(s, dir, "supplier")),
           col("supplier_no") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
-          money(col("rev_cents")).as("total_revenue"))
+          money4(col("rev_cents")).as("total_revenue"))
     }),
 
     // TPC-H Q4 shape (adapted): priority mix of orders in a quarter
@@ -1084,7 +1105,7 @@ object RelationalQueries {
         .join(broadcast(t(s, dir, "supplier")), li("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        .agg(money4(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")) -
           col("ps_supplycost") * col("l_quantity")))).as("profit"))
     }),
 
@@ -1240,7 +1261,7 @@ object RelationalQueries {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
-          money(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))))
+          money4(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")))))
             .as("revenue"))
     }),
 
@@ -1414,14 +1435,14 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
         |       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
-        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_disc_price,
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
         |       CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2""".stripMargin,
 
     "q3_top_revenue" ->
       """SELECT o_orderkey, o_orderdate,
-        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -1429,7 +1450,7 @@ object RelationalQueries {
 
     "q5_region_revenue" ->
       """SELECT n_name,
-        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
@@ -1582,7 +1603,7 @@ object RelationalQueries {
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, c_mktsegment,
-        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE l_returnflag = 'R'
@@ -1605,8 +1626,8 @@ object RelationalQueries {
     "q14_promo_revenue" ->
       """SELECT round(CAST(coalesce(
         |         100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
-        |                          THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) END) AS DOUBLE)
-        |         / CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE), 0.0) AS DOUBLE), 2) AS promo_pct,
+        |                          THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) END) AS DOUBLE)
+        |         / CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE), 0.0) AS DOUBLE), 2) AS promo_pct,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
@@ -1623,7 +1644,7 @@ object RelationalQueries {
 
     "q19_discounted_revenue" ->
       """SELECT round(CAST(coalesce(
-        |         sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0, 2) AS revenue,
+        |         sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)), 0) AS DOUBLE) / 10000.0, 2) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -1802,7 +1823,7 @@ object RelationalQueries {
     // plain join: the bloom prune must not change the result
     "q_bloom_join" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
-        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
@@ -1889,7 +1910,7 @@ object RelationalQueries {
         |JOIN names nb ON nb.name = v.name_b""".stripMargin,
 
     "q6_revenue_delta" ->
-      """SELECT round(CAST(sum(CAST(round((l_extendedprice * l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
+      """SELECT round(CAST(sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1901,7 +1922,7 @@ object RelationalQueries {
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -1919,9 +1940,9 @@ object RelationalQueries {
       """WITH yr AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |         round(CAST(sum(CASE WHEN ns.n_name = 'NATION_9'
-        |                 THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
-        |                 ELSE CAST(0 AS BIGINT) END) AS DOUBLE) / 100.0, 2) AS nation_rev,
-        |         round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_rev
+        |                 THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+        |                 ELSE CAST(0 AS BIGINT) END) AS DOUBLE) / 10000.0, 2) AS nation_rev,
+        |         round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS total_rev
         |  FROM lineitem
         |  JOIN part     ON l_partkey = p_partkey
         |  JOIN orders   ON l_orderkey = o_orderkey
@@ -1941,13 +1962,13 @@ object RelationalQueries {
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey AS supplier_no,
-        |         CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |         CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) AS rev_cents
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate <  TIMESTAMP '1996-04-01'
         |  GROUP BY 1)
         |SELECT s_suppkey, s_name,
-        |       round(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS total_revenue
+        |       round(CAST(rev_cents AS DOUBLE) / 10000.0, 2) AS total_revenue
         |FROM rev JOIN supplier ON supplier_no = s_suppkey
         |WHERE rev_cents = (SELECT max(rev_cents) FROM rev)""".stripMargin,
 
@@ -2011,7 +2032,7 @@ object RelationalQueries {
         |SELECT n_name,
         |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
-        |             - ps_supplycost * l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS profit
+        |             - ps_supplycost * l_quantity) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
@@ -2100,7 +2121,7 @@ object RelationalQueries {
 
     "q_bucketed_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
-        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
 
