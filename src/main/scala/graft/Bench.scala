@@ -220,11 +220,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches BASELINE.md's measurement config (local[32], 32
-    // shuffle partitions); override via SPARK_GRAFT_CPUS for smaller boxes
+    // shuffle partitions); override via SPARK_GRAFT_CPUS for smaller boxes.
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples shuffle parallelism from
+    // thread count for the SCALED-corpus probes: on a real cluster
+    // shuffle partitions scale with input so per-partition data stays
+    // bounded, but local[32] pins both knobs to 32 — which makes a
+    // linear-work query look super-linear once its shuffle stops
+    // fitting 32 partitions (the round-10 ×100 probe measured
+    // dedup_containment at 103× for 100× data; spill, not work). The
+    // sf1/sf10 probes pass partitions ∝ √data (sf1→100, sf10→320) so
+    // the SCALING table attributes ratios to work alone.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(graft.model.Tables.nanosConf, "true")

@@ -65,8 +65,7 @@ import org.apache.spark.sql.types.IntegerType
   */
 object TopKPerKeyStrategy extends SparkStrategy {
 
-  private def maxK: Int =
-    SQLConf.get.getConfString("spark.graft.topk.maxK", "1024").toInt
+  private def maxK: Int = TopKPerKeyConf.intConf("spark.graft.topk.maxK", 1024)
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case logical.Filter(cond, w: logical.Window)
@@ -110,6 +109,21 @@ object TopKPerKeyStrategy extends SparkStrategy {
   }
 }
 
+/** Checked conf reads for the top-k operator: a malformed value must
+  * degrade to the DEFAULT with a warning (vanilla window planning and
+  * the unpruned pass-through stay available) rather than surface as an
+  * opaque NumberFormatException during planning or mid-task. */
+private[plans] object TopKPerKeyConf extends org.apache.spark.internal.Logging {
+  def intConf(key: String, default: Int): Int = {
+    val raw = SQLConf.get.getConfString(key, default.toString)
+    try raw.trim.toInt catch {
+      case _: NumberFormatException =>
+        logWarning(s"ignoring malformed $key='$raw' — using default $default")
+        default
+    }
+  }
+}
+
 /** Bounded per-key top-k. `partial = true` runs pre-shuffle with no
   * distribution requirement and emits its survivors unranked, passing
   * rows through unpruned past the buffered-key cap; `partial = false`
@@ -147,8 +161,8 @@ case class TopKPerKeyExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
-  private def maxBufferedKeys: Int = SQLConf.get
-    .getConfString("spark.graft.topk.maxBufferedKeys", (1 << 16).toString).toInt
+  private def maxBufferedKeys: Int =
+    TopKPerKeyConf.intConf("spark.graft.topk.maxBufferedKeys", 1 << 16)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output

@@ -37,7 +37,7 @@ import graft.streaming.StreamingJobs
 object StreamBench {
 
   private case class R(name: String, rows: Long, sec: Double,
-      maxStateRows: Long, outRows: Long)
+      maxStateRows: Long, outRows: Long, batches: Long)
 
   private def maxStateOf(q: StreamingQuery): Long =
     q.recentProgress.map(p =>
@@ -55,7 +55,15 @@ object StreamBench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val out = q.sparkSession.table(s"sb_$name").count()
-      R(name, rows.size.toLong, sec, maxStateOf(q), out)
+      // distinct batch ids seen by the progress listener: with the
+      // per-chunk processAllAvailable barrier, rows/s measures
+      // SERIALIZED micro-batch latency, not pipelined capacity — the
+      // per-batch wall lets the two effects be separated (an operator
+      // with high fixed per-batch cost shows a large sec_per_batch at
+      // every feed size; a per-row-bound one shows sec_per_batch
+      // growing with the slice)
+      val batches = q.recentProgress.map(_.batchId).distinct.length.toLong
+      R(name, rows.size.toLong, sec, maxStateOf(q), out, batches)
     } finally q.stop()
   }
 
@@ -106,6 +114,26 @@ object StreamBench {
       val q = mem(StreamingJobs.slidingCountStreaming(
         in.toDS().withWatermark("ts", "0 seconds"), 60L,
         evictIdleAfter = Some("1 hour")).toDF(), "sliding_count")
+      (in, q)
+    })
+
+    // HIGH-CARDINALITY variant of the keyed sliding count: the events
+    // table carries only ~5 event types, so the 5-key row above
+    // measures the per-key single-thread floor (state updates for one
+    // key serialize within a partition), not the operator. Remapping
+    // each arriving row round-robin onto 1 000 synthetic keys keeps
+    // total row volume and event-time order identical while spreading
+    // state across all shuffle partitions — rows/s here vs the 5-key
+    // row is the keyed-scaling measurement, and max_state_rows grows
+    // with keys exactly as the eviction bound promises.
+    val keyed1k = events.zipWithIndex.map { case (r, i) =>
+      StreamingJobs.KeyedEvent(f"k${i % 1000}%04d", r.getAs[Timestamp](2))
+    }.toSeq
+    results += drain[StreamingJobs.KeyedEvent]("sliding_count_1k_keys", keyed1k, chunks, rows => {
+      val in = MemoryStream[StreamingJobs.KeyedEvent]
+      val q = mem(StreamingJobs.slidingCountStreaming(
+        in.toDS().withWatermark("ts", "0 seconds"), 60L,
+        evictIdleAfter = Some("1 hour")).toDF(), "sliding_count_1k_keys")
       (in, q)
     })
 
@@ -176,13 +204,15 @@ object StreamBench {
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val ops = results.map { r =>
       val rps = if (r.sec > 0) r.rows / r.sec else -1.0
+      val spb = if (r.batches > 0) r.sec / r.batches else -1.0
       s""""${r.name}":{"rows":${r.rows},"sec":${f3(r.sec)}""" +
         s""","rows_per_sec":${f3(rps)},"max_state_rows":${r.maxStateRows}""" +
-        s""","out_rows":${r.outRows}}"""
+        s""","out_rows":${r.outRows},"batches":${r.batches}""" +
+        s""","sec_per_batch":${f3(spb)}}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"stream_bench","operators":$ops,"chunks":$chunks,"sf":"$sfDir"""" +
-        s""","method":"MemoryStream feed in event-time order, memory sink, wall-clock over processAllAvailable drains; max_state_rows = max over progress of sum(stateOperators.numRowsTotal)"}"""
+        s""","method":"MemoryStream feed in event-time order, memory sink, wall-clock over processAllAvailable drains (a BARRIER per chunk: rows_per_sec measures serialized micro-batch latency, understating operators with high per-batch fixed cost — read sec_per_batch to separate fixed from per-row cost); max_state_rows = max over progress of sum(stateOperators.numRowsTotal); sliding_count_1k_keys = same rows remapped round-robin onto 1000 synthetic keys (keyed-scaling measurement vs the 5-key sliding_count row)"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("STREAM_BENCH.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>

@@ -79,6 +79,24 @@ class StrategySpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("memory rails: malformed conf values degrade to defaults, never throw mid-planning") {
+    val want = topkQuery.collect().map(_.toSeq).toSet // vanilla planning
+    val got = withStrategy {
+      spark.conf.set("spark.graft.topk.maxK", "not-a-number")
+      spark.conf.set("spark.graft.topk.maxBufferedKeys", "1e6") // floats are malformed too
+      try {
+        val q = topkQuery
+        // defaults apply: k=5 ≤ 1024, so the operator still plans
+        assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        q.collect().map(_.toSeq).toSet
+      } finally {
+        spark.conf.unset("spark.graft.topk.maxK")
+        spark.conf.unset("spark.graft.topk.maxBufferedKeys")
+      }
+    }
+    assert(got == want && want.nonEmpty)
+  }
+
   test("guards: rank() or extra conjuncts fall through to Spark's own planning") {
     withStrategy {
       val rk = events
