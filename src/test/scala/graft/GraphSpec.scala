@@ -26,6 +26,18 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L) && got.size == 12)
   }
 
+  test("deep diameter: a 1024-node path collapses to one min label (log-depth contraction)") {
+    // the adversarial shape for contraction CC: diameter 1023, so a
+    // propagation-per-round algorithm needs ~1023 rounds and a
+    // doubling one ~10 — the spec both pins correctness on deep
+    // graphs and keeps the runtime a regression tripwire (a broken
+    // contraction that degenerates to single-step propagation would
+    // blow the suite budget immediately)
+    val edges = (1L until 1024L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val got = Graph.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(got.length == 1024 && got.forall(_._2 == 1L))
+  }
+
   test("pageRankScaled: star center outranks leaves; symmetric pair ties; matches driver replica") {
     // star {1-2,1-3,1-4} + isolated pair {10,11}
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
