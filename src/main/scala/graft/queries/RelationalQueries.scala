@@ -985,7 +985,7 @@ object RelationalQueries {
     // TPC-H Q15 shape: top supplier(s) by quarterly revenue. The
     // per-supplier revenue frame is supplier-catalog-sized, so the
     // argmax is a 1-row broadcast aggregate probed by an equi-join on
-    // the ROUNDED revenue (cent-exact on both sides — no double-ulp
+    // the ROUNDED revenue (exact 4-dp integer units on both sides — no double-ulp
     // tie ambiguity); ties all surface, as in the spec's VIEW form.
     "q15_top_supplier" -> ((s, dir) => {
       val rev = t(s, dir, "lineitem")
