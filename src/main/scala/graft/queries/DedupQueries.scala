@@ -142,7 +142,21 @@ object DedupQueries {
     * (τ·max(n_a,n_b) ≤ min(n_a,n_b), integer arithmetic) prunes
     * impossible pairs before the distinct.
     */
-  private[graft] def ppjoinCandidates(sh: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+  /** `anchorCap`: the PPJoin analogue of [[LshBucketCap]]. The prefix
+    * inverted index has the same 100 TB failure mode as a hot LSH
+    * bucket — m boilerplate documents sharing a rare prefix gram emit
+    * Θ(m²) candidates from that gram's posting list. With a cap, a
+    * pair is probed iff its SMALLER doc ranks within the cap smallest
+    * ids of the gram's posting list: volume per gram ≤ cap·m, every
+    * member still pairs with the anchors (components stay stitched),
+    * and below the cap the join is EXACTLY the uncapped one — nothing
+    * approaches the cap at oracle scale, so brute-force oracles that
+    * rely on prefix-filter recall-completeness are unaffected where
+    * they are checked, while the τ-sweep audit stops being the one
+    * uncapped pair surface in the suite. None (the default) keeps the
+    * historical plan byte-for-byte — no window sort is added. */
+  private[graft] def ppjoinCandidates(sh: DataFrame, tauNum: Int, tauDen: Int,
+      anchorCap: Option[Int] = None): DataFrame = {
     val ex = sh.select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("s"))
     val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
@@ -150,10 +164,25 @@ object DedupQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("n") - floor((col("n") * tauNum + (tauDen - 1)) / tauDen) + 1)
       .select(col("s"), col("doc_id"), col("n"))
-    val a = prefix.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
-    val b = prefix.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
-    a.join(b, Seq("s"))
-      .filter(col("doc_a") < col("doc_b"))
+    val joined = anchorCap match {
+      case Some(cap) =>
+        // rank posting-list members by doc_id (one window sort riding
+        // the same hash-partitioning the self-join shuffles on); since
+        // doc_a < doc_b, capping the smaller side caps the pair
+        val ranked = prefix.withColumn("prk",
+          row_number().over(Window.partitionBy(col("s")).orderBy(col("doc_id"))))
+        val a = ranked.select(col("s"), col("doc_id").as("doc_a"),
+          col("n").as("na"), col("prk").as("rka"))
+        val b = ranked.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
+        a.join(b, Seq("s"))
+          .filter(col("doc_a") < col("doc_b") && col("rka") <= cap)
+      case None =>
+        val a = prefix.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
+        val b = prefix.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
+        a.join(b, Seq("s"))
+          .filter(col("doc_a") < col("doc_b"))
+    }
+    joined
       .filter(greatest(col("na"), col("nb")) * tauNum <= least(col("na"), col("nb")) * tauDen)
       .select("doc_a", "doc_b")
       .distinct()
@@ -537,11 +566,18 @@ object DedupQueries {
     // rewrite. Two aggregates total over the verified pair frame (one
     // for pairs, one over exploded endpoints keyed by max jac); the
     // prefix filter is recall-lossless at the loosest τ, so every
-    // stricter row is exact by subset.
+    // stricter row is exact by subset. The prefix index is
+    // anchor-capped (see ppjoinCandidates): at τ = 0.7 this audit has
+    // the loosest prefix in the suite, so on a boilerplate-dense
+    // corpus it was the one remaining Θ(m²)-per-gram pair surface —
+    // capped, per-gram volume is ≤ cap·m while the audit stays exact
+    // everywhere the cap doesn't bind (it never binds at oracle
+    // scale, so the brute-force oracle is unchanged).
     "dedup_threshold_sensitivity" -> ((s, dir) => {
       val sh = shingled(s, dir)
       val verified = jaccardFromCounts(
-        ppjoinCandidates(sh, tauNum = 7, tauDen = 10) // τ = 0.7 superset
+        ppjoinCandidates(sh, tauNum = 7, tauDen = 10, // τ = 0.7 superset
+          anchorCap = Some(LshBucketCap))
           .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
           .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
         .filter(col("jac") >= 0.7)

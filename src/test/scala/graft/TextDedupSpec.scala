@@ -105,6 +105,36 @@ class TextDedupSpec extends SparkSpec {
     assert(cands2.contains((1L, 100L)))
   }
 
+  test("PPJoin prefix anchor cap: identical docs bound candidates to O(m·cap); uncapped below the cap") {
+    // 120 byte-identical docs: every gram is in every doc, jac = 1, so
+    // the prefix filter cannot help (it is boilerplate the FILTER
+    // keeps, unlike the hot-shingle case above) — uncapped, each
+    // prefix gram's posting list emits Θ(m²) pairs. With the anchor
+    // cap, a pair survives iff its smaller doc ranks within the cap
+    // smallest of the posting list: exactly the LshBucketCap contract
+    // on the prefix inverted index (the τ-sweep audit's rail).
+    val m = 120
+    val cap = 8
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val hot = (1 to m).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    def shOf(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id",
+      graft.functions.KernelExpressions.sortedNgramSet(tokens($"text"), 3).as("g"))
+    val capped = DedupQueries.ppjoinCandidates(shOf(hot), tauNum = 7, tauDen = 10,
+      anchorCap = Some(cap)).as[(Long, Long)].collect().toSet
+    assert(capped.size == (1 to cap).map(m - _).sum,
+      s"expected O(m·cap) = ${(1 to cap).map(m - _).sum}, got ${capped.size}")
+    assert(capped.forall { case (a, _) => a <= cap },
+      "every pair's smaller id must be an anchor (posting-list rank ≤ cap)")
+    assert(capped.flatMap { case (a, b) => Set(a, b) } == (1L to m.toLong).toSet,
+      "every doc must still pair with an anchor")
+    // below the cap, the capped join IS the uncapped one
+    val small = (1 to cap).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val u = DedupQueries.ppjoinCandidates(shOf(small), 7, 10).as[(Long, Long)].collect().toSet
+    val c = DedupQueries.ppjoinCandidates(shOf(small), 7, 10, Some(cap))
+      .as[(Long, Long)].collect().toSet
+    assert(u == c && u.size == cap * (cap - 1) / 2)
+  }
+
   test("LSH hot-bucket anchor cap: planted boilerplate bounds candidates to O(m·cap), anchors keep the group connected") {
     // 200 byte-identical boilerplate docs: identical shingle sets →
     // identical signatures → the SAME bucket in all 16 bands. An
