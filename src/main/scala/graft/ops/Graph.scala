@@ -50,22 +50,35 @@ object Graph {
   /** edges(doc_a, doc_b) → (node, rep) for every node appearing in an
     * edge, rep = min node id of its connected component.
     *
-    * CONTRACTION, not plain label propagation: each round every node
-    * adopts the minimum of itself and its neighbors, one pointer jump
-    * doubles the reach, and then the EDGE SET itself is relabeled
-    * under the new representatives (self-loops dropped, duplicates
-    * merged). Plain propagation scans the FULL edge set every round,
-    * so total work is O(E·log d) and grows with component diameter at
-    * scale (the round-10 ×100 probe measured 8.8× wall on the
-    * mutual-kNN graph as d grew with the corpus); under contraction
-    * the surviving edge set shrinks geometrically — most near-dup
-    * structure collapses in the first round — so total edge work is
-    * O(E) for the first pass plus rapidly vanishing tails, and later
-    * rounds run on component-skeleton-sized frames no matter how the
-    * corpus grows. The fixpoint is algorithm-independent (rep = min
-    * member id; the minimum always maps to itself and everything else
-    * monotonically merges into it), so callers and the recursive-CTE
-    * oracles see identical labels. */
+    * Label propagation with pointer jumping over a CONTRACTING edge
+    * set — both halves matter:
+    *
+    *  - the ACCUMULATED label map is what makes rounds O(log d): each
+    *    round folds min-of-neighbor-labels into the map and then
+    *    jumps through the map itself (rep := rep's rep), so the
+    *    distance each label has travelled DOUBLES per round (the
+    *    reach recurrence is f ← 2f+2). A formulation that rebuilds
+    *    representatives from scratch per round — min over immediate
+    *    neighbors plus one jump — moves labels only two hops per
+    *    round and needs Θ(diameter) rounds on a path (caught by
+    *    GraphSpec's 1024-node-path test when this function briefly
+    *    shipped that way);
+    *  - the MESSAGE edges are relabeled under the current map after
+    *    every round (self-loops dropped, parallel edges merged), so
+    *    the per-round neighbor-min runs on a frame that shrinks as
+    *    components merge. Near-dup graphs (tiny diameter, fat
+    *    components) collapse almost entirely in the first round, so
+    *    total edge work is ~one full pass plus vanishing tails —
+    *    plain propagation rescanned all of E every round, which the
+    *    round-10 ×100 probe measured as 8.8× wall growth on the
+    *    mutual-kNN graph. On a worst-case path the contracted set
+    *    thins by the travelled distance per round, so the bound
+    *    degrades gracefully to the old O(E log d), never worse.
+    *
+    * The fixpoint is algorithm-independent (rep = min member id: the
+    * minimum's own label can never decrease below itself, and the
+    * loop exits only when every edge's endpoints share a label), so
+    * callers and the recursive-CTE oracles see identical labels. */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     // materialize the (possibly expensive) edge lineage once: the union
@@ -94,43 +107,67 @@ object Graph {
       // round and the ContextCleaner drops them.
       var e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint(true)
-      // cumulative mapping original node → current representative;
-      // |V|-row frame, folded once per round
+      // accumulated mapping original node → current label; |V| rows,
+      // refreshed (not rebuilt) every round
       var labels = e.select(col("src").as("node")).distinct()
         .withColumn("rep", col("node"))
         .localCheckpoint(true)
       while (!e.isEmpty) {
-        // new rep of each surviving graph node: min(self, neighbors),
-        // then one pointer jump (rep := rep's rep) to double reach.
-        // reps ≤ node always, so the chain is acyclic and monotone.
-        val minN = e.groupBy("src").agg(min("dst").as("m"))
-          .select(col("src").as("node"), least(col("src"), col("m")).as("rep1"))
-        // rep1-of-rep1 via self-join; left: a rep that is itself a
-        // local minimum has no entry on the right
-        val m = minN
-          .join(minN.select(col("node").as("rep1"), col("rep1").as("rep2")),
-            Seq("rep1"), "left")
+        // (1) neighbor-min over the CONTRACTED edges: both endpoints
+        // are current labels, so min(dst) per src is the best
+        // neighboring label
+        val minNbr = e.groupBy("src").agg(min("dst").as("mnb"))
+          .select(col("src").as("rep"), col("mnb"))
+        // (2) fold into the accumulated map (nodes whose current rep
+        // got a better neighbor adopt it)…
+        val lab1 = labels.join(minNbr, Seq("rep"), "left")
+          .select(col("node"), least(col("rep"), coalesce(col("mnb"), col("rep"))).as("rep"))
+          .persist() // two consumers below; lineage is short (from checkpointed frames)
+        // (3) …then pointer-jump THROUGH the map: rep := rep's rep.
+        // Labels only ever decrease, so the chain is acyclic; because
+        // the map accumulates across rounds, the jump doubles the
+        // travelled distance (this, not the neighbor-min, is the
+        // log-depth engine).
+        val reps = lab1.select(col("node").as("rep"), col("rep").as("rep2"))
+        val next = lab1.join(reps, Seq("rep"), "left")
           .select(col("node"),
-            least(col("rep1"), coalesce(col("rep2"), col("rep1"))).as("newrep"))
-          .persist() // three consumers this round; lineage is short (from checkpointed e)
-        // contract: relabel both endpoints, drop self-loops, merge
-        // parallel edges. e is symmetric and relabeling preserves
-        // symmetry, so no re-union is needed.
-        val nextE = e
-          .join(m.select(col("node").as("src"), col("newrep").as("rsrc")), "src")
-          .join(m.select(col("node").as("dst"), col("newrep").as("rdst")), "dst")
+            least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
+          .localCheckpoint(true)
+        // (4) contract: relabel both endpoints under the refreshed
+        // map, drop self-loops, merge parallel edges. e is symmetric
+        // and relabeling preserves symmetry, so no re-union is needed.
+        e = e
+          .join(next.select(col("node").as("src"), col("rep").as("rsrc")), "src")
+          .join(next.select(col("node").as("dst"), col("rep").as("rdst")), "dst")
           .select(col("rsrc").as("src"), col("rdst").as("dst"))
           .filter(col("src") =!= col("dst"))
           .distinct()
           .localCheckpoint(true)
-        // fold this round's mapping into the cumulative labels; reps
-        // whose component already finished have no entry in m
-        labels = labels
-          .join(m.select(col("node").as("rep"), col("newrep")), Seq("rep"), "left")
-          .select(col("node"), coalesce(col("newrep"), col("rep")).as("rep"))
+        lab1.unpersist()
+        labels = next
+      }
+      // FLATTEN the label forest to its roots. Contraction can drop an
+      // edge as a self-loop through the LABEL-VALUE node's chain while
+      // some members of the class still carry an earlier label (the
+      // label-value node may advance further than its class in the
+      // same round) — the connectivity is not lost, it lives in the
+      // map itself: member → old label → … → root. Labels form a
+      // strictly decreasing forest (rep(n) ≤ n), so jumping the map
+      // through itself to fixpoint resolves every chain to its root =
+      // the component minimum (the min is always self-labeled; an
+      // edge only ever drops when both endpoint chains meet).
+      // Doubling per jump ⇒ O(log chain) rounds of |V|-row joins, no
+      // edge data touched; chains are 1–2 links on real graphs.
+      var flat = false
+      while (!flat) {
+        val reps = labels.select(col("node").as("rep"), col("rep").as("rep2"))
+        val nxt = labels.join(reps, Seq("rep"), "left")
+          .select(col("node"),
+            least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"),
+            (col("rep2") < col("rep")).as("moved"))
           .localCheckpoint(true)
-        m.unpersist()
-        e = nextE
+        flat = nxt.filter(col("moved")).isEmpty
+        labels = nxt.select(col("node"), col("rep"))
       }
       labels.select(col("node"), col("rep"))
     } finally {
