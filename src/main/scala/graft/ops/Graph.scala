@@ -105,12 +105,18 @@ object Graph {
       // lineage to a LogicalRDD, making per-round planning cost
       // CONSTANT. Intermediate checkpoint blocks go out of scope each
       // round and the ContextCleaner drops them.
-      var e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
+      val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       // accumulated mapping original node → current label; |V| rows,
-      // refreshed (not rebuilt) every round
-      var labels = e.select(col("src").as("node")).distinct()
+      // refreshed (not rebuilt) every round. Built from the UNFILTERED
+      // symmetric set: a node whose only edge is a self-loop is its own
+      // component and must still appear in the output.
+      var labels = sym.select(col("src").as("node")).distinct()
         .withColumn("rep", col("node"))
+        .localCheckpoint(true)
+      // the working edge set starts on the loop invariant (no
+      // self-loops, no parallel duplicates) so round 1's neighbor-min
+      // and contraction never scan edges the algorithm can't use
+      var e = sym.filter(col("src") =!= col("dst")).distinct()
         .localCheckpoint(true)
       while (!e.isEmpty) {
         // (1) neighbor-min over the CONTRACTED edges: both endpoints

@@ -155,15 +155,24 @@ object DedupQueries {
     * they are checked, while the τ-sweep audit stops being the one
     * uncapped pair surface in the suite. None (the default) keeps the
     * historical plan byte-for-byte — no window sort is added. */
-  private[graft] def ppjoinCandidates(sh: DataFrame, tauNum: Int, tauDen: Int,
-      anchorCap: Option[Int] = None): DataFrame = {
+  /** The PPJoin prefix inverted index alone: (shingle, doc_id, set
+    * size) rows where the shingle ranks within the doc's τ-prefix
+    * (rarest-df-first order). Shared by [[ppjoinCandidates]] and the
+    * `dedup_cap_binding` census so the health gauge audits EXACTLY the
+    * index the candidate joins probe. */
+  private[graft] def ppjoinPrefix(sh: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     val ex = sh.select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("s"))
     val freq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val prefix = ex.join(freq, "s")
+    ex.join(freq, "s")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("n") - floor((col("n") * tauNum + (tauDen - 1)) / tauDen) + 1)
       .select(col("s"), col("doc_id"), col("n"))
+  }
+
+  private[graft] def ppjoinCandidates(sh: DataFrame, tauNum: Int, tauDen: Int,
+      anchorCap: Option[Int] = None): DataFrame = {
+    val prefix = ppjoinPrefix(sh, tauNum, tauDen)
     val joined = anchorCap match {
       case Some(cap) =>
         // rank posting-list members by doc_id (one window sort riding
@@ -196,7 +205,12 @@ object DedupQueries {
   private[queries] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
     jaccardFromCounts(
-      ppjoinCandidates(sh, tauNum = 4, tauDen = 5) // τ = 0.8
+      // τ = 0.8, anchor-capped BY DEFAULT (round 12): exact wherever a
+      // prefix gram's posting list stays under the cap (everywhere the
+      // oracle checks — 500 docs at sf0.01 vs cap 1024; TextDedupSpec
+      // proves capped==uncapped below the cap), bounded Θ(cap·m) per
+      // hot gram on boilerplate-dense corpora at 100 TB
+      ppjoinCandidates(sh, tauNum = 4, tauDen = 5, anchorCap = Some(LshBucketCap))
         .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
       .filter(col("jac") >= 0.8)
@@ -537,7 +551,12 @@ object DedupQueries {
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
       Seq(
         ("minhash_lsh", lshCandidatesFromBands(corpusBands(s, dir))),
-        ("ppjoin", ppjoinCandidates(sh, tauNum = 4, tauDen = 5)),
+        // anchor-capped like every other generator in the audit; the
+        // oracle's `ppc` CTE replays the same cap rule (prk ≤ 1024 on
+        // the smaller doc), so both sides agree even if a posting list
+        // ever crosses the cap
+        ("ppjoin", ppjoinCandidates(sh, tauNum = 4, tauDen = 5,
+          anchorCap = Some(LshBucketCap))),
         ("winnow", winnowSharedCounts(s, dir).select("doc_a", "doc_b")),
         ("snm", snmCandidates(docs(s, dir))),
         // equal-key SNM vs classic global-order SNM side by side: the
@@ -572,7 +591,11 @@ object DedupQueries {
     // corpus it was the one remaining Θ(m²)-per-gram pair surface —
     // capped, per-gram volume is ≤ cap·m while the audit stays exact
     // everywhere the cap doesn't bind (it never binds at oracle
-    // scale, so the brute-force oracle is unchanged).
+    // scale, so the brute-force oracle is unchanged). Whether the cap
+    // bound is no longer silent: `dedup_cap_binding` publishes the
+    // group-size census of this exact τ=0.7 prefix index —
+    // rows_beyond_cap = 0 certifies these counts exact; nonzero says
+    // read each n_pairs as a lower bound.
     "dedup_threshold_sensitivity" -> ((s, dir) => {
       val sh = shingled(s, dir)
       val verified = jaccardFromCounts(
@@ -598,6 +621,37 @@ object DedupQueries {
           .as("r"))
         .select(col("r.tau").as("tau"), col("r.n_pairs").as("n_pairs"),
           col("r.n_docs").as("n_docs"))
+    }),
+
+    // ANCHOR-CAP BINDING GAUGE — the health check every capped
+    // candidate surface was missing (round-11 advice: a cap that binds
+    // truncates pair counts SILENTLY, turning audits into unlabeled
+    // lower bounds). For each capped index — the τ=0.7 and τ=0.8
+    // PPJoin prefix posting lists and the 16-band LSH buckets — a
+    // group-size census against the shared LshBucketCap: how many
+    // groups, the hottest group, and how many index rows rank beyond
+    // the cap (exactly the rows whose pairs a capped run drops).
+    // rows_beyond_cap = 0 certifies every capped pair count this
+    // suite publishes is EXACT on this corpus; nonzero says read them
+    // as lower bounds and names the surface. Census only — group +
+    // two aggregates per surface, no pair join anywhere, so the gauge
+    // itself is 100 TB-safe.
+    "dedup_cap_binding" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val cap = lit(LshBucketCap.toLong)
+      def census(grouped: DataFrame, surface: String): DataFrame =
+        grouped.agg(count(lit(1)).as("n_keys"), max(col("c")).as("max_group"),
+          sum(greatest(col("c") - cap, lit(0L))).as("rows_beyond_cap"))
+          .select(lit(surface).as("surface"), cap.as("cap"),
+            col("n_keys"), col("max_group"), col("rows_beyond_cap"))
+      def prefixCounts(tauNum: Int, tauDen: Int): DataFrame =
+        ppjoinPrefix(sh, tauNum, tauDen)
+          .groupBy(col("s")).agg(count(lit(1)).as("c"))
+      val lshCounts = corpusBands(s, dir)
+        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("c"))
+      census(prefixCounts(7, 10), "ppjoin_tau07")
+        .unionByName(census(prefixCounts(4, 5), "ppjoin_tau08"))
+        .unionByName(census(lshCounts, "lsh_bands"))
     }),
 
     // BANDING PARAMETER SWEEP — the candidate audit extended across
@@ -1656,10 +1710,15 @@ object DedupQueries {
        |           row_number() OVER (PARTITION BY ex.doc_id ORDER BY f.df, ex.s) rk
        |    FROM ex JOIN freq f ON ex.s = f.s) q
        |  WHERE rk <= n - ((n * 4 + 4) // 5) + 1),
+       |prer AS (
+       |  SELECT s, doc_id, n,
+       |         row_number() OVER (PARTITION BY s ORDER BY doc_id) prk
+       |  FROM pre),
        |ppc AS (
        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-       |  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  WHERE greatest(a.n, b.n) * 4 <= least(a.n, b.n) * 5),
+       |  FROM prer a JOIN prer b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  WHERE a.prk <= 1024
+       |    AND greatest(a.n, b.n) * 4 <= least(a.n, b.n) * 5),
        |stk AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
        |skeyed AS (
        |  SELECT 'head' AS pass, list_aggregate(toks[1:2], 'string_agg', ' ') AS skey,
@@ -1760,6 +1819,42 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dedup_candidate_audit" -> candidateAuditSql,
     "dedup_banding_sweep" -> bandingSweepSql,
+
+    // unreferenced CTEs in the shared prefix (e.g. the O(n²) `tr`
+    // truth) are never evaluated by DuckDB — this gauge replays only
+    // shingles, the two τ-prefix indexes, and the band buckets
+    "dedup_cap_binding" ->
+      s"""WITH $minhashSigPrefixCtes,
+         |ex AS (SELECT doc_id, len(g) n, unnest(g) s FROM tf),
+         |freq AS (SELECT s, count(*) df FROM ex GROUP BY s),
+         |pr AS (
+         |  SELECT ex.s, ex.n,
+         |         row_number() OVER (PARTITION BY ex.doc_id ORDER BY f.df, ex.s) rk
+         |  FROM ex JOIN freq f ON ex.s = f.s),
+         |p07 AS (SELECT s FROM pr WHERE rk <= n - ((n * 7 + 9) // 10) + 1),
+         |p08 AS (SELECT s FROM pr WHERE rk <= n - ((n * 4 + 4) // 5) + 1),
+         |bands AS (
+         |  SELECT doc_id, bj.j,
+         |         list_reduce(list_prepend(CAST(bj.j AS BIGINT),
+         |           list_transform(range(1, 5), r -> sg[CAST(bj.j * 4 + r AS INTEGER)])),
+         |           (x, y) -> (x * 31 + y) % 2147483647) bucket
+         |  FROM sl CROSS JOIN (SELECT unnest(range(0, 16)) j) bj),
+         |g07 AS (SELECT CAST(count(*) AS BIGINT) c FROM p07 GROUP BY s),
+         |g08 AS (SELECT CAST(count(*) AS BIGINT) c FROM p08 GROUP BY s),
+         |gl AS (SELECT CAST(count(*) AS BIGINT) c FROM bands GROUP BY j, bucket)
+         |SELECT 'ppjoin_tau07' AS surface, CAST(1024 AS BIGINT) AS cap,
+         |       CAST(count(*) AS BIGINT) AS n_keys,
+         |       CAST(max(c) AS BIGINT) AS max_group,
+         |       CAST(sum(greatest(c - 1024, 0)) AS BIGINT) AS rows_beyond_cap
+         |FROM g07
+         |UNION ALL
+         |SELECT 'ppjoin_tau08', CAST(1024 AS BIGINT), CAST(count(*) AS BIGINT),
+         |       CAST(max(c) AS BIGINT), CAST(sum(greatest(c - 1024, 0)) AS BIGINT)
+         |FROM g08
+         |UNION ALL
+         |SELECT 'lsh_bands', CAST(1024 AS BIGINT), CAST(count(*) AS BIGINT),
+         |       CAST(max(c) AS BIGINT), CAST(sum(greatest(c - 1024, 0)) AS BIGINT)
+         |FROM gl""".stripMargin,
 
     // same 32-char block key, same 1024-member anchor rail, same
     // strict-prefix verification

@@ -993,15 +993,15 @@ object RelationalQueries {
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("rev_cents"))
+          .as("rev_1e4"))
       // the argmax equi-join keys on the revenue — EXACT integer
       // cents, so the max-probe can never straddle an ulp boundary
-      val mx = rev.agg(max(col("rev_cents")).as("mx"))
-      rev.join(broadcast(mx), rev("rev_cents") === mx("mx"))
+      val mx = rev.agg(max(col("rev_1e4")).as("mx"))
+      rev.join(broadcast(mx), rev("rev_1e4") === mx("mx"))
         .join(broadcast(t(s, dir, "supplier")),
           col("supplier_no") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
-          money4(col("rev_cents")).as("total_revenue"))
+          money4(col("rev_1e4")).as("total_revenue"))
     }),
 
     // TPC-H Q4 shape (adapted): priority mix of orders in a quarter
@@ -1962,15 +1962,15 @@ object RelationalQueries {
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey AS supplier_no,
-        |         CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) AS rev_cents
+        |         CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT) AS rev_1e4
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate <  TIMESTAMP '1996-04-01'
         |  GROUP BY 1)
         |SELECT s_suppkey, s_name,
-        |       round(CAST(rev_cents AS DOUBLE) / 10000.0, 2) AS total_revenue
+        |       round(CAST(rev_1e4 AS DOUBLE) / 10000.0, 2) AS total_revenue
         |FROM rev JOIN supplier ON supplier_no = s_suppkey
-        |WHERE rev_cents = (SELECT max(rev_cents) FROM rev)""".stripMargin,
+        |WHERE rev_1e4 = (SELECT max(rev_1e4) FROM rev)""".stripMargin,
 
     "q4_priority_returns" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

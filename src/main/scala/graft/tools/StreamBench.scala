@@ -30,9 +30,14 @@ import graft.streaming.StreamingJobs
   * cluster, but the RELATIVE cost across operators and the state
   * ceilings do.
   *
-  * Output: one JSON line on stdout + STREAM_BENCH.json (full
-  * precision), keyed per operator:
-  * {"rows":…,"sec":…,"rows_per_sec":…,"max_state_rows":…,"out_rows":…}
+  * Output: STREAM_BENCH_WINDOW.json = this run's raw window;
+  * STREAM_BENCH.json (the artifact of record, echoed on stdout) =
+  * per-operator minima-of-windows fold with a `windows_folded` /
+  * `synthesized` provenance stamp — the same discipline as
+  * BENCH_CLEAN, because single windows on this box spread ±3×.
+  * Per-operator record:
+  * {"rows":…,"sec":…,"rows_per_sec":…,"max_state_rows":…,"out_rows":…,
+  *  "batches":…,"sec_per_batch":…}
   */
 object StreamBench {
 
@@ -70,12 +75,19 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "20").toInt
+    val chunks: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "20").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // `batches`/`max_state_rows` read q.recentProgress, a ring buffer
+      // capped by this conf (default 100): a chunk count whose drain
+      // exceeds 100 micro-batches would silently undercount batches and
+      // overstate sec_per_batch. Sized at 8 per chunk — far above the
+      // 1–2 micro-batches a processAllAvailable barrier actually yields.
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(400, chunks * 8).toString)
       .config(Tables.nanosConf, "true")
       .config(Tables.ntzConf, "false")
       .getOrCreate()
@@ -202,23 +214,75 @@ object StreamBench {
 
     def f3(v: Double) =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val ops = results.map { r =>
-      val rps = if (r.sec > 0) r.rows / r.sec else -1.0
-      val spb = if (r.batches > 0) r.sec / r.batches else -1.0
-      s""""${r.name}":{"rows":${r.rows},"sec":${f3(r.sec)}""" +
-        s""","rows_per_sec":${f3(rps)},"max_state_rows":${r.maxStateRows}""" +
-        s""","out_rows":${r.outRows},"batches":${r.batches}""" +
+    def render(name: String, rows: Long, sec: Double, maxState: Long,
+        out: Long, batches: Long): String = {
+      val rps = if (sec > 0) rows / sec else -1.0
+      val spb = if (batches > 0) sec / batches else -1.0
+      s""""$name":{"rows":$rows,"sec":${f3(sec)}""" +
+        s""","rows_per_sec":${f3(rps)},"max_state_rows":$maxState""" +
+        s""","out_rows":$out,"batches":$batches""" +
         s""","sec_per_batch":${f3(spb)}}"""
-    }.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"stream_bench","operators":$ops,"chunks":$chunks,"sf":"$sfDir"""" +
-        s""","method":"MemoryStream feed in event-time order, memory sink, wall-clock over processAllAvailable drains (a BARRIER per chunk: rows_per_sec measures serialized micro-batch latency, understating operators with high per-batch fixed cost — read sec_per_batch to separate fixed from per-row cost); max_state_rows = max over progress of sum(stateOperators.numRowsTotal); sliding_count_1k_keys = same rows remapped round-robin onto 1000 synthetic keys (keyed-scaling measurement vs the 5-key sliding_count row)"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("STREAM_BENCH.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[stream-bench] write failed: ${e.getMessage}")
     }
-    println(line)
+    val method =
+      "MemoryStream feed in event-time order, memory sink, wall-clock over processAllAvailable drains (a BARRIER per chunk: rows_per_sec measures serialized micro-batch latency, understating operators with high per-batch fixed cost — read sec_per_batch to separate fixed from per-row cost); max_state_rows = max over progress of sum(stateOperators.numRowsTotal); sliding_count_1k_keys = same rows remapped round-robin onto 1000 synthetic keys (keyed-scaling measurement vs the 5-key sliding_count row)"
+    val windowOps = results.map(r =>
+      render(r.name, r.rows, r.sec, r.maxStateRows, r.outRows, r.batches))
+      .mkString("{", ",", "}")
+    val windowLine =
+      s"""{"metric":"stream_bench","operators":$windowOps,"chunks":$chunks,"sf":"$sfDir"""" +
+        s""","method":"$method"}"""
+    def writeFile(path: String, line: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[stream-bench] write of $path failed: ${e.getMessage}")
+      }
+    writeFile("STREAM_BENCH_WINDOW.json", windowLine)
+
+    // MINIMA-OF-WINDOWS fold. This box's windows spread up to ±3×
+    // (shared host — BASELINE.md noise doctrine), and a whole-file
+    // clobber once committed a window contradicting the conclusion
+    // drawn from its predecessor. STREAM_BENCH.json (artifact of
+    // record) therefore folds: per operator, the WHOLE record of
+    // whichever window had the smaller wall-clock — sec, batches and
+    // sec_per_batch travel together so the record stays internally
+    // coherent; rows / out_rows / max_state_rows are deterministic
+    // across windows of the same feed. The fold only merges windows
+    // with identical chunks + sf + per-op row counts; anything else
+    // resets the fold to the current window. The raw current window
+    // is always STREAM_BENCH_WINDOW.json.
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val prior =
+      try {
+        val p = java.nio.file.Paths.get("STREAM_BENCH.json")
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val node = om.readTree(java.nio.file.Files.readAllBytes(p))
+          if (node.path("chunks").asInt(-1) == chunks &&
+            node.path("sf").asText("") == sfDir) Some(node)
+          else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val windowsFolded = prior.map(_.path("windows_folded").asLong(1L) + 1L).getOrElse(1L)
+    val foldedOps = results.map { r =>
+      val po = prior.map(_.path("operators").path(r.name)).filter(n => !n.isMissingNode)
+      po match {
+        case Some(p) if p.path("rows").asLong(-1L) == r.rows &&
+            p.path("sec").asDouble(Double.MaxValue) < r.sec =>
+          render(r.name, p.path("rows").asLong(), p.path("sec").asDouble(),
+            p.path("max_state_rows").asLong(), p.path("out_rows").asLong(),
+            p.path("batches").asLong())
+        case _ =>
+          render(r.name, r.rows, r.sec, r.maxStateRows, r.outRows, r.batches)
+      }
+    }.mkString("{", ",", "}")
+    val foldedLine =
+      s"""{"metric":"stream_bench","operators":$foldedOps,"chunks":$chunks,"sf":"$sfDir"""" +
+        s""","windows_folded":$windowsFolded""" +
+        s""","synthesized":"per-operator record = whole record of the min-sec window across $windowsFolded runs at identical chunks+sf (min across windows is this box's only stable statistic); raw latest window in STREAM_BENCH_WINDOW.json"""" +
+        s""","method":"$method"}"""
+    writeFile("STREAM_BENCH.json", foldedLine)
+    println(foldedLine)
     spark.stop()
   }
 }
