@@ -20,6 +20,26 @@ class GraphSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("self-loops and parallel duplicates: filtered from the edge loop, nodes still labeled") {
+    // the round-12 invariant: the working edge set starts self-loop- and
+    // duplicate-free (an all-self-loop input enters the loop with ZERO
+    // edges), but a node whose only edge is a self-loop must still
+    // appear in the output as its own component
+    val edges = Seq(
+      (5L, 5L),                      // self-loop-only node
+      (1L, 2L), (2L, 1L), (1L, 2L),  // parallel duplicates both ways
+      (7L, 7L), (7L, 8L))            // self-loop on a connected node
+      .toDF("doc_a", "doc_b")
+    val got = Graph.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("all-self-loop graph: loop body never runs, every node is its own component") {
+    val edges = Seq((3L, 3L), (9L, 9L)).toDF("doc_a", "doc_b")
+    val got = Graph.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 3L, 9L -> 9L))
+  }
+
   test("long chain converges (diameter > 2 iterations)") {
     val edges = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val got = Graph.connectedComponents(edges).as[(Long, Long)].collect().toMap

@@ -133,6 +133,14 @@ class TextDedupSpec extends SparkSpec {
     val c = DedupQueries.ppjoinCandidates(shOf(small), 7, 10, Some(cap))
       .as[(Long, Long)].collect().toSet
     assert(u == c && u.size == cap * (cap - 1) / 2)
+    // …and at τ = 0.8, the configuration dedup_ngram_jaccard and the
+    // candidate audit now run CAPPED BY DEFAULT (round 12): same
+    // identity below the cap, so every brute-force oracle that checks
+    // them stays exact wherever posting lists are under the rail
+    val u8 = DedupQueries.ppjoinCandidates(shOf(small), 4, 5).as[(Long, Long)].collect().toSet
+    val c8 = DedupQueries.ppjoinCandidates(shOf(small), 4, 5, Some(cap))
+      .as[(Long, Long)].collect().toSet
+    assert(u8 == c8 && u8.size == cap * (cap - 1) / 2)
   }
 
   test("LSH hot-bucket anchor cap: planted boilerplate bounds candidates to O(m·cap), anchors keep the group connected") {
