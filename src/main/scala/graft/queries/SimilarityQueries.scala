@@ -182,31 +182,36 @@ object SimilarityQueries {
       val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
       // Centroid ids are the rank of vec_id among the first-k vectors —
       // the oracle's row_number() OVER (ORDER BY vec_id) — computed
-      // WITHOUT a global window: Window.orderBy over this k = n/32
+      // WITHOUT any global window: Window.orderBy over this k = n/32
       // frame would single-partition-sort ~3% of the corpus (with its
       // 64-d vectors) through one task at 100 TB. Instead, the
-      // histogram-offset pattern proven by pipeline_epoch_shuffle:
-      // 64 fixed vec_id ranges rank locally (row_number inside the
-      // bucket partition), and each bucket's global offset is a
-      // cumulative sum over the ≤64-row count frame. bucket =
-      // vec_id div bw is monotone in vec_id, so offset + local rank
-      // IS the global vec_id rank — numbering identical to the oracle,
-      // and the only single-partition window left in this family runs
-      // over a frame bounded by the constant 64.
+      // histogram-offset trick (pipeline_epoch_shuffle's pattern, with
+      // the ≤64-row offset frame resolved DRIVER-SIDE): 64 fixed
+      // vec_id ranges rank locally (row_number inside the bucket
+      // partition — rides the same hash partitioning), and each
+      // bucket's global offset is the cumulative count of smaller
+      // buckets, collected as a ≤64-row histogram (bounded by the
+      // constant bucket count, never by data — the same bounded-collect
+      // class as the ANN k=16 bootstraps) and baked back in as a
+      // literal map. bucket = vec_id div bw is monotone in vec_id, so
+      // offset + local rank IS the global vec_id rank — numbering
+      // identical to the oracle, zero unpartitioned windows anywhere
+      // in the assignment (WindowExec's single-partition warning class
+      // is gone from this family).
       val bw = math.max(1L, math.ceil(k.toDouble / 64.0).toLong)
       val centsRaw = vs.filter(col("vec_id") < k)
         .withColumn("cbk", expr(s"vec_id div ${bw}L"))
       val wCentLocal = Window.partitionBy(col("cbk")).orderBy(col("vec_id"))
-      val wCentOff =
-        Window.orderBy(col("cbk")).rowsBetween(Window.unboundedPreceding, -1)
-      val centOffs = centsRaw.groupBy(col("cbk")).agg(count(lit(1)).as("cnt"))
-        .withColumn("coff", coalesce(sum(col("cnt")).over(wCentOff), lit(0L)))
-        .select(col("cbk"), col("coff"))
+      val hist = centsRaw.groupBy(col("cbk")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val offMap: Map[Long, Long] = {
+        var acc = 0L
+        hist.map { case (b, c) => val o = acc; acc += c; (b, o) }.toMap
+      }
       val cents = centsRaw
         .withColumn("lpos", row_number().over(wCentLocal).cast("long"))
-        .join(broadcast(centOffs), Seq("cbk"))
         .select(
-          (col("coff") + col("lpos")).as("cent_id"),
+          (element_at(typedLit(offMap), col("cbk")) + col("lpos")).as("cent_id"),
           col("v").as("cv"),
           sqrt(dot(col("v"), col("v"))).as("cnrm"))
       val coarse = cents.filter(col("cent_id") <= k1)

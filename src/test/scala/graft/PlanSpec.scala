@@ -282,30 +282,25 @@ class PlanSpec extends SparkSpec {
     assert(hints.nonEmpty, "coarse-quantizer broadcasts should stay hinted")
     hints.foreach { h =>
       val out = h.child.output.map(_.name)
-      // co_id = the O(√k) coarse quantizer; coff = the ≤64-row
-      // histogram-offset frame of the centroid-id numbering — both
-      // bounded (√n resp. constant 64), never the k-row fine frame.
-      assert(out.contains("co_id") || out.contains("coff"),
-        s"broadcast hint on a non-bounded frame (cols=$out) — build side may grow with n")
+      assert(out.contains("co_id"),
+        s"broadcast hint on a non-coarse frame (cols=$out) — build side may grow with n")
     }
   }
 
-  test("sem-assignment has no global window over a corpus-proportional frame") {
-    // The centroid-id numbering must ride the histogram-offset pattern:
-    // any unpartitioned window in the assignment plan may only run over
-    // the ≤64-row bucket-count frame (cols cbk/cnt), never a frame
-    // carrying vectors or per-vector rows.
+  test("sem-assignment has ZERO unpartitioned windows — centroid ids ride bucket-local ranks + driver-side offsets") {
+    // The centroid-id numbering is bucketed row_number (partitioned by
+    // the 64 fixed vec_id ranges) plus a literal offset map from a
+    // ≤64-row driver-side histogram: no Window node anywhere in the
+    // assignment may have an empty partitionSpec (round 12 — the old
+    // row_number().over(Window.orderBy(vec_id)) single-partition-sorted
+    // the k = n/32 centroid frame, ~3% of the corpus through one task).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val assigned = graft.queries.SimilarityQueries.semAssigned(spark, sf0001)
     val globals = assigned.queryExecution.analyzed.collect {
       case w: LWindow if w.partitionSpec.isEmpty => w
     }
-    assert(globals.nonEmpty, "histogram-offset cumulative window expected")
-    globals.foreach { w =>
-      val out = w.child.output.map(_.name)
-      assert(out.contains("cnt") && !out.contains("v") && !out.contains("cv"),
-        s"unpartitioned window over a non-histogram frame (cols=$out)")
-    }
+    assert(globals.isEmpty,
+      s"unpartitioned window in the sem assignment: ${globals.map(_.child.output.map(_.name))}")
   }
 
   test("k-means refine never joins or collects the corpus — one aggregate chain") {
