@@ -197,11 +197,19 @@ object DedupQueries {
       .distinct()
   }
 
-  /** Exact n-gram-Jaccard near-dup pairs at τ = 0.8: PPJoin-filtered
-    * candidates, sorted-merge verified. PERSISTED (a few hundred tiny
-    * rows) because dedup_survivors consumes the same pairs as its edge
-    * list — the CacheManager dedupes the identical plan, so the
-    * similarity join runs once per (session, dataset). */
+  /** n-gram-Jaccard near-dup pairs at τ = 0.8: PPJoin-filtered
+    * candidates, sorted-merge verified. Exact ONLY while no τ=0.8
+    * prefix posting list exceeds [[LshBucketCap]] — the generator is
+    * anchor-capped by default, so on a corpus where a posting list
+    * crosses the rail, pairs beyond the cap are dropped (and so are
+    * their dedup_survivors CC edges). Whether the cap ever binds is
+    * itself a query: `dedup_cap_binding` censuses every capped index
+    * (rows_beyond_cap = 0 measured at sf0.01 and sf10); the uncapped
+    * brute-force oracle is valid only under that precondition.
+    * PERSISTED (a few hundred tiny rows) because dedup_survivors
+    * consumes the same pairs as its edge list — the CacheManager
+    * dedupes the identical plan, so the similarity join runs once per
+    * (session, dataset). */
   private[queries] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
     jaccardFromCounts(
@@ -271,6 +279,62 @@ object DedupQueries {
     * (TextDedupSpec's planted-boilerplate case pins the bound and the
     * anchor connectivity). */
   private[graft] val LshBucketCap = 1024
+
+  /** Audit-scale rail for the suite's one inherently Θ(n²) surface,
+    * `dedup_embedding_cosine`: the maximum number of vectors allowed
+    * into the exact all-pairs cosine join. At or below the cap the
+    * query is the EXACT full-corpus answer (stride = 1 — the identity,
+    * pinned by SimilaritySpec's capped==uncapped test); above it the
+    * corpus is thinned to a deterministic arithmetic sample
+    * (`vec_id % stride == 0`, `stride = ceil(n / cap)`), bounding the
+    * comparison count at ~cap²/2 ≈ 1.3×10⁸ no matter the corpus size —
+    * a constant-cost audit, not a scan of the data. The rule is pure
+    * arithmetic on (n, vec_id), so the DuckDB oracle replays it
+    * bit-identically and the published pairs stay oracle-checkable at
+    * every scale. The scale paths for actual dedup remain
+    * `dedup_semantic` (bounded per-cluster) and `dedup_survivors_lsh`:
+    * this query is the TRUTH GENERATOR for their recall audits, and a
+    * truth sample is what an audit needs — recall measured on the
+    * stride sample is an unbiased estimate of corpus recall because
+    * the sample is independent of the similarity structure
+    * (MakeScaled ids are copy-shifted, not similarity-ordered). */
+  private[graft] val EmbeddingAuditCap = 16384L
+
+  /** Exact cosine threshold join (τ = 0.4) over at most
+    * [[EmbeddingAuditCap]] vectors, triangle block-partitioned. `vecs`
+    * must carry (vec_id, v, nrm) — [[SimilarityQueries.vectors]]. The
+    * corpus count rides a 1-row broadcast equi-join on a literal key
+    * (BroadcastHashJoin, not BNLJ — PlanSpec pins this plan has no
+    * BNLJ/cartesian), so the stride needs no driver collect. */
+  private[graft] def embeddingCosinePairs(
+      vecs: DataFrame, auditCap: Long = EmbeddingAuditCap): DataFrame = {
+    import graft.functions.KernelExpressions.dot
+    val nRow = vecs.agg(count(lit(1)).as("_n")).withColumn("_k", lit(1))
+    val sampled = vecs.withColumn("_k", lit(1))
+      .join(broadcast(nRow), "_k")
+      // integer ceil, same association as the oracle's (n + cap - 1) // cap
+      .filter(pmod(col("vec_id"),
+        greatest(expr(s"(_n + ${auditCap - 1}L) div ${auditCap}L"), lit(1L))) === 0)
+      .drop("_k", "_n")
+    val blockCount = 8 // ≈ sqrt(2 × desired parallelism); 36 cells here
+    val e = sampled.withColumn("_b", pmod(col("vec_id"), lit(blockCount)).cast("int"))
+    val left = e
+      .select(col("vec_id").as("id_l"), col("v").as("vl"), col("nrm").as("nl"), col("_b").as("bl"))
+      .withColumn("bj", explode(filter(sequence(lit(0), lit(blockCount - 1)), j => j >= col("bl"))))
+    val right = e
+      .select(col("vec_id").as("id_r"), col("v").as("vr"), col("nrm").as("nr"), col("_b").as("br"))
+      .withColumn("bi", explode(filter(sequence(lit(0), lit(blockCount - 1)), i => i <= col("br"))))
+    left.join(right, col("bl") === col("bi") && col("bj") === col("br"))
+      // same-block cells see both orderings — keep one; cross-block
+      // cells see each pair once, in arbitrary id order
+      .filter(col("bl") =!= col("br") || col("id_l") < col("id_r"))
+      .withColumn("cos", round(dot(col("vl"), col("vr")) / (col("nl") * col("nr")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(
+        least(col("id_l"), col("id_r")).as("vec_a"),
+        greatest(col("id_l"), col("id_r")).as("vec_b"),
+        col("cos"))
+  }
 
   /** Rank bucket members by doc_id within each key group — the anchor
     * order for [[LshBucketCap]]. One window sort riding the same
@@ -1080,28 +1144,11 @@ object DedupQueries {
     //
     // The probabilistic sub-quadratic path for genuinely high
     // thresholds is sim_ann_lsh/sim_ann_ivf (SimilarityQueries).
-    "dedup_embedding_cosine" -> ((s, dir) => {
-      import graft.functions.KernelExpressions.dot
-      val blockCount = 8 // ≈ sqrt(2 × desired parallelism); 36 cells here
-      val e = SimilarityQueries.vectors(s, dir)
-        .withColumn("_b", pmod(col("vec_id"), lit(blockCount)).cast("int"))
-      val left = e
-        .select(col("vec_id").as("id_l"), col("v").as("vl"), col("nrm").as("nl"), col("_b").as("bl"))
-        .withColumn("bj", explode(filter(sequence(lit(0), lit(blockCount - 1)), j => j >= col("bl"))))
-      val right = e
-        .select(col("vec_id").as("id_r"), col("v").as("vr"), col("nrm").as("nr"), col("_b").as("br"))
-        .withColumn("bi", explode(filter(sequence(lit(0), lit(blockCount - 1)), i => i <= col("br"))))
-      left.join(right, col("bl") === col("bi") && col("bj") === col("br"))
-        // same-block cells see both orderings — keep one; cross-block
-        // cells see each pair once, in arbitrary id order
-        .filter(col("bl") =!= col("br") || col("id_l") < col("id_r"))
-        .withColumn("cos", round(dot(col("vl"), col("vr")) / (col("nl") * col("nr")), 6))
-        .filter(col("cos") >= 0.4)
-        .select(
-          least(col("id_l"), col("id_r")).as("vec_a"),
-          greatest(col("id_l"), col("id_r")).as("vec_b"),
-          col("cos"))
-    }),
+    //
+    // AUDIT-SCALE CONTRACT (round 13): the blocked all-pairs surface
+    // runs behind [[EmbeddingAuditCap]] — see [[embeddingCosinePairs]].
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      embeddingCosinePairs(SimilarityQueries.vectors(s, dir))),
 
     // SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
     // corpus by k-means cluster (the IVF bootstrap assignment), then
@@ -1701,7 +1748,7 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
        |  FROM bandsr a JOIN bandsr b
        |    ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |  WHERE a.rk <= 1024),
+       |  WHERE a.rk <= $LshBucketCap),
        |ex AS (SELECT doc_id, len(g) n, unnest(g) s FROM tf),
        |freq AS (SELECT s, count(*) df FROM ex GROUP BY s),
        |pre AS (
@@ -1717,7 +1764,7 @@ object DedupQueries {
        |ppc AS (
        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
        |  FROM prer a JOIN prer b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  WHERE a.prk <= 1024
+       |  WHERE a.prk <= $LshBucketCap
        |    AND greatest(a.n, b.n) * 4 <= least(a.n, b.n) * 5),
        |stk AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
        |skeyed AS (
@@ -1797,7 +1844,7 @@ object DedupQueries {
          |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
          |  FROM br$b a JOIN br$b b
          |    ON a.j = b.j AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |  WHERE a.rk <= 1024),
+         |  WHERE a.rk <= $LshBucketCap),
          |r$b AS (
          |  SELECT CAST($b AS INTEGER) AS bands, CAST($rows AS INTEGER) AS rows_per_band,
          |         (SELECT CAST(count(*) AS BIGINT) FROM cn$b) AS n_candidates,
@@ -1842,31 +1889,31 @@ object DedupQueries {
          |g07 AS (SELECT CAST(count(*) AS BIGINT) c FROM p07 GROUP BY s),
          |g08 AS (SELECT CAST(count(*) AS BIGINT) c FROM p08 GROUP BY s),
          |gl AS (SELECT CAST(count(*) AS BIGINT) c FROM bands GROUP BY j, bucket)
-         |SELECT 'ppjoin_tau07' AS surface, CAST(1024 AS BIGINT) AS cap,
+         |SELECT 'ppjoin_tau07' AS surface, CAST($LshBucketCap AS BIGINT) AS cap,
          |       CAST(count(*) AS BIGINT) AS n_keys,
          |       CAST(max(c) AS BIGINT) AS max_group,
-         |       CAST(sum(greatest(c - 1024, 0)) AS BIGINT) AS rows_beyond_cap
+         |       CAST(sum(greatest(c - $LshBucketCap, 0)) AS BIGINT) AS rows_beyond_cap
          |FROM g07
          |UNION ALL
-         |SELECT 'ppjoin_tau08', CAST(1024 AS BIGINT), CAST(count(*) AS BIGINT),
-         |       CAST(max(c) AS BIGINT), CAST(sum(greatest(c - 1024, 0)) AS BIGINT)
+         |SELECT 'ppjoin_tau08', CAST($LshBucketCap AS BIGINT), CAST(count(*) AS BIGINT),
+         |       CAST(max(c) AS BIGINT), CAST(sum(greatest(c - $LshBucketCap, 0)) AS BIGINT)
          |FROM g08
          |UNION ALL
-         |SELECT 'lsh_bands', CAST(1024 AS BIGINT), CAST(count(*) AS BIGINT),
-         |       CAST(max(c) AS BIGINT), CAST(sum(greatest(c - 1024, 0)) AS BIGINT)
+         |SELECT 'lsh_bands', CAST($LshBucketCap AS BIGINT), CAST(count(*) AS BIGINT),
+         |       CAST(max(c) AS BIGINT), CAST(sum(greatest(c - $LshBucketCap, 0)) AS BIGINT)
          |FROM gl""".stripMargin,
 
-    // same 32-char block key, same 1024-member anchor rail, same
-    // strict-prefix verification
+    // same 32-char block key, same LshBucketCap-member anchor rail,
+    // same strict-prefix verification
     "dedup_prefix_truncation" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, text, n_chars, substring(text, 1, 32) AS bkey
         |  FROM documents WHERE n_chars >= 32),
         |r AS (
         |  SELECT doc_id, text, n_chars, bkey,
         |         row_number() OVER (PARTITION BY bkey ORDER BY n_chars, doc_id) AS rk
         |  FROM base),
-        |c AS (SELECT doc_id, text, n_chars, bkey FROM r WHERE rk <= 1024)
+        |c AS (SELECT doc_id, text, n_chars, bkey FROM r WHERE rk <= $LshBucketCap)
         |SELECT a.doc_id AS short_id, b.doc_id AS long_id,
         |       CAST(a.n_chars AS BIGINT) AS short_chars,
         |       CAST(b.n_chars AS BIGINT) AS long_chars
@@ -2182,9 +2229,15 @@ object DedupQueries {
          |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src""".stripMargin,
 
+    // the audit-cap stride rule replays the Spark side exactly:
+    // stride = ceil(n / EmbeddingAuditCap), keep vec_id % stride == 0
+    // (the identity at every oracle scale — n ≤ cap ⇒ stride = 1)
     "dedup_embedding_cosine" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      s"""WITH cnt AS (SELECT count(*) AS cn FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings, cnt
+        |  WHERE vec_id % greatest((cn + ${EmbeddingAuditCap - 1}) // $EmbeddingAuditCap, 1) = 0),
         |n AS (
         |  SELECT vec_id, v,
         |         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm

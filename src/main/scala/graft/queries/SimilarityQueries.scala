@@ -174,9 +174,18 @@ object SimilarityQueries {
     * 0-seeded kernel dot over raw doubles divided by the centroid
     * norm (rank-equal to cosine for a fixed vector); every argmax is
     * first-max via max(struct(score, −id)). Memoized per
-    * (session, dir) — every family member reads the same artifact. */
-  private[graft] def semAssigned(s: SparkSession, dir: String): DataFrame =
-    memoShortlist(s, dir, "sem_assign") {
+    * (session, dir) — every family member reads the same artifact.
+    * (This doc covers [[semCentFrames]] + [[semAssigned]] together.)
+    */
+  /** The SemDeDup centroid frames, shared verbatim by the batch
+    * assignment ([[semAssigned]]) and the streaming assignment index
+    * ([[graft.streaming.StreamingJobs.semDedupStreaming]]): (k, k₁,
+    * coarse quantizer frame (co_id, co_v, co_nrm), cell-of-centroid
+    * frame (cent_id, cv, cnrm, cell)). Pure plan construction — no
+    * persist, no collect beyond the ≤64-row rank histogram — so
+    * extracting it leaves the batch DAG byte-identical. */
+  private[graft] def semCentFrames(
+      s: SparkSession, dir: String): (Int, Int, DataFrame, DataFrame) = {
       val vs = vectors(s, dir)
       val k = semK(s, dir)
       val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
@@ -227,6 +236,13 @@ object SimilarityQueries {
         .agg(first(col("cv")).as("cv"), first(col("cnrm")).as("cnrm"),
           max(struct(col("cs"), (-col("co_id")).as("negc"))).as("m"))
         .select(col("cent_id"), col("cv"), col("cnrm"), (-col("m.negc")).as("cell"))
+      (k, k1, coarse, cellOfCent)
+  }
+
+  private[graft] def semAssigned(s: SparkSession, dir: String): DataFrame =
+    memoShortlist(s, dir, "sem_assign") {
+      val vs = vectors(s, dir)
+      val (_, _, coarse, cellOfCent) = semCentFrames(s, dir)
       // coarse cell of each vector: n×k₁ expansion, map-side combined
       val cellOfVec = vs.select(col("vec_id"), col("v"), col("nrm"))
         .crossJoin(broadcast(coarse))

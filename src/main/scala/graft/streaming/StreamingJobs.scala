@@ -1368,6 +1368,98 @@ object StreamingJobs {
       .select("query_id", "neighbor_id", "cos", "ts")
   }
 
+  /** Memoized frozen SemDeDup assignment index per (session, corpus
+    * dir): the coarse-quantizer rows collected as plan literals (k₁ =
+    * ⌈√k⌉ = O(√n) rows — the SAME footprint class as the
+    * broadcast-hinted coarse frame of the batch assignment, sized in
+    * SCALING.md at ~30 MB for a 10¹¹-vector corpus; past 10¹² the
+    * batch path's own recursion trigger applies here identically),
+    * the per-cell centroid lists (k rows grouped to k₁ — joined, never
+    * collected), and the bucket-keyed assigned corpus (the memoized
+    * [[graft.queries.SimilarityQueries.semAssigned]] artifact).
+    * Cleared via [[graft.model.Caches]]. */
+  private val semIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String),
+      (Array[(Long, Seq[Double], Double)], DataFrame, DataFrame)]()
+  graft.model.Caches.register(() => semIdxMemo.clear())
+
+  /** Streaming SemDeDup — the online form of `dedup_semantic`'s
+    * within-cluster cosine screen, closing the continuous-crawl gap
+    * for EMBEDDINGS the way [[incrementalDedupStreaming]] closes it
+    * for text: each arriving embedding is assigned to its SemDeDup
+    * cluster through the persisted two-level centroid index and
+    * near-dup-checked against the stored corpus WITHIN THAT CLUSTER
+    * only — the corpus is never re-paired.
+    *
+    * Assignment replays the batch determinism contract bit-exactly
+    * (same raw-double kernel dots, same first-max-by-(score, −id) at
+    * both levels), restructured for a stream where a per-arrival
+    * groupBy-argmax would be a stateful aggregation:
+    *   - the COARSE argmax runs as a pure projection over the k₁
+    *     coarse centroids baked into the plan as literals
+    *     (`array_max` over (score, −id) structs — first-max, ties to
+    *     the lower id, exactly the batch `max(struct(cs, −co_id))`);
+    *   - the FINE argmax is a stream-static equi-join on the coarse
+    *     cell against the ≤ k₁-row per-cell centroid-list frame, then
+    *     `array_max` over the ~k/k₁ in-cell centroids per arrival.
+    * Both stages are STATELESS — no watermark, no state store; the
+    * duplicate-free output is structural (one cell per arrival, one
+    * bucket per arrival, one corpus row per (arrival, neighbor)).
+    *
+    * The corpus probe is the [[decontaminateStreaming]] stream-static
+    * equi-join pattern on the bucket id: shuffle moves the ARRIVALS,
+    * never the corpus (broadcast while the assigned corpus is small,
+    * hash-partitioned co-location when it is not), and per-arrival
+    * work is bounded by the cluster size SemDeDup's k ∝ n contract
+    * fixes at ~[[graft.queries.SimilarityQueries.semTargetClusterSize]]
+    * on average. Output (append, directed new→matched like
+    * `dedup_incremental`): (new_id, matched_id, cos, ts) at τ ≥ 0.4.
+    * StreamingDedupSpec pins stream == batch `dedup_semantic` pairs
+    * when the stream replays the corpus, zero stream state, and the
+    * no-BNLJ/no-cartesian plan shape. */
+  def semDedupStreaming(streamVecs: DataFrame, dir: String): DataFrame = {
+    import graft.functions.KernelExpressions.dot
+    import graft.queries.SimilarityQueries
+    val s = streamVecs.sparkSession
+    val (coarseLits, cellCents, corpusIdx) = semIdxMemo.computeIfAbsent(
+      (System.identityHashCode(s), dir), _ => {
+        val (_, _, coarse, cellOfCent) = SimilarityQueries.semCentFrames(s, dir)
+        val lits = coarse.select(col("co_id"), col("co_v"), col("co_nrm"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+          .sortBy(_._1)
+        val cells = cellOfCent
+          .groupBy(col("cell"))
+          .agg(sort_array(collect_list(
+            struct(col("cent_id"), col("cv"), col("cnrm")))).as("cents"))
+          .persist()
+        val idx = SimilarityQueries.semAssigned(s, dir)
+          .select(col("bucket"), col("vec_id").as("matched_id"),
+            col("v").as("vc"), col("nrm").as("nc"))
+        (lits, cells, idx)
+      })
+    val coarseScored = array(coarseLits.map { case (id, cv, cn) =>
+      struct((dot(col("v"), typedLit(cv)) / lit(cn)).as("cs"),
+        lit(-id).as("negc"))
+    }: _*)
+    streamVecs
+      .select(col("vec_id").as("new_id"), col("ts"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nq", sqrt(dot(col("v"), col("v"))))
+      .withColumn("cell", -array_max(coarseScored).getField("negc"))
+      .join(cellCents, Seq("cell"))
+      .withColumn("m", array_max(transform(col("cents"), c =>
+        struct((dot(col("v"), c.getField("cv")) / c.getField("cnrm")).as("score"),
+          (-c.getField("cent_id")).as("negc")))))
+      .withColumn("bucket", -col("m").getField("negc"))
+      .join(corpusIdx, Seq("bucket"))
+      .filter(col("new_id") =!= col("matched_id"))
+      .withColumn("cos",
+        round(SimilarityQueries.cosine(col("v"), col("vc"), col("nq"), col("nc")), 6))
+      .filter(col("cos") >= 0.4)
+      .select("new_id", "matched_id", "cos", "ts")
+  }
+
   /** Memoized frozen fuzzy-match index per catalog frame (reference
     * identity — same contract as [[annIdxMemo]]): the persisted
     * (gram, cat_name) inverted-index DataFrame, the persisted ≤ 5-char

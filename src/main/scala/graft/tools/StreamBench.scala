@@ -212,6 +212,22 @@ object StreamBench {
       (in, q)
     })
 
+    // streaming SemDeDup: arriving embeddings assigned through the
+    // persisted two-level centroid index, within-cell cosine vs the
+    // stored corpus — stateless (the zero max_state_rows is the claim;
+    // per-arrival cost is bounded by SemDeDup's ~32 mean cluster size)
+    val embRows = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .zipWithIndex.map { case (r, i) =>
+        (r.getLong(0), r.getSeq[Float](1), new Timestamp(1704067200000L + i * 1000L))
+      }.toSeq
+    results += drain[(Long, Seq[Float], Timestamp)]("sem_dedup", embRows, chunks, rows => {
+      val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+      val q = mem(StreamingJobs.semDedupStreaming(
+        in.toDF().toDF("vec_id", "embedding", "ts"), sfDir), "sem_dedup")
+      (in, q)
+    })
+
     def f3(v: Double) =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def render(name: String, rows: Long, sec: Double, maxState: Long,
@@ -230,7 +246,7 @@ object StreamBench {
       .mkString("{", ",", "}")
     val windowLine =
       s"""{"metric":"stream_bench","operators":$windowOps,"chunks":$chunks,"sf":"$sfDir"""" +
-        s""","method":"$method"}"""
+        s""","cpus":"$cpus","method":"$method"}"""
     def writeFile(path: String, line: String): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(path),
         (line + "\n").getBytes("UTF-8"))
@@ -258,27 +274,41 @@ object StreamBench {
         if (!java.nio.file.Files.exists(p)) None
         else {
           val node = om.readTree(java.nio.file.Files.readAllBytes(p))
+          // cpus participates in merge compatibility: windows measured
+          // at different parallelism are different experiments, and a
+          // min across them would attribute the fastest machine shape
+          // to every operator
           if (node.path("chunks").asInt(-1) == chunks &&
-            node.path("sf").asText("") == sfDir) Some(node)
+            node.path("sf").asText("") == sfDir &&
+            node.path("cpus").asText(cpus) == cpus) Some(node)
           else None
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-    val windowsFolded = prior.map(_.path("windows_folded").asLong(1L) + 1L).getOrElse(1L)
+    // a prior record is COMPARABLE for an operator only when its row
+    // count matches; windows_folded counts only windows where at least
+    // one operator was actually comparable (folded or confirmed-
+    // current-min), so the provenance stamp never overstates the fold
+    var anyComparable = false
     val foldedOps = results.map { r =>
       val po = prior.map(_.path("operators").path(r.name)).filter(n => !n.isMissingNode)
       po match {
-        case Some(p) if p.path("rows").asLong(-1L) == r.rows &&
-            p.path("sec").asDouble(Double.MaxValue) < r.sec =>
-          render(r.name, p.path("rows").asLong(), p.path("sec").asDouble(),
-            p.path("max_state_rows").asLong(), p.path("out_rows").asLong(),
-            p.path("batches").asLong())
+        case Some(p) if p.path("rows").asLong(-1L) == r.rows =>
+          anyComparable = true
+          if (p.path("sec").asDouble(Double.MaxValue) < r.sec)
+            render(r.name, p.path("rows").asLong(), p.path("sec").asDouble(),
+              p.path("max_state_rows").asLong(), p.path("out_rows").asLong(),
+              p.path("batches").asLong())
+          else render(r.name, r.rows, r.sec, r.maxStateRows, r.outRows, r.batches)
         case _ =>
           render(r.name, r.rows, r.sec, r.maxStateRows, r.outRows, r.batches)
       }
     }.mkString("{", ",", "}")
+    val windowsFolded =
+      if (anyComparable) prior.map(_.path("windows_folded").asLong(1L) + 1L).getOrElse(1L)
+      else 1L
     val foldedLine =
       s"""{"metric":"stream_bench","operators":$foldedOps,"chunks":$chunks,"sf":"$sfDir"""" +
-        s""","windows_folded":$windowsFolded""" +
+        s""","cpus":"$cpus","windows_folded":$windowsFolded""" +
         s""","synthesized":"per-operator record = whole record of the min-sec window across $windowsFolded runs at identical chunks+sf (min across windows is this box's only stable statistic); raw latest window in STREAM_BENCH_WINDOW.json"""" +
         s""","method":"$method"}"""
     writeFile("STREAM_BENCH.json", foldedLine)

@@ -435,4 +435,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expect, s"diff=${(got diff expect) ++ (expect diff got)}")
   }
+
+  test("embedding-cosine audit cap: identity below the cap, stride sample above it") {
+    import graft.queries.DedupQueries
+    val vecs = SimilarityQueries.vectors(spark, sf0001) // 500 vectors
+    // below the cap (500 ≤ cap) the rail is the identity: the default-
+    // capped query equals the cap pushed arbitrarily high
+    val capped = DedupQueries.embeddingCosinePairs(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = DedupQueries.embeddingCosinePairs(vecs, auditCap = Long.MaxValue >> 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped)
+    assert(capped.nonEmpty)
+    // above the cap (cap=100 on 500 vectors → stride = ceil(500/100) = 5)
+    // the result is EXACTLY the uncapped join over vec_id % 5 == 0 —
+    // the deterministic arithmetic sample the oracle replays
+    val engaged = DedupQueries.embeddingCosinePairs(vecs, auditCap = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = DedupQueries.embeddingCosinePairs(
+      vecs.filter(pmod(col("vec_id"), lit(5L)) === 0), auditCap = Long.MaxValue >> 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(engaged == expect)
+    assert(engaged == capped.filter(p => p._1 % 5 == 0 && p._2 % 5 == 0))
+  }
 }

@@ -573,4 +573,66 @@ class StreamingDedupSpec extends SparkSpec {
       assert(exec.contains("gram"), exec)
     } finally q.stop()
   }
+
+  test("streaming SemDeDup replaying the corpus == batch dedup_semantic pairs; " +
+      "stateless; equi-join plan") {
+    implicit val sql = spark.sqlContext
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val t0 = ts("2024-01-01 00:00:00")
+    val all = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+      .map { case (id, v) => (id, v, t0) }
+    assert(all.size == 500)
+
+    val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val q = semDedupStreaming(
+        in.toDF().toDF("vec_id", "embedding", "ts"), sf0001)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("semdedup_out").start()
+    try {
+      val (b1, b2) = all.splitAt(250)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("semdedup_out")
+        .select("new_id", "matched_id", "cos")
+        .as[(Long, Long, Double)].collect().toSet
+      // batch pairs are canonical (vec_a < vec_b); the directed stream
+      // sees each unordered pair from both ends when the stream IS the
+      // corpus, so the expectation is the symmetric closure
+      val batch = graft.queries.DedupQueries
+        .queries("dedup_semantic")(spark, sf0001)
+        .select("vec_a", "vec_b", "cos")
+        .as[(Long, Long, Double)].collect().toSet
+      val expect = batch.flatMap { case (a, b, c) => Set((a, b, c), (b, a, c)) }
+      assert(batch.nonEmpty && streamed == expect,
+        s"diff=${(streamed diff expect) ++ (expect diff streamed)}")
+      // stateless: assignment is projection + stream-static equi-joins
+      val prog = q.lastProgress
+      assert(prog.stateOperators.isEmpty ||
+        prog.stateOperators.map(_.numRowsTotal).sum == 0L,
+        prog.prettyJson)
+      // plan shape: no all-pairs on the STREAM side — the coarse
+      // argmax is a literal projection, fine + corpus probes are
+      // equi-joins. Node-level traversal (not string matching): the
+      // treeString also prints the CACHED index lineage under
+      // InMemoryTableScan, where the batch assignment's accepted
+      // k₁-row broadcast cross lives — that is the index build, paid
+      // once, not the per-batch stream plan, and collect() does not
+      // descend into cached plans.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def flat(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+        case st: QueryStageExec => flat(st.plan)
+        case o => o.children.flatMap(flat)
+      })
+      val nodes = flat(
+        q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+          .streamingQuery.lastExecution.executedPlan)
+      val bad = nodes.map(_.nodeName).filter(n =>
+        n.contains("CartesianProduct") || n.contains("BroadcastNestedLoopJoin"))
+      assert(bad.isEmpty, bad.mkString(","))
+      assert(nodes.exists(_.toString.contains("bucket")))
+    } finally q.stop()
+  }
 }
