@@ -303,12 +303,24 @@ object Bench {
       .filter(_.nonEmpty)
       .map(pats => (n: String) => pats.exists(p => n == p || n.startsWith(p)))
       .getOrElse((_: String) => true)
+    // complement filter for split-window scaled runs: the sf10 protocol
+    // measures the spill-prone set at shuffle partitions ∝ √data and
+    // everything else at 32 (SCALING.md round 11: the knob follows each
+    // query's shuffle VOLUME, never a global bump), so one full-surface
+    // artifact is two windows — EXCLUDE the spilling set here, QUERIES
+    // it there — merged offline.
+    val exclSel: String => Boolean = sys.env.get("SPARK_GRAFT_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .map(pats => (n: String) => pats.exists(p => n == p || n.startsWith(p)))
+      .getOrElse((_: String) => false)
 
     // family order: the cache-sharing block (dedup/pipeline/sim) first,
     // then families that pin nothing; alphabetical inside a family
     val familyOrder = Seq("dedup", "pipeline", "sim", "multimodal", "q", "text")
     def family(name: String): String = name.takeWhile(_ != '_')
-    val byFamily = SparkEntry.queries.toSeq.filter(q => onlySel(q._1))
+    val byFamily = SparkEntry.queries.toSeq
+      .filter(q => onlySel(q._1) && !exclSel(q._1))
       .sortBy(_._1).groupBy(q => family(q._1))
     val orderedFamilies =
       familyOrder.filter(byFamily.contains) ++

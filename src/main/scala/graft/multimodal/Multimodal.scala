@@ -219,10 +219,17 @@ object Multimodal {
       * ([[decodeLumaBatch]]): the grid is average-pooled 4×4 → an 8×8
       * matrix of cell SUMS (dividing by 16 would scale every
       * coefficient equally and move no bit, so the integer sums stay
-      * exact) → 2-D fixed-point DCT-II → the 15 lowest-frequency
-      * coefficients (u, w ∈ [0,4)² with DC dropped — DC is mean
+      * exact) → 2-D fixed-point DCT-II → the 63 coefficients of the
+      * full 8×8 block (u, w ∈ [0,8)² with DC dropped — DC is mean
       * brightness, which pHash deliberately ignores) → bit i =
-      * coefficient above the median of the 15. DCT magnitude
+      * coefficient above the median of the 63. This is the CLASSIC
+      * 64-bit pHash shape (drop-DC variant); the original 15-bit
+      * [0,4)² form hit its birthday floor at corpus scale — 500 k
+      * media over 2¹⁵ signatures force ~15 media per signature however
+      * dissimilar the images, so the ham ≤ 2 pair OUTPUT grew
+      * quadratically by pigeonhole, not by similarity (measured: 60×
+      * time for 10× data at sf10, round 13). At 2⁶³ the only
+      * collisions left are true near-dups. DCT magnitude
       * structure survives the re-encode / resize / brightness shifts
       * that flip aHash's per-point bits — and because the transform
       * now runs on the decoded grid, trailer-only re-encodes are
@@ -249,7 +256,7 @@ object Multimodal {
           s
         }
         val coef = (for {
-          u <- 0 until 4; w <- 0 until 4 if u != 0 || w != 0
+          u <- 0 until 8; w <- 0 until 8 if u != 0 || w != 0
         } yield {
           var sum = 0L
           var k = 0
@@ -259,10 +266,10 @@ object Multimodal {
           }
           sum
         }).toArray
-        val med = coef.sorted.apply(7) // true median of the 15
+        val med = coef.sorted.apply(31) // true median of the 63
         var sig = 0L
         var i = 0
-        while (i < 15) {
+        while (i < 63) {
           if (coef(i) > med) sig |= (1L << i)
           i += 1
         }

@@ -81,10 +81,51 @@ object DedupQueries {
       graft.ops.Graph.connectedComponents(
         lshVerifiedPairs(s, dir).select("doc_a", "doc_b")))
 
+  /** Audit-scale rail for the NARROW-simhash survivor census: the
+    * 31-bit ham ≤ 3 edge set is neighborhood-SATURATED by the
+    * signature's own scaladoc (sf0.1: 1.36 M of 12.5 M doc pairs are
+    * edges — ~11% of ALL pairs, however dissimilar the docs), so CC
+    * over the full-corpus edge set is Θ(n²) in edges BY SEMANTICS, not
+    * by plan (round-13 sf10 measurement: aggregate OOM at 500 k docs
+    * and any partition count — ~2.7×10⁹ edges exist). The production
+    * survivor paths are `dedup_survivors_wide` (62-bit: near-dups
+    * only, linear edges — ran sf10 in 0.14 s) and the Jaccard/LSH
+    * forms; the narrow census is an AUDIT of the saturated-threshold
+    * policy, and like `dedup_embedding_cosine`'s rail the corpus is
+    * thinned to a deterministic arithmetic sample above the cap
+    * (`doc_id % ceil(n/cap) == 0` — the identity at or below it, so
+    * every oracle scale is the exact full-corpus answer), replayed
+    * bit-identically by the DuckDB oracle. */
+  private[graft] val SimhashCcAuditCap = 16384L
+
+  /** Deterministic stride sample of a frame by id column — the shared
+    * audit-rail sampler (see [[EmbeddingAuditCap]]): count rides a
+    * 1-row broadcast equi-join, no driver collect, stride 1 (the
+    * identity) whenever n ≤ cap. Both join keys are constant-valued
+    * but NON-FOLDABLE on purpose: literal keys constant-fold to
+    * `true` and the join degenerates to a BroadcastNestedLoopJoin —
+    * harmless at 1 row, but indistinguishable in a plan audit from a
+    * data×data cross, so PlanSpec's no-BNLJ pins would go blind.
+    * Deriving each key from a column of its own side keeps
+    * ExtractEquiJoinKeys in play → BroadcastHashJoin. */
+  private[graft] def strideSampled(
+      d: DataFrame, idCol: String, auditCap: Long): DataFrame = {
+    val nRow = d.agg(count(lit(1)).as("_n"))
+      .withColumn("_k", (pmod(col("_n"), lit(1L)) + 1).cast("int"))
+    d.withColumn("_k", (pmod(col(idCol), lit(1L)) + 1).cast("int"))
+      .join(broadcast(nRow), "_k")
+      .filter(pmod(col(idCol),
+        greatest(expr(s"(_n + ${auditCap - 1}L) div ${auditCap}L"), lit(1L))) === 0)
+      .drop("_k", "_n")
+  }
+
   private[queries] def componentLabelsSimhash(s: SparkSession, dir: String): DataFrame =
     ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "simhash"), _ =>
       graft.ops.Graph.connectedComponents(
-        queries("dedup_simhash")(s, dir).select("doc_a", "doc_b")))
+        simhashPairs(
+          strideSampled(docs(s, dir), "doc_id", SimhashCcAuditCap)
+            .select(col("doc_id"), simhash31(col("text")).as("sh")).persist())
+          .select("doc_a", "doc_b")))
 
   private[queries] def componentLabelsSimhashWide(s: SparkSession, dir: String): DataFrame =
     ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "simhash_wide"), _ =>
@@ -309,13 +350,8 @@ object DedupQueries {
   private[graft] def embeddingCosinePairs(
       vecs: DataFrame, auditCap: Long = EmbeddingAuditCap): DataFrame = {
     import graft.functions.KernelExpressions.dot
-    val nRow = vecs.agg(count(lit(1)).as("_n")).withColumn("_k", lit(1))
-    val sampled = vecs.withColumn("_k", lit(1))
-      .join(broadcast(nRow), "_k")
-      // integer ceil, same association as the oracle's (n + cap - 1) // cap
-      .filter(pmod(col("vec_id"),
-        greatest(expr(s"(_n + ${auditCap - 1}L) div ${auditCap}L"), lit(1L))) === 0)
-      .drop("_k", "_n")
+    // integer ceil, same association as the oracle's (n + cap - 1) // cap
+    val sampled = strideSampled(vecs, "vec_id", auditCap)
     val blockCount = 8 // ≈ sqrt(2 × desired parallelism); 36 cells here
     val e = sampled.withColumn("_b", pmod(col("vec_id"), lit(blockCount)).cast("int"))
     val left = e
@@ -1004,15 +1040,15 @@ object DedupQueries {
     "dedup_survivors_lsh" -> ((s, dir) =>
       componentLabelsLsh(s, dir).select(col("node").as("doc_id"), col("rep"))),
 
-    // survivor selection over the SIMHASH edge set (ham ≤ 3) — the
-    // third edge source next to exact n-gram Jaccard and MinHash-LSH.
-    // Simhash edges are the cheapest of the three at scale (signature
-    // is one long per doc, candidate generation over DISTINCT
-    // signatures), at the price of Hamming-threshold semantics rather
-    // than a Jaccard threshold; this query makes the resulting
-    // component policy oracle-checkable so the trade is measurable,
-    // not asserted. Reuses the memoized CC machinery (one pointer-
-    // jumping run per session/dataset/edge-source).
+    // survivor selection over the NARROW SIMHASH edge set (ham ≤ 3 of
+    // 31 bits) — the third edge source next to exact n-gram Jaccard
+    // and MinHash-LSH. The 31-bit threshold is neighborhood-saturated
+    // (~11% of ALL doc pairs are edges at sf0.1), so this census runs
+    // behind the [[SimhashCcAuditCap]] stride rail — exact full-corpus
+    // at every oracle scale, a bounded audit sample beyond (the
+    // production survivor path is dedup_survivors_wide, whose 62-bit
+    // edge set is near-dups-only and linear). Reuses the memoized CC
+    // machinery (one pointer-jumping run per session/dataset/source).
     "dedup_survivors_simhash" -> ((s, dir) =>
       componentLabelsSimhash(s, dir).select(col("node").as("doc_id"), col("rep"))),
 
@@ -1514,6 +1550,18 @@ object DedupQueries {
       |      THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
       |    (x, y) -> x + y) sh
       |  FROM h)""".stripMargin
+
+  /** [[simhashSigCtes]] over the stride-sampled corpus — the oracle
+    * replay of [[SimhashCcAuditCap]]'s rail (identity at every oracle
+    * scale: n ≤ cap ⇒ stride = 1), used only by the narrow-simhash
+    * survivor census whose full-corpus edge set is saturated-quadratic
+    * by semantics (see [[componentLabelsSimhash]]). */
+  private lazy val simhashSampledSigCtes =
+    s"""nn AS (SELECT count(*) AS cn FROM documents),
+       |dsamp AS (
+       |  SELECT d.* FROM documents d, nn
+       |  WHERE d.doc_id % greatest((cn + ${SimhashCcAuditCap - 1}) // $SimhashCcAuditCap, 1) = 0),
+       |""".stripMargin + simhashSigCtes.replace("FROM documents)", "FROM dsamp)")
 
   /** 62-bit dual signature replay: the [[simhashSigCtes]] fold over
     * plain token hashes (low 31 bits) plus the same fold over '~'-
@@ -2198,9 +2246,11 @@ object DedupQueries {
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
 
     // same recursive-CTE survivor rule as survivorsSql, but the edge
-    // set is the simhash ham ≤ 3 pairs instead of Jaccard τ = 0.8
+    // set is the simhash ham ≤ 3 pairs instead of Jaccard τ = 0.8 —
+    // over the stride-sampled corpus (the SimhashCcAuditCap rail,
+    // identity at oracle scale; see componentLabelsSimhash)
     "dedup_survivors_simhash" ->
-      s"""WITH RECURSIVE $simhashSigCtes,
+      s"""WITH RECURSIVE $simhashSampledSigCtes,
          |p AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -193,22 +193,24 @@ object MultimodalQueries {
       videoNeardupQuery(s, dir, frameLen = 32, stride = 2)),
 
     // DCT perceptual-hash near-dup — the classic pHash next to the
-    // aHash above: the signature is frequency STRUCTURE (15 low-freq
-    // DCT coefficients vs their median) rather than per-point
-    // brightness, so it holds where aHash flips bits (global
-    // brightness/contrast shifts move every sample AND the mean
-    // together — the coefficient ORDER barely moves). Same scale-safe
-    // candidate shape: pigeonhole banding over DISTINCT signatures
-    // (ham ≤ 2 ⇒ one of 3 5-bit blocks equal — exact), anchor-capped
-    // equi-joins, first-equal-block dedup, xor+popcount verify. The
-    // 5-bit blocks saturate earlier than aHash's 14-bit ones (32
-    // values), which is precisely what the cap rail is for — and why
-    // the signature self-join runs over DISTINCT signatures (≤ 2¹⁵
-    // rows however large the corpus: the banding cost is CONSTANT at
-    // scale, only the id materialization grows).
+    // aHash above: the signature is frequency STRUCTURE (the 63
+    // non-DC coefficients of the 8×8 DCT block vs their median)
+    // rather than per-point brightness, so it holds where aHash flips
+    // bits (global brightness/contrast shifts move every sample AND
+    // the mean together — the coefficient ORDER barely moves). Same
+    // scale-safe candidate shape: pigeonhole banding over DISTINCT
+    // signatures (ham ≤ 2 ⇒ one of 3 21-bit blocks equal — exact),
+    // anchor-capped equi-joins, first-equal-block dedup, xor+popcount
+    // verify. The 63-bit width is load-bearing at scale: the original
+    // 15-bit form forced ~n/2¹⁵ media per signature at corpus scale
+    // (birthday floor), so the ham ≤ 2 OUTPUT — and the survivors CC
+    // fed from it — grew quadratically by pigeonhole alone (round-13
+    // sf10 measurement: 60× time for 10× data, survivors OOM). At 2⁶³
+    // only true near-dups collide, the 2²¹-value blocks saturate ~10⁵×
+    // later than 5-bit ones, and the cap rail stays as the backstop.
     "multimodal_phash_dedup" -> ((s, dir) => {
       def blockBits(c: org.apache.spark.sql.Column, i: Int) =
-        shiftrightunsigned(c, i * 5).bitwiseAND(lit((1L << 5) - 1))
+        shiftrightunsigned(c, i * 21).bitwiseAND(lit((1L << 21) - 1))
       val d = memoized(s, dir, "phash")(
         MediaPipeline.phash(mediaDs(s, dir)).toDF().persist())
       val sigs = d.select("phash").distinct()
@@ -240,8 +242,9 @@ object MultimodalQueries {
         .select(least(col("ida"), col("idb")).as("media_a"),
           greatest(col("ida"), col("idb")).as("media_b"), col("ham"))
       // equal-signature (ham = 0) pairs ride the SAME anchor rail as
-      // the cross branch: with only 2¹⁵ signatures a large corpus
-      // concentrates many media per signature, and an uncapped
+      // the cross branch: equal 63-bit signatures are true duplicates
+      // (identical decoded grids), and a duplicate-dense corpus still
+      // concentrates many media per signature, where an uncapped
       // self-join grows quadratically per group — anchors (the cap
       // smallest ids per signature) pair with every member, so each
       // duplicate still surfaces through ≥ 1 anchor, mirrored in the
@@ -411,18 +414,18 @@ object MultimodalQueries {
          |               * ct[CAST(8*w.w + (k%8) AS INTEGER) + 1])),
          |           (a, b) -> a + b) AS coef
          |  FROM v CROSS JOIN ctab
-         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS u) u
-         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS w) w
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS u) u
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS w) w
          |  WHERE NOT (u.u = 0 AND w.w = 0)),
          |med AS (
          |  SELECT media_id, coef AS m FROM (
          |    SELECT media_id, coef,
          |           row_number() OVER (PARTITION BY media_id ORDER BY coef) AS rn
-         |    FROM co) WHERE rn = 8),
+         |    FROM co) WHERE rn = 32),
          |sg AS (
          |  SELECT co.media_id,
          |         CAST(sum(CASE WHEN co.coef > med.m
-         |                       THEN CAST(pow(2, co.u * 4 + co.w - 1) AS BIGINT)
+         |                       THEN CAST(pow(2, co.u * 8 + co.w - 1) AS BIGINT)
          |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
          |  FROM co JOIN med ON co.media_id = med.media_id
          |  GROUP BY co.media_id),
@@ -465,18 +468,18 @@ object MultimodalQueries {
          |               * ct[CAST(8*w.w + (k%8) AS INTEGER) + 1])),
          |           (a, b) -> a + b) AS coef
          |  FROM v CROSS JOIN ctab
-         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS u) u
-         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS w) w
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS u) u
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS w) w
          |  WHERE NOT (u.u = 0 AND w.w = 0)),
          |med AS (
          |  SELECT media_id, coef AS m FROM (
          |    SELECT media_id, coef,
          |           row_number() OVER (PARTITION BY media_id ORDER BY coef) AS rn
-         |    FROM co) WHERE rn = 8),
+         |    FROM co) WHERE rn = 32),
          |sg AS (
          |  SELECT co.media_id,
          |         CAST(sum(CASE WHEN co.coef > med.m
-         |                       THEN CAST(pow(2, co.u * 4 + co.w - 1) AS BIGINT)
+         |                       THEN CAST(pow(2, co.u * 8 + co.w - 1) AS BIGINT)
          |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
          |  FROM co JOIN med ON co.media_id = med.media_id
          |  GROUP BY co.media_id),

@@ -114,15 +114,16 @@ class MultimodalSpec extends SparkSpec {
     assert(got == brute, s"banding candidates ${got.size} != brute ${brute.size}")
   }
 
-  test("pHash: 15-bit signature, EXACTLY invariant to uniform brightness shift") {
+  test("pHash: 63-bit signature, EXACTLY invariant to uniform brightness shift") {
     def rec(id: Long, bs: Array[Byte]) = MediaRecord(id, "image", bs, "m", 1, 1)
     def sig(bs: Array[Byte]): Long =
       FakeCodec.phashBatch(Seq(rec(1L, bs))).head.phash
     val base = "some plausible ascii payload with varied structure 0123456789".getBytes("UTF-8")
     val s0 = sig(base)
-    assert((s0 >>> 15) == 0L, s"signature must fit 15 bits: $s0")
-    // the literal DCT rows for u >= 1 are antisymmetric (they sum to 0
-    // exactly), so adding a constant to every sample shifts ONLY the
+    assert((s0 >>> 63) == 0L, s"signature must fit 63 bits: $s0")
+    // every non-DC row/column of the literal DCT table is
+    // antisymmetric (it sums to 0 exactly), so adding a constant to
+    // every sample shifts ONLY the
     // dropped DC coefficient — the signature is bit-identical, the
     // property that makes pHash hold where aHash flips
     val shifted = base.map(b => (b + 10).toByte)
@@ -159,26 +160,64 @@ class MultimodalSpec extends SparkSpec {
     assert(FakeCodec.phashBatch(Seq(rec(3L, Array[Byte](0, 42, 42)))).isEmpty)
   }
 
-  test("phash near-dup query equals brute force over signatures (pigeonhole recall-exact)") {
-    val docs = Tables.load(spark, sf0001, "documents")
-    val sigs = MediaPipeline.perceptualDctHashes(spark, docs).collect()
-    val brute = (for {
-      a <- sigs; b <- sigs if a.media_id < b.media_id
-      h = java.lang.Long.bitCount(a.phash ^ b.phash) if h <= 2
-    } yield (a.media_id, b.media_id, h.toLong)).toSet
-    val got = graft.queries.MultimodalQueries.queries("multimodal_phash_dedup")(spark, sf0001)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == brute, s"banding candidates ${got.size} != brute ${brute.size}")
-  }
+  test("phash dedup + survivors find PLANTED re-encodes and ham<=2 variants (63-bit: no birthday pairs)") {
+    // The 63-bit signature means the driver corpus (all-distinct texts,
+    // no re-encodes) correctly yields ZERO ham <= 2 pairs — the 1217
+    // pairs the old 15-bit form found at sf0.01 were birthday
+    // collisions, not similarity. To keep the banding, ham=0 same-sig
+    // branch, pair expansion, and CC paths exercised with real signal,
+    // this fixture PLANTS what phash is actually for:
+    //  - trailer-only re-encodes (pixel section + 0x00 + junk) — the
+    //    decoded grid is identical, ham = 0;
+    //  - single-char variants SEARCHED deterministically for
+    //    1 <= ham <= 2 — the cross-band branch;
+    //  - unrelated docs — must pair with nothing.
+    def sig(text: String): Long =
+      FakeCodec.phashBatch(Seq(MediaRecord(0L, "image", text.getBytes("UTF-8"), "m", 1, 1)))
+        .head.phash
+    val bases = Seq(
+      "the quick brown fox jumps over the lazy dog while seventeen zebras watch quietly",
+      "structured ascii payload standing in for pixel bytes 0123456789 abcdefgh")
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    bases.foreach { b =>
+      texts += b
+      texts += (b + " exif-ish trailer junk")   // re-encode: ham 0
+      // first single-char variant within ham <= 2 of the base, in
+      // deterministic (position, char) order — exists for both bases
+      val s0 = sig(b)
+      val variant = (for {
+        i <- (0 until b.length).iterator
+        c <- ('a' to 'z').iterator if c != b(i)
+        v = b.updated(i, c)
+        h = java.lang.Long.bitCount(sig(v) ^ s0) if h >= 1 && h <= 2
+      } yield v).take(1).toSeq
+      assert(variant.nonEmpty, s"no ham<=2 single-char variant found for: $b")
+      texts ++= variant
+    }
+    texts += "a completely unrelated filler document about maritime insurance law"
+    texts += "another unrelated one: seventy bottles of ink, a ledger, and a goose"
+    val dir = java.nio.file.Files.createTempDirectory("phash_fixture").toString
+    import spark.implicits._
+    texts.toSeq.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-  test("phash survivors == brute-force connected components over the ham pair graph") {
-    val docs = Tables.load(spark, sf0001, "documents")
-    val sigs = MediaPipeline.perceptualDctHashes(spark, docs).collect()
+    val sigs = MediaPipeline.perceptualDctHashes(
+      spark, Tables.load(spark, dir, "documents")).collect()
     val pairs = for {
       a <- sigs; b <- sigs if a.media_id < b.media_id
       if java.lang.Long.bitCount(a.phash ^ b.phash) <= 2
     } yield (a.media_id, b.media_id)
-    assume(pairs.nonEmpty)
+    assert(pairs.length >= 6, s"fixture must carry planted pairs, got ${pairs.toSeq}")
+    val brute = (for {
+      a <- sigs; b <- sigs if a.media_id < b.media_id
+      h = java.lang.Long.bitCount(a.phash ^ b.phash) if h <= 2
+    } yield (a.media_id, b.media_id, h.toLong)).toSet
+    val got = graft.queries.MultimodalQueries.queries("multimodal_phash_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"banding candidates ${got.size} != brute ${brute.size}")
+
     // driver-side union-find as the reference labeling
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
@@ -190,9 +229,23 @@ class MultimodalSpec extends SparkSpec {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val expect = parent.keys.map(x => (x, find(x))).toSet
-    val got = graft.queries.MultimodalQueries
-      .queries("multimodal_phash_survivors")(spark, sf0001)
+    val gotCc = graft.queries.MultimodalQueries
+      .queries("multimodal_phash_survivors")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == expect, s"diff=${(got diff expect) ++ (expect diff got)}")
+    assert(gotCc == expect, s"diff=${(gotCc diff expect) ++ (expect diff gotCc)}")
+  }
+
+  test("phash near-dup on the driver corpus: 63 bits admit NO birthday pairs (no false positives)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val sigs = MediaPipeline.perceptualDctHashes(spark, docs).collect()
+    val brute = (for {
+      a <- sigs; b <- sigs if a.media_id < b.media_id
+      h = java.lang.Long.bitCount(a.phash ^ b.phash) if h <= 2
+    } yield (a.media_id, b.media_id, h.toLong)).toSet
+    val got = graft.queries.MultimodalQueries.queries("multimodal_phash_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"banding candidates ${got.size} != brute ${brute.size}")
+    assert(brute.isEmpty,
+      "driver corpus has no re-encodes: any pair at 63 bits is a false positive")
   }
 }
