@@ -936,7 +936,12 @@ object TextQueries {
     // its merge to the PERSISTED previous encoding and re-materializes,
     // so round r costs two single-op passes (pair count + encode) —
     // the documented "one corpus pass per round" cost structure —
-    // never r stacked rewrites.
+    // never r stacked rewrites. That structure's ceiling is measured
+    // in SCALING.md round 13: marginal cost FLAT at 0.75 s/round (sf1)
+    // out to a 256-merge budget, so a 32k-vocab run is ~32000 passes —
+    // inherent (merges are sequential by definition), which is why the
+    // production contract is train-on-a-bounded-sample +
+    // encode-the-corpus (text_bpe_encode, embarrassingly parallel).
     val d2 = "\u0002"; val d3 = "\u0003"
     var cur = docs(s, dir)
       .select(concat(lit(d2), array_join(tokens(col("text")), d3 + d2), lit(d3))
@@ -966,10 +971,19 @@ object TextQueries {
         val f = top(0).getLong(2)
         learned += ((r.toLong, a + " " + b, f))
         if (r < rounds) {
-          val next = cur.select(org.apache.spark.sql.functions.replace(col("enc"),
+          val replaced = cur.select(org.apache.spark.sql.functions.replace(col("enc"),
             lit(d2 + a + d3 + d2 + b + d3), lit(d2 + a + " " + b + d3)).as("enc"))
-            .persist()
-          next.count() // materialize BEFORE dropping the parent cache
+          // persist() materializes each round but keeps the full
+          // parent lineage for recomputation, so a realistic merge
+          // budget stacks one plan generation per round until task
+          // deserialization recurses past the executor stack (round-13
+          // measurement: StackOverflowError at the 256-merge budget).
+          // An eager localCheckpoint every 32 rounds truncates both
+          // the logical plan and the RDD lineage — same arithmetic,
+          // bounded depth at any budget.
+          val next =
+            if (r % 32 == 0) replaced.localCheckpoint(true)
+            else { val n = replaced.persist(); n.count(); n }
           cur.unpersist()
           cur = next
         }
