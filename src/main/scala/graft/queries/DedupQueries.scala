@@ -119,6 +119,29 @@ object DedupQueries {
       .drop("_k", "_n")
   }
 
+  /** Attach the audit-rail stride — `ceil(n(counted) / cap)` with a
+    * floor of 1, the exact arithmetic [[strideSampled]] filters by —
+    * as a column of an audit-rail query's OUTPUT, so the sampling
+    * contract is unmissable in the result itself: stride = 1 says
+    * "this is the exact full corpus", stride > 1 says "this is the
+    * deterministic id % stride audit sample" — a caller can no longer
+    * ship the sample thinking it is the corpus (round-13 verdict,
+    * What's wrong #3). Mirrored in the oracles with the same integer
+    * ceiling. The 1-row frame rides the same constant-valued
+    * NON-FOLDABLE equi-key as [[strideSampled]] (each key derived
+    * from a column of its own side) so the attach stays a
+    * BroadcastHashJoin and the no-BNLJ plan pins keep their teeth. */
+  private[graft] def withStride(
+      out: DataFrame, idCol: String, counted: DataFrame, auditCap: Long): DataFrame = {
+    val sf = counted.agg(count(lit(1)).as("_n"))
+      .select(greatest(expr(s"(_n + ${auditCap - 1}L) div ${auditCap}L"), lit(1L))
+        .as("stride"))
+      .withColumn("_k", (pmod(col("stride"), lit(1L)) + 1).cast("int"))
+    out.withColumn("_k", (pmod(col(idCol), lit(1L)) + 1).cast("int"))
+      .join(broadcast(sf), "_k")
+      .drop("_k")
+  }
+
   private[queries] def componentLabelsSimhash(s: SparkSession, dir: String): DataFrame =
     ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "simhash"), _ =>
       graft.ops.Graph.connectedComponents(
@@ -208,8 +231,27 @@ object DedupQueries {
     ex.join(freq, "s")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("n") - floor((col("n") * tauNum + (tauDen - 1)) / tauDen) + 1)
-      .select(col("s"), col("doc_id"), col("n"))
+      .select(col("s"), col("doc_id"), col("n"), col("rk"))
   }
+
+  /** PPJoin+ positional filter (Xiao et al. 2011 §3.2, set-join form):
+    * a candidate row meeting at shingle s, sitting at positions
+    * (pa, pb) of the two docs' shared (df asc, shingle) total order,
+    * bounds the overlap by 1 + min(na−pa, nb−pb) — the grams at or
+    * after s in BOTH docs, plus s itself. Applied per meeting row with
+    * the pair kept if ANY row passes (the `.distinct()` below), this
+    * is recall-LOSSLESS: a true pair's EARLIEST common gram has no
+    * common gram before it, so its bound ≥ the true overlap ≥
+    * ⌈τ·max(na,nb)⌉ and that row always survives. What it prunes is
+    * exactly the verify mass the prefix filter alone lets through —
+    * pairs that meet only deep in one doc's tail (measured at sf10:
+    * the τ=0.7 sweep's verify join was 28% of the full-suite total
+    * before this bound). Oracles that replay candidate COUNTS mirror
+    * the same integer inequality; verified-only oracles are unchanged
+    * because the filter is lossless. */
+  private def positionalBound(tauNum: Int, tauDen: Int) =
+    (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))) * tauDen >=
+      greatest(col("na"), col("nb")) * tauNum
 
   private[graft] def ppjoinCandidates(sh: DataFrame, tauNum: Int, tauDen: Int,
       anchorCap: Option[Int] = None): DataFrame = {
@@ -222,18 +264,22 @@ object DedupQueries {
         val ranked = prefix.withColumn("prk",
           row_number().over(Window.partitionBy(col("s")).orderBy(col("doc_id"))))
         val a = ranked.select(col("s"), col("doc_id").as("doc_a"),
-          col("n").as("na"), col("prk").as("rka"))
-        val b = ranked.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
+          col("n").as("na"), col("rk").as("pa"), col("prk").as("rka"))
+        val b = ranked.select(col("s"), col("doc_id").as("doc_b"),
+          col("n").as("nb"), col("rk").as("pb"))
         a.join(b, Seq("s"))
           .filter(col("doc_a") < col("doc_b") && col("rka") <= cap)
       case None =>
-        val a = prefix.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
-        val b = prefix.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
+        val a = prefix.select(col("s"), col("doc_id").as("doc_a"),
+          col("n").as("na"), col("rk").as("pa"))
+        val b = prefix.select(col("s"), col("doc_id").as("doc_b"),
+          col("n").as("nb"), col("rk").as("pb"))
         a.join(b, Seq("s"))
           .filter(col("doc_a") < col("doc_b"))
     }
     joined
       .filter(greatest(col("na"), col("nb")) * tauNum <= least(col("na"), col("nb")) * tauDen)
+      .filter(positionalBound(tauNum, tauDen))
       .select("doc_a", "doc_b")
       .distinct()
   }
@@ -698,6 +744,14 @@ object DedupQueries {
     // read each n_pairs as a lower bound.
     "dedup_threshold_sensitivity" -> ((s, dir) => {
       val sh = shingled(s, dir)
+      // PERSISTED: the pair frame is read by TWO aggregates (pair
+      // counts, exploded-endpoint doc counts) — without the pin each
+      // aggregate re-runs the entire candidate generation + verify
+      // join, exactly doubling the most expensive pass in the dedup
+      // family (sf10 round 13: this line alone was 28% of the
+      // full-suite total). The frame is τ≥0.7 verified pairs — tiny
+      // (hundreds of rows at oracle scale, ~graph-sized always), so
+      // the pin cannot evict corpus-scale caches (the round-5 hazard).
       val verified = jaccardFromCounts(
         ppjoinCandidates(sh, tauNum = 7, tauDen = 10, // τ = 0.7 superset
           anchorCap = Some(LshBucketCap))
@@ -705,6 +759,7 @@ object DedupQueries {
           .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
         .filter(col("jac") >= 0.7)
         .select("doc_a", "doc_b", "jac")
+        .persist()
       def nP(t: Double) = sum(when(col("jac") >= t, 1L).otherwise(0L))
       val pairAgg = verified.agg(
         nP(0.7).as("p70"), nP(0.8).as("p80"), nP(0.9).as("p90"))
@@ -896,13 +951,32 @@ object DedupQueries {
         .select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("sgl"))
       val freq = ex.groupBy("sgl").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sgl"))
-      val aPrefix = ex.join(freq, "sgl")
+      // the FULL index is ranked (not just A's prefix) so the PPJoin+
+      // positional bound can prune before the sorted-merge verify:
+      // inter ≤ 1 + min(na−pa, nb−pb) at a pair's EARLIEST common
+      // shingle (no common shingle precedes it in the shared order),
+      // and cont ≥ τ needs inter ≥ ⌈τ·na⌉ — rows meeting only deep in
+      // B's tail are pruned losslessly (same argument as
+      // [[positionalBound]]; the earliest common shingle is always in
+      // A's prefix, so it is among the joined rows). A size filter
+      // rides along: B can only contain A's τ-fraction if nb ≥ ⌈τ·na⌉.
+      // Both engines see the same candidate set only at the verified
+      // OUTPUT (the oracle is brute force), so lossless-ness is the
+      // whole contract. The b side reuses the a side's ranked frame —
+      // one window pass, and the doc_id exchange under it is reused
+      // across the self-join's branches.
+      val ranked = ex.join(freq, "sgl")
         .withColumn("rk", row_number().over(w))
+      val aPrefix = ranked
         .filter(col("rk") <= col("n") - floor((col("n") * 9 + 9) / 10) + 1)
-        .select(col("sgl"), col("doc_id").as("doc_a"))
-      val bFull = ex.select(col("sgl"), col("doc_id").as("doc_b"))
+        .select(col("sgl"), col("doc_id").as("doc_a"), col("n").as("na"), col("rk").as("pa"))
+      val bFull = ranked
+        .select(col("sgl"), col("doc_id").as("doc_b"), col("n").as("nb"), col("rk").as("pb"))
       val cand = aPrefix.join(bFull, Seq("sgl"))
         .filter(col("doc_a") =!= col("doc_b"))
+        .filter(col("nb") * 10 >= col("na") * 9)
+        .filter((lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))) * 10 >=
+          col("na") * 9)
         .select("doc_a", "doc_b").distinct()
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
@@ -1049,8 +1123,12 @@ object DedupQueries {
     // production survivor path is dedup_survivors_wide, whose 62-bit
     // edge set is near-dups-only and linear). Reuses the memoized CC
     // machinery (one pointer-jumping run per session/dataset/source).
+    // the `stride` column is the audit-rail contract made visible:
+    // 1 = exact full corpus, >1 = deterministic id % stride sample
     "dedup_survivors_simhash" -> ((s, dir) =>
-      componentLabelsSimhash(s, dir).select(col("node").as("doc_id"), col("rep"))),
+      withStride(
+        componentLabelsSimhash(s, dir).select(col("node").as("doc_id"), col("rep")),
+        "doc_id", docs(s, dir), SimhashCcAuditCap)),
 
     // survivor selection over the WIDE simhash edge set — at the sharp
     // ham ≤ 3-of-62 threshold the components are true near-dup
@@ -1183,8 +1261,12 @@ object DedupQueries {
     //
     // AUDIT-SCALE CONTRACT (round 13): the blocked all-pairs surface
     // runs behind [[EmbeddingAuditCap]] — see [[embeddingCosinePairs]].
+    // The `stride` column (round 14) makes the contract visible in the
+    // output: 1 = exact full corpus, >1 = id % stride audit sample.
     "dedup_embedding_cosine" -> ((s, dir) =>
-      embeddingCosinePairs(SimilarityQueries.vectors(s, dir))),
+      withStride(
+        embeddingCosinePairs(SimilarityQueries.vectors(s, dir)),
+        "vec_a", SimilarityQueries.vectors(s, dir), EmbeddingAuditCap)),
 
     // SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
     // corpus by k-means cluster (the IVF bootstrap assignment), then
@@ -1800,20 +1882,21 @@ object DedupQueries {
        |ex AS (SELECT doc_id, len(g) n, unnest(g) s FROM tf),
        |freq AS (SELECT s, count(*) df FROM ex GROUP BY s),
        |pre AS (
-       |  SELECT s, doc_id, n FROM (
+       |  SELECT s, doc_id, n, rk FROM (
        |    SELECT ex.s, ex.doc_id, ex.n,
        |           row_number() OVER (PARTITION BY ex.doc_id ORDER BY f.df, ex.s) rk
        |    FROM ex JOIN freq f ON ex.s = f.s) q
        |  WHERE rk <= n - ((n * 4 + 4) // 5) + 1),
        |prer AS (
-       |  SELECT s, doc_id, n,
+       |  SELECT s, doc_id, n, rk,
        |         row_number() OVER (PARTITION BY s ORDER BY doc_id) prk
        |  FROM pre),
        |ppc AS (
        |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
        |  FROM prer a JOIN prer b ON a.s = b.s AND a.doc_id < b.doc_id
        |  WHERE a.prk <= $LshBucketCap
-       |    AND greatest(a.n, b.n) * 4 <= least(a.n, b.n) * 5),
+       |    AND greatest(a.n, b.n) * 4 <= least(a.n, b.n) * 5
+       |    AND (1 + least(a.n - a.rk, b.n - b.rk)) * 5 >= greatest(a.n, b.n) * 4),
        |stk AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
        |skeyed AS (
        |  SELECT 'head' AS pass, list_aggregate(toks[1:2], 'string_agg', ' ') AS skey,
@@ -2261,7 +2344,10 @@ object DedupQueries {
          |  SELECT src, dst FROM e
          |  UNION
          |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
-         |SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src""".stripMargin,
+         |SELECT src AS doc_id, least(src, min(dst)) AS rep,
+         |       (SELECT CAST(greatest((cn + ${SimhashCcAuditCap - 1}) // $SimhashCcAuditCap, 1)
+         |               AS BIGINT) FROM nn) AS stride
+         |FROM reach GROUP BY src""".stripMargin,
 
     // the survivor rule over the 62-bit edge set, replaying the dual
     // signature fold
@@ -2298,7 +2384,10 @@ object DedupQueries {
         |                 list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
         |               / (a.nrm * b.nrm), 6) AS cos
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4""".stripMargin,
+        |SELECT vec_a, vec_b, cos,
+        |       (SELECT CAST(greatest((cn + ${EmbeddingAuditCap - 1}) // $EmbeddingAuditCap, 1)
+        |               AS BIGINT) FROM cnt) AS stride
+        |FROM p WHERE cos >= 0.4""".stripMargin,
 
     // same deterministic cluster assignment as the IVF oracle, then
     // within-cluster pairs only
