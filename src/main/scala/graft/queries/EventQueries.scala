@@ -376,22 +376,67 @@ object EventQueries {
     // broken by the unique id, so every rank function is
     // deterministic), then compressed to one row per (type, quartile)
     // with the bucket's count, value range, and boundary ranks.
-    // percent_rank = (rank−1)/(N−1) and cume_dist = rank_cum/N are
-    // single IEEE divisions of exact integers — engine-identical with
-    // no rounding. Plan: one hash exchange on event_type + per-key
-    // sort (WindowExec), then a tiny hash aggregate; 5 keys × 60k rows
-    // here. At 100 TB a 5-key partitionBy is a skew trap — the scale
-    // path for global quantiles is the sort-free bucketed form
-    // (pipeline_curriculum_deciles); THIS query pins the exact window-
-    // function semantics that form must reproduce.
+    //
+    // EXACT AND SORT-FREE (round 14): the round-13 plan was one
+    // WindowExec partitioned by event_type alone — 5 keys means 5
+    // giant partitions, each totally sorted, a single-key-sort scale
+    // killer at 100 TB (measured 35× at ×100 data). The global rank is
+    // instead ASSEMBLED from a value-range bucketing, the same
+    // hash-range-bucket + offset-window pattern as
+    // pipeline_epoch_shuffle:
+    //   1. per type: (min, max, n) — one map-side-combined aggregate;
+    //   2. each row gets a RANGE bucket floor((v−min)/width)·— any
+    //      deterministic value-monotone bucketing works because equal
+    //      values share a bucket and buckets partition the order;
+    //   3. per-(type, bucket) counts → running offset, a window over
+    //      ≤ types×NtileRangeBuckets aggregate rows (never row data);
+    //   4. rank = offset + row_number within (type, bucket) — the only
+    //      corpus-scale window, now partitioned NtileRangeBuckets-fold
+    //      finer than the key alone;
+    //   5. NTILE/PERCENT_RANK/CUME_DIST are pure integer arithmetic on
+    //      (rank, n): ntile's inverse is closed-form (first n mod 4
+    //      tiles hold ⌈n/4⌉ rows), pr = (r−1)/(n−1), cd = r/n — the
+    //      IDENTICAL integer operands Spark's window functions divide,
+    //      so the doubles are bit-equal and the oracle is unchanged.
+    // At 100 TB: raise NtileRangeBuckets; everything else is hash
+    // aggregates and 1-row-per-(type,bucket) broadcasts.
     "q_value_ntile" -> ((s, dir) => {
-      val w = Window.partitionBy(col("event_type"))
+      val nBuckets = 64 // per-key parallelism multiplier for the rank window
+      val e = events(s, dir).select(col("event_type"), col("value"), col("event_id"))
+      val stats = e.groupBy("event_type").agg(
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        count(lit(1)).as("n"))
+      val bucketed = e.join(broadcast(stats), "event_type")
+        .withColumn("bkt",
+          when(col("vmax") === col("vmin"), lit(0))
+            .otherwise(least(
+              floor((col("value") - col("vmin")) /
+                ((col("vmax") - col("vmin")) / nBuckets)).cast("int"),
+              lit(nBuckets - 1))))
+      val bcnt = bucketed.groupBy("event_type", "bkt").agg(count(lit(1)).as("c"))
+      val wOff = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bcnt
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select(col("event_type"), col("bkt"), col("off"))
+      val wRn = Window.partitionBy(col("event_type"), col("bkt"))
         .orderBy(col("value"), col("event_id"))
-      events(s, dir)
-        .select(col("event_type"), col("value"), col("event_id"))
-        .withColumn("quartile", ntile(4).over(w))
-        .withColumn("pr", percent_rank().over(w))
-        .withColumn("cd", cume_dist().over(w))
+      val ranked = bucketed.join(broadcast(offsets), Seq("event_type", "bkt"))
+        .withColumn("r", col("off") + row_number().over(wRn))
+      // ntile(4) inverse: base = n div 4, rem = n mod 4; tiles 1..rem
+      // hold base+1 rows, tiles rem+1..4 hold base rows
+      val base = expr("n div 4")
+      val rem = pmod(col("n"), lit(4L))
+      val quartile = when(col("r") <= rem * (base + 1),
+          expr("(r + (n div 4)) div ((n div 4) + 1)"))
+        .otherwise(rem +
+          expr("(r - (n % 4) * ((n div 4) + 1) + (n div 4) - 1) div greatest(n div 4, 1)"))
+      ranked
+        .withColumn("quartile", quartile.cast("int"))
+        .withColumn("pr",
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("r") - 1).cast("double") / (col("n") - 1).cast("double")))
+        .withColumn("cd", col("r").cast("double") / col("n").cast("double"))
         .groupBy(col("event_type"), col("quartile"))
         .agg(count(lit(1)).as("cnt"),
           min(col("value")).as("min_value"),

@@ -145,6 +145,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ntile/percent_rank assemble global rank from range buckets — no single-key sort") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // every corpus-scale WindowExec must partition finer than the 5-key
+    // event_type alone: the offset window (over ≤ types×64 aggregate
+    // rows) is the ONLY single-column partitionBy allowed, and it is
+    // identifiable by its running-sum frame over `bkt`
+    def windows(p: SparkPlan): Seq[WindowExec] = p.collect {
+      case w: WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+    }.flatten
+    val plan = SparkEntry.queries("q_value_ntile")(spark, sf0001)
+      .queryExecution.executedPlan
+    val ws = windows(plan)
+    assert(ws.nonEmpty, plan.toString)
+    val rowScale = ws.filter(_.partitionSpec.size < 2)
+    // the aggregate-level offset window orders by the bucket id; the
+    // row-scale rank window orders by (value, event_id) — no window
+    // ordered by value may partition by the key alone
+    rowScale.foreach { w =>
+      assert(w.orderSpec.exists(_.child.toString.contains("bkt")),
+        s"corpus-scale window partitioned by key alone: $w")
+    }
+  }
+
   test("window top-N pushes the rank limit below the exchange (WindowGroupLimit)") {
     val p = plan("q_window_topn")
     assert(p.contains("WindowGroupLimit"), p)
