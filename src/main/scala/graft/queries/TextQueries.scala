@@ -41,6 +41,17 @@ object TextQueries {
     */
   private[queries] val WinnowPosBase = 1L << 20
 
+  /** Training-sample rail for `text_bpe_train_sampled`: the maximum
+    * number of documents the iterative merge loop sees. Deliberately
+    * SMALL (128, vs the 16 384 audit caps) so the rail engages at
+    * every oracle scale — sf0.01's 500 docs already train on the
+    * stride-4 sample — and so the per-merge-round pass cost is a
+    * constant, not a corpus scan: BPE merge statistics converge with
+    * sample size (the top pair is a corpus-frequency argmax, stable
+    * under uniform sampling), which is why production tokenizers train
+    * on a bounded sample and encode everything. */
+  private[graft] val BpeTrainSampleCap = 128L
+
   /** BM25 probe query: one rare term (df ≈ 5% — the planted dup
     * marker) and two common ones, so idf spans two orders of
     * magnitude and the ranking exercises both ends of the curve. */
@@ -664,6 +675,50 @@ object TextQueries {
     // reimplementation.
     "text_bpe_train" -> ((s, dir) => bpeTrain(s, dir, rounds = 6)),
 
+    // PRODUCTION BPE COMPOSITION — the query a 100 TB tokenizer run
+    // actually registers (round-14 de-weak of text_bpe_train, whose
+    // whole-corpus loop costs one corpus pass PER MERGE — ~32 000
+    // passes at a real 32k vocabulary, measured flat-marginal in
+    // SCALING.md round 13): TRAIN the merge table on the deterministic
+    // stride sample (shared audit-rail sampler, ≤ [[BpeTrainSampleCap]]
+    // docs — cost O(sample × rounds), corpus-size-independent), then
+    // ENCODE the full corpus with the frozen table in ONE
+    // embarrassingly parallel pass of chained codegen'd StringReplaces
+    // (cost O(corpus), zero shuffles — scan speed). The merge table
+    // lives on the driver, bounded by the tokenizer parameter, like
+    // the ANN index bootstraps. Per-doc output mirrors
+    // text_bpe_encode; the oracle replays BOTH stages — the sampled
+    // 6-round learn→replace→re-count chain AND the full-corpus frozen
+    // encode — so sampling arithmetic, argmax order, and greedy merge
+    // semantics are all hash-gated (the stride rail ENGAGES at sf0.01:
+    // 500 docs over cap 128 → stride 4).
+    "text_bpe_train_sampled" -> ((s, dir) => {
+      val merges = bpeTrainMerges(
+        graft.queries.DedupQueries.strideSampled(
+          docs(s, dir), "doc_id", BpeTrainSampleCap),
+        rounds = 6)
+      val d2 = "\u0002"; val d3 = "\u0003"
+      val enc0 = concat(lit(d2), array_join(col("toks"), d3 + d2), lit(d3))
+      val encoded = merges.foldLeft(enc0) { case (acc, (_, a, b, _)) =>
+        org.apache.spark.sql.functions.replace(acc,
+          lit(d2 + a + d3 + d2 + b + d3), lit(d2 + a + " " + b + d3))
+      }
+      val nBpe = (length(col("s")) -
+        length(org.apache.spark.sql.functions.replace(col("s"), lit(d2), lit(""))))
+        .cast("long")
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("s", encoded)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          nBpe.as("n_bpe_tokens"),
+          round(nBpe.cast("double") / size(col("toks")).cast("double"), 6)
+            .as("compression"),
+          md5(trim(org.apache.spark.sql.functions.replace(
+              col("s"), lit(d3 + d2), lit("\u0001")), d2 + d3).cast("binary"))
+            .as("enc_digest"))
+    }),
+
     // corpus length distribution: documents histogrammed by token count
     // in width-10 buckets — the first diagnostic run on any training
     // corpus (truncation/padding budgets, outlier screens). Bucketing
@@ -922,8 +977,15 @@ object TextQueries {
   /** Iterative BPE training core (see the registered query's
     * scaladoc); factored out so PropertySpec can run it at small
     * round counts against a brute-force greedy reimplementation. */
-  private[graft] def bpeTrain(s: SparkSession, dir: String, rounds: Int): DataFrame = {
-    import s.implicits._
+  /** The iterative BPE training loop over an arbitrary (text) frame —
+    * shared by `text_bpe_train` (whole corpus, semantics pin) and
+    * `text_bpe_train_sampled` (stride sample + full-corpus encode, the
+    * production shape). Returns the learned (round, a, b, freq) table
+    * on the driver — bounded by the TOKENIZER parameter, like the ANN
+    * index bootstraps. */
+  private[graft] def bpeTrainMerges(
+      docsDf: DataFrame, rounds: Int): Seq[(Long, String, String, Long)] = {
+    val s = docsDf.sparkSession
     // The corpus rides as the chr(2)‖tok‖chr(3) DELIMITER-ENCODED
     // STRING — the same representation the oracle (and text_bpe_encode's
     // oracle) uses — so each greedy left-to-right merge is ONE
@@ -941,16 +1003,34 @@ object TextQueries {
     // out to a 256-merge budget, so a 32k-vocab run is ~32000 passes —
     // inherent (merges are sequential by definition), which is why the
     // production contract is train-on-a-bounded-sample +
-    // encode-the-corpus (text_bpe_encode, embarrassingly parallel).
+    // encode-the-corpus (text_bpe_train_sampled, one parallel pass).
     val d2 = "\u0002"; val d3 = "\u0003"
-    var cur = docs(s, dir)
-      .select(concat(lit(d2), array_join(tokens(col("text")), d3 + d2), lit(d3))
-        .as("enc")).persist()
+    // (frame, release): persist rounds release via unpersist; the
+    // eager-localCheckpoint rounds (every 32nd - plan/lineage
+    // truncation, see below) register no CacheManager entry, so their
+    // release unpersists the checkpointed RDD snapshot directly -
+    // without it, each snapshot lingered in executor storage until the
+    // ContextCleaner GC'd the orphaned RDD (round-13 advice: at large
+    // merge budgets several corpus-sized snapshots accumulate).
+    def materialized(df: DataFrame, viaCheckpoint: Boolean): (DataFrame, () => Unit) =
+      if (viaCheckpoint) {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val d = df.localCheckpoint(true)
+        val fresh = s.sparkContext.getPersistentRDDs.keySet.diff(before)
+        (d, () => fresh.foreach(id =>
+          s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+      } else {
+        val n = df.persist(); n.count()
+        (n, () => { n.unpersist(); () })
+      }
+    var (cur, release) = materialized(
+      docsDf.select(concat(lit(d2), array_join(tokens(col("text")), d3 + d2), lit(d3))
+        .as("enc")), viaCheckpoint = false)
     // split back to tokens for the pair count: tokens never contain
     // the delimiters, so translate-stripping the split residue is exact
     val toksOfEnc = transform(split(col("enc"), d3 + d2),
       x => translate(x, d2 + d3, ""))
-    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
@@ -969,7 +1049,7 @@ object TextQueries {
         val a = top(0).getString(0)
         val b = top(0).getString(1)
         val f = top(0).getLong(2)
-        learned += ((r.toLong, a + " " + b, f))
+        learned += ((r.toLong, a, b, f))
         if (r < rounds) {
           val replaced = cur.select(org.apache.spark.sql.functions.replace(col("enc"),
             lit(d2 + a + d3 + d2 + b + d3), lit(d2 + a + " " + b + d3)).as("enc"))
@@ -981,17 +1061,23 @@ object TextQueries {
           // An eager localCheckpoint every 32 rounds truncates both
           // the logical plan and the RDD lineage — same arithmetic,
           // bounded depth at any budget.
-          val next =
-            if (r % 32 == 0) replaced.localCheckpoint(true)
-            else { val n = replaced.persist(); n.count(); n }
-          cur.unpersist()
+          val (next, nextRelease) = materialized(replaced, viaCheckpoint = r % 32 == 0)
+          release()
           cur = next
+          release = nextRelease
         }
       }
       r += 1
     }
-    cur.unpersist()
-    learned.toSeq.toDF("round", "pair", "freq")
+    release()
+    learned.toSeq
+  }
+
+  private[graft] def bpeTrain(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    import s.implicits._
+    bpeTrainMerges(docs(s, dir), rounds)
+      .map { case (r, a, b, f) => (r, a + " " + b, f) }
+      .toDF("round", "pair", "freq")
   }
 
   val oracles: Map[String, String] = Map(
@@ -1269,6 +1355,66 @@ object TextQueries {
          |e0 AS (SELECT chr(2) || array_to_string(toks, chr(3) || chr(2)) || chr(3) AS s FROM tok),
          |$steps
          |$out""".stripMargin
+    },
+
+    // both stages replayed: the 6-round learn→replace→re-count chain
+    // over the stride-sampled docs (same CTE idiom as text_bpe_train's
+    // oracle), then the frozen merge table applied to ALL docs as 6
+    // chained leftmost-first replaces (text_bpe_encode's idiom) —
+    // sampling arithmetic, argmax order, and greedy merge semantics
+    // are all inside the hash
+    "text_bpe_train_sampled" -> {
+      val rounds = 6
+      val trainSteps = (1 to rounds).map { k =>
+        val prev = s"e${k - 1}"
+        s"""l$k AS MATERIALIZED (
+           |  SELECT list_transform(string_split(s, chr(3) || chr(2)),
+           |           x -> trim(x, chr(2) || chr(3))) AS l
+           |  FROM $prev),
+           |p$k AS MATERIALIZED (
+           |  SELECT unnest(list_transform(range(1, len(l)),
+           |           i -> l[CAST(i AS INTEGER)] || chr(1) || l[CAST(i AS INTEGER) + 1])) AS ab
+           |  FROM l$k),
+           |m$k AS MATERIALIZED (
+           |  SELECT string_split(ab, chr(1))[1] AS a, string_split(ab, chr(1))[2] AS b,
+           |         CAST(count(*) AS BIGINT) AS freq
+           |  FROM p$k GROUP BY 1, 2
+           |  ORDER BY freq DESC, a, b LIMIT 1),
+           |e$k AS MATERIALIZED (
+           |  SELECT replace(s,
+           |    chr(2) || COALESCE((SELECT a FROM m$k), chr(1)) || chr(3) ||
+           |    chr(2) || COALESCE((SELECT b FROM m$k), chr(1)) || chr(3),
+           |    chr(2) || COALESCE((SELECT a || ' ' || b FROM m$k), chr(1)) || chr(3)) AS s
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      val encodeSteps = (1 to rounds).map { k =>
+        s"""f$k AS MATERIALIZED (SELECT doc_id, n_tokens, replace(s,
+           |  chr(2) || COALESCE((SELECT a FROM m$k), chr(1)) || chr(3) ||
+           |  chr(2) || COALESCE((SELECT b FROM m$k), chr(1)) || chr(3),
+           |  chr(2) || COALESCE((SELECT a || ' ' || b FROM m$k), chr(1)) || chr(3)) AS s
+           |  FROM f${k - 1})""".stripMargin
+      }.mkString(",\n")
+      // every CTE is pinned MATERIALIZED: the m_k argmaxes are
+      // referenced as scalar subqueries from BOTH the next training
+      // round and the corpus encode chain, and DuckDB's default CTE
+      // inlining re-derives the whole upstream chain per reference —
+      // measured >8 min at sf0.01 inlined vs 0.5 s materialized
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |nn AS MATERIALIZED (SELECT count(*) AS cn FROM documents),
+         |samp AS MATERIALIZED (
+         |  SELECT t.* FROM tok t, nn
+         |  WHERE t.doc_id % greatest((cn + ${BpeTrainSampleCap - 1}) // $BpeTrainSampleCap, 1) = 0),
+         |e0 AS MATERIALIZED (SELECT chr(2) || array_to_string(toks, chr(3) || chr(2)) || chr(3) AS s FROM samp),
+         |$trainSteps,
+         |f0 AS MATERIALIZED (SELECT doc_id, len(toks) AS n_tokens,
+         |         chr(2) || array_to_string(toks, chr(3) || chr(2)) || chr(3) AS s FROM tok),
+         |$encodeSteps
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(len(s) - len(replace(s, chr(2), '')) AS BIGINT) AS n_bpe_tokens,
+         |       round(CAST(len(s) - len(replace(s, chr(2), '')) AS DOUBLE)
+         |             / CAST(n_tokens AS DOUBLE), 6) AS compression,
+         |       md5(trim(replace(s, chr(3) || chr(2), chr(1)), chr(2) || chr(3))) AS enc_digest
+         |FROM f$rounds""".stripMargin
     },
 
     // same pair enumeration; the (freq DESC, pair) top-1000 cut is a
