@@ -73,6 +73,43 @@ object MultimodalQueries {
       frameSampleQuery(s, dir, frameLen, stride)
         .select(col("media_id"), col("frame_fp")).distinct().persist())
 
+  /** PLANTED RE-ENCODES for the perceptual-hash family (round 14,
+    * advice: after the 63-bit pHash widening the all-distinct harness
+    * corpus admits no ham ≤ 2 pairs, so banding, pair expansion, and
+    * survivor CC verified 0 == 0 rows — covered only by unit fixtures,
+    * not the oracle rail). Every [[ReencodeEvery]]-th media record
+    * gets a deterministic "brightness-shifted re-encode": the same
+    * payload with every byte + 1, under id + [[ReencodeIdOffset]].
+    * A constant shift moves every luma sample AND the mean/median
+    * together, so the aHash bits (56·vᵢ > Σv is shift-invariant) and
+    * every non-DC DCT coefficient (the shift lands entirely in the
+    * dropped DC term — each basis row of the literal DctCos table sums
+    * to exactly 0) are IDENTICAL by arithmetic: the variant is a true
+    * perceptual duplicate with different bytes, exactly what exact
+    * dedup structurally misses and pHash/aHash exist to catch. The
+    * oracles replay the variant from documents with the same +1 on
+    * each sampled character — the invariance EMERGES from both
+    * engines' arithmetic rather than being assumed, so an overflow or
+    * sampling drift on either side fails the hash loudly. Only the
+    * perceptual near-dup queries (ahash/phash dedup + survivors) read
+    * the planted frame; decode/resize/frame/audio/video keep the
+    * pristine corpus and their oracles unchanged. */
+  private[graft] val ReencodeEvery = 20L
+  private[graft] val ReencodeIdOffset = 1L << 40
+
+  private def mediaNearDup(s: SparkSession, dir: String) = {
+    import s.implicits._
+    memoized(s, dir, "mediaNearDup") {
+      val base = mediaDs(s, dir)
+      val variants = base
+        .filter(r => r.media_id % ReencodeEvery == 0 && r.data.nonEmpty)
+        .map(r => r.copy(
+          media_id = r.media_id + ReencodeIdOffset,
+          data = r.data.map(b => (b + 1).toByte)))
+      base.toDF().unionByName(variants.toDF())
+    }.as[MediaRecord]
+  }
+
   /** A frame fingerprint shared by more than this many videos carries
     * no near-dup signal (constant padding / intro frames) and would
     * make the per-fingerprint self-join fan-out quadratic in its
@@ -147,7 +184,7 @@ object MultimodalQueries {
       // pass over the payloads runs once, not per branch (same reason
       // the PQ code index persists in adcShortlist)
       val d = memoized(s, dir, "ahash:56")(
-        MediaPipeline.ahash(mediaDs(s, dir), samples = 56).toDF().persist())
+        MediaPipeline.ahash(mediaNearDup(s, dir), samples = 56).toDF().persist())
       val sigs = d.select("ahash").distinct()
       val blocks = array((0 until 4).map { i =>
         struct(lit(i).as("blk"), blockBits(col("ahash"), i).as("bits"))
@@ -212,7 +249,7 @@ object MultimodalQueries {
       def blockBits(c: org.apache.spark.sql.Column, i: Int) =
         shiftrightunsigned(c, i * 21).bitwiseAND(lit((1L << 21) - 1))
       val d = memoized(s, dir, "phash")(
-        MediaPipeline.phash(mediaDs(s, dir)).toDF().persist())
+        MediaPipeline.phash(mediaNearDup(s, dir)).toDF().persist())
       val sigs = d.select("phash").distinct()
       val blocks = array((0 until 3).map { i =>
         struct(lit(i).as("blk"), blockBits(col("phash"), i).as("bits"))
@@ -331,17 +368,27 @@ object MultimodalQueries {
     // signature replicated byte-for-byte: sample i of 56 reads byte
     // ⌊i·n/56⌋ (= 1-based character i·n//56 + 1), bit set iff
     // 56·sample > Σsamples (strict, integer); pow(2,i) is a power of
-    // two, exactly representable as DOUBLE for all i < 63. Brute-force
-    // pairing is fine at oracle scale; the engine's banding is
-    // recall-exact by pigeonhole so the outputs coincide.
+    // two, exactly representable as DOUBLE for all i < 63. The planted
+    // re-encodes replay as ascii(…) + 1 per sample — their signature
+    // equality with the originals emerges from the arithmetic, never
+    // assumed. Brute-force pairing is fine at oracle scale; the
+    // engine's banding is recall-exact by pigeonhole so the outputs
+    // coincide. (The engine's per-bucket distinct-signature anchor cap
+    // has no mirror here — at 56 bits over 14-bit blocks a bucket
+    // binding at 1024 distinct signatures would surface as a loud
+    // verify failure, the documented contract; the 63-bit phash oracle
+    // below mirrors its cap exactly.)
     "multimodal_ahash_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id AS media_id, text, length(text) AS n
-        |  FROM documents WHERE length(text) > 0),
+      s"""WITH d AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n, 0 AS shift
+        |  FROM documents WHERE length(text) > 0
+        |  UNION ALL
+        |  SELECT doc_id + $ReencodeIdOffset, text, length(text), 1
+        |  FROM documents WHERE length(text) > 0 AND doc_id % $ReencodeEvery = 0),
         |v AS (
         |  SELECT media_id,
         |         list_transform(range(0, 56),
-        |           i -> CAST(ascii(substring(text, CAST(i * n // 56 AS INTEGER) + 1, 1)) AS BIGINT)) AS vs
+        |           i -> CAST(ascii(substring(text, CAST(i * n // 56 AS INTEGER) + 1, 1)) + shift AS BIGINT)) AS vs
         |  FROM d),
         |sg AS (
         |  SELECT media_id,
@@ -382,116 +429,23 @@ object MultimodalQueries {
 
     // full signature replay on the shared literal DCT table (the same
     // 64 integers as FakeCodec.DctCos — emitted from that array, so
-    // the two can never drift), then brute-force ham ≤ 2 pairs
-    "multimodal_phash_dedup" -> {
-      val ctList = graft.multimodal.Multimodal.FakeCodec.DctCos
-        .map(v => s"CAST($v AS BIGINT)").mkString("[", ", ", "]")
-      // decoded path: the fake decoder's pixel section is the whole
-      // text on this corpus (ASCII, no NUL trailer — the codec-side
-      // assumption phashBatch documents), resampled to a 32×32 luma
-      // grid then 4×4 average-pooled as integer SUMS (÷16 would scale
-      // all coefficients equally and move no bit): pooled cell k of 64
-      // sums luma[(4·(k/8) + t/4)·32 + 4·(k%8) + t%4] for t ∈ [0,16)
-      s"""WITH d AS (
-         |  SELECT doc_id AS media_id, text, length(text) AS n
-         |  FROM documents WHERE length(text) > 0),
-         |v AS (
-         |  SELECT media_id,
-         |         list_transform(range(0, 64), k ->
-         |           list_reduce(list_transform(range(0, 16), t ->
-         |             CAST(ascii(substring(text,
-         |               CAST(((4*(k//8) + t//4) * 32 + 4*(k%8) + t%4) * n // 1024 AS INTEGER) + 1,
-         |               1)) AS BIGINT)),
-         |             (a, b) -> a + b)) AS vs
-         |  FROM d),
-         |ctab AS (SELECT $ctList AS ct),
-         |co AS (
-         |  SELECT v.media_id, u.u, w.w,
-         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |           list_transform(range(0, 64), k ->
-         |             vs[CAST(k AS INTEGER) + 1]
-         |               * ct[CAST(8*u.u + k//8 AS INTEGER) + 1]
-         |               * ct[CAST(8*w.w + (k%8) AS INTEGER) + 1])),
-         |           (a, b) -> a + b) AS coef
-         |  FROM v CROSS JOIN ctab
-         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS u) u
-         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS w) w
-         |  WHERE NOT (u.u = 0 AND w.w = 0)),
-         |med AS (
-         |  SELECT media_id, coef AS m FROM (
-         |    SELECT media_id, coef,
-         |           row_number() OVER (PARTITION BY media_id ORDER BY coef) AS rn
-         |    FROM co) WHERE rn = 32),
-         |sg AS (
-         |  SELECT co.media_id,
-         |         CAST(sum(CASE WHEN co.coef > med.m
-         |                       THEN CAST(pow(2, co.u * 8 + co.w - 1) AS BIGINT)
-         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
-         |  FROM co JOIN med ON co.media_id = med.media_id
-         |  GROUP BY co.media_id),
-         |r AS (
-         |  SELECT media_id, sig,
-         |         row_number() OVER (PARTITION BY sig ORDER BY media_id) AS rn
-         |  FROM sg)
-         |SELECT a.media_id AS media_a, b.media_id AS media_b,
-         |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS ham
-         |FROM r a JOIN r b ON a.media_id < b.media_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= 2
-         |  AND (a.sig <> b.sig OR a.rn <= 1024)""".stripMargin
-    },
+    // the two can never drift), then signature-level pairing that
+    // mirrors the engine's plan shape EXACTLY (round-14 advice): the
+    // cross-signature branch caps by the smaller signature's
+    // distinct-signature rank within its FIRST equal 21-bit block
+    // bucket (the engine's anchor rail — previously only the same-sig
+    // cap was mirrored, so a bucket beyond 1024 distinct signatures
+    // would have diverged silently), the equal-signature branch by the
+    // per-signature media rank
+    "multimodal_phash_dedup" ->
+      s"""WITH $phashPairCtes
+         |SELECT media_a, media_b, ham FROM pp""".stripMargin,
 
     // recursive reachability over the pHash ham ≤ 2 pair set — the
     // signature + capped-pair chain replayed verbatim, then the same
     // least-id component labeling as the dedup survivor oracles
-    "multimodal_phash_survivors" -> {
-      val ctList = graft.multimodal.Multimodal.FakeCodec.DctCos
-        .map(v => s"CAST($v AS BIGINT)").mkString("[", ", ", "]")
-      s"""WITH RECURSIVE d AS (
-         |  SELECT doc_id AS media_id, text, length(text) AS n
-         |  FROM documents WHERE length(text) > 0),
-         |v AS (
-         |  SELECT media_id,
-         |         list_transform(range(0, 64), k ->
-         |           list_reduce(list_transform(range(0, 16), t ->
-         |             CAST(ascii(substring(text,
-         |               CAST(((4*(k//8) + t//4) * 32 + 4*(k%8) + t%4) * n // 1024 AS INTEGER) + 1,
-         |               1)) AS BIGINT)),
-         |             (a, b) -> a + b)) AS vs
-         |  FROM d),
-         |ctab AS (SELECT $ctList AS ct),
-         |co AS (
-         |  SELECT v.media_id, u.u, w.w,
-         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |           list_transform(range(0, 64), k ->
-         |             vs[CAST(k AS INTEGER) + 1]
-         |               * ct[CAST(8*u.u + k//8 AS INTEGER) + 1]
-         |               * ct[CAST(8*w.w + (k%8) AS INTEGER) + 1])),
-         |           (a, b) -> a + b) AS coef
-         |  FROM v CROSS JOIN ctab
-         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS u) u
-         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS w) w
-         |  WHERE NOT (u.u = 0 AND w.w = 0)),
-         |med AS (
-         |  SELECT media_id, coef AS m FROM (
-         |    SELECT media_id, coef,
-         |           row_number() OVER (PARTITION BY media_id ORDER BY coef) AS rn
-         |    FROM co) WHERE rn = 32),
-         |sg AS (
-         |  SELECT co.media_id,
-         |         CAST(sum(CASE WHEN co.coef > med.m
-         |                       THEN CAST(pow(2, co.u * 8 + co.w - 1) AS BIGINT)
-         |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
-         |  FROM co JOIN med ON co.media_id = med.media_id
-         |  GROUP BY co.media_id),
-         |r AS (
-         |  SELECT media_id, sig,
-         |         row_number() OVER (PARTITION BY sig ORDER BY media_id) AS rn
-         |  FROM sg),
-         |pp AS (
-         |  SELECT a.media_id AS media_a, b.media_id AS media_b
-         |  FROM r a JOIN r b ON a.media_id < b.media_id
-         |  WHERE bit_count(xor(a.sig, b.sig)) <= 2
-         |    AND (a.sig <> b.sig OR a.rn <= 1024)),
+    "multimodal_phash_survivors" ->
+      s"""WITH RECURSIVE $phashPairCtes,
          |e AS (SELECT media_a AS src, media_b AS dst FROM pp
          |      UNION SELECT media_b, media_a FROM pp),
          |reach(src, dst) AS (
@@ -500,6 +454,100 @@ object MultimodalQueries {
          |  SELECT r2.src, e2.dst FROM reach r2 JOIN e e2 ON r2.dst = e2.src)
          |SELECT src AS media_id, least(src, min(dst)) AS rep
          |FROM reach GROUP BY src""".stripMargin
-    }
   )
+
+  /** The shared pHash oracle chain: planted-variant media (ascii + 1
+    * per sampled character — see [[ReencodeEvery]]), decoded-grid
+    * pooling, fixed-point DCT on the literal [[FakeCodec.DctCos]]
+    * table, median signature, then BOTH pair branches of the engine's
+    * plan — cross-signature pairs anchor-capped by distinct-signature
+    * rank at the first equal 21-bit block, equal-signature pairs by
+    * per-signature media rank. Heavy CTEs are MATERIALIZED: sg feeds
+    * four consumers and DuckDB's default inlining would re-run the
+    * DCT chain per reference. */
+  private lazy val phashPairCtes: String = {
+    val ctList = graft.multimodal.Multimodal.FakeCodec.DctCos
+      .map(v => s"CAST($v AS BIGINT)").mkString("[", ", ", "]")
+    // decoded path: the fake decoder's pixel section is the whole
+    // text on this corpus (ASCII, no NUL trailer — the codec-side
+    // assumption phashBatch documents), resampled to a 32×32 luma
+    // grid then 4×4 average-pooled as integer SUMS (÷16 would scale
+    // all coefficients equally and move no bit): pooled cell k of 64
+    // sums luma[(4·(k/8) + t/4)·32 + 4·(k%8) + t%4] for t ∈ [0,16)
+    s"""d AS MATERIALIZED (
+       |  SELECT doc_id AS media_id, text, length(text) AS n, 0 AS shift
+       |  FROM documents WHERE length(text) > 0
+       |  UNION ALL
+       |  SELECT doc_id + $ReencodeIdOffset, text, length(text), 1
+       |  FROM documents WHERE length(text) > 0 AND doc_id % $ReencodeEvery = 0),
+       |v AS MATERIALIZED (
+       |  SELECT media_id,
+       |         list_transform(range(0, 64), k ->
+       |           list_reduce(list_transform(range(0, 16), t ->
+       |             CAST(ascii(substring(text,
+       |               CAST(((4*(k//8) + t//4) * 32 + 4*(k%8) + t%4) * n // 1024 AS INTEGER) + 1,
+       |               1)) + shift AS BIGINT)),
+       |             (a, b) -> a + b)) AS vs
+       |  FROM d),
+       |ctab AS (SELECT $ctList AS ct),
+       |co AS MATERIALIZED (
+       |  SELECT v.media_id, u.u, w.w,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(0, 64), k ->
+       |             vs[CAST(k AS INTEGER) + 1]
+       |               * ct[CAST(8*u.u + k//8 AS INTEGER) + 1]
+       |               * ct[CAST(8*w.w + (k%8) AS INTEGER) + 1])),
+       |           (a, b) -> a + b) AS coef
+       |  FROM v CROSS JOIN ctab
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS u) u
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS w) w
+       |  WHERE NOT (u.u = 0 AND w.w = 0)),
+       |med AS MATERIALIZED (
+       |  SELECT media_id, coef AS m FROM (
+       |    SELECT media_id, coef,
+       |           row_number() OVER (PARTITION BY media_id ORDER BY coef) AS rn
+       |    FROM co) WHERE rn = 32),
+       |sg AS MATERIALIZED (
+       |  SELECT co.media_id,
+       |         CAST(sum(CASE WHEN co.coef > med.m
+       |                       THEN CAST(pow(2, co.u * 8 + co.w - 1) AS BIGINT)
+       |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+       |  FROM co JOIN med ON co.media_id = med.media_id
+       |  GROUP BY co.media_id),
+       |r AS MATERIALIZED (
+       |  SELECT media_id, sig,
+       |         row_number() OVER (PARTITION BY sig ORDER BY media_id) AS rn
+       |  FROM sg),
+       |sigs AS MATERIALIZED (SELECT DISTINCT sig FROM sg),
+       |bd AS MATERIALIZED (
+       |  SELECT sig, g.blk,
+       |         row_number() OVER (
+       |           PARTITION BY g.blk, (sig >> (21*g.blk)) & 2097151
+       |           ORDER BY sig) AS srk
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 3)) AS blk) g),
+       |sp AS MATERIALIZED (
+       |  SELECT a.sig AS sa, b.sig AS sb
+       |  FROM sigs a JOIN sigs b ON a.sig < b.sig
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+       |spf AS MATERIALIZED (
+       |  SELECT sp.sa, sp.sb,
+       |         min(CASE WHEN ((sp.sa >> (21*g.blk)) & 2097151)
+       |                       = ((sp.sb >> (21*g.blk)) & 2097151)
+       |                  THEN g.blk END) AS fblk
+       |  FROM sp CROSS JOIN (SELECT unnest(range(0, 3)) AS blk) g
+       |  GROUP BY sp.sa, sp.sb),
+       |spc AS MATERIALIZED (
+       |  SELECT f.sa, f.sb FROM spf f
+       |  JOIN bd ON bd.sig = f.sa AND bd.blk = f.fblk
+       |  WHERE bd.srk <= 1024),
+       |pp AS MATERIALIZED (
+       |  SELECT least(da.media_id, db.media_id) AS media_a,
+       |         greatest(da.media_id, db.media_id) AS media_b,
+       |         CAST(bit_count(xor(c.sa, c.sb)) AS BIGINT) AS ham
+       |  FROM spc c JOIN sg da ON da.sig = c.sa JOIN sg db ON db.sig = c.sb
+       |  UNION ALL
+       |  SELECT a.media_id, b.media_id, CAST(0 AS BIGINT)
+       |  FROM r a JOIN r b ON a.sig = b.sig AND a.media_id < b.media_id
+       |  WHERE a.rn <= 1024)""".stripMargin
+  }
 }

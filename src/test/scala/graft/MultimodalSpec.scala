@@ -104,7 +104,19 @@ class MultimodalSpec extends SparkSpec {
 
   test("ahash near-dup query equals brute force over signatures (pigeonhole recall-exact)") {
     val docs = Tables.load(spark, sf0001, "documents")
-    val sigs = MediaPipeline.perceptualHashes(spark, docs, samples = 56).collect()
+    // reference corpus includes the query's planted brightness-shift
+    // re-encodes (part of the registered semantics since round 14);
+    // aHash is exactly shift-invariant (56·vᵢ > Σv), so each variant
+    // pairs at ham 0 with its original
+    val baseRecs = docs.select("doc_id", "text").collect().map(r =>
+      MediaRecord(r.getLong(0), "image", r.getString(1).getBytes("UTF-8"), "m", 1, 1))
+    val planted = baseRecs
+      .filter(r => r.media_id % graft.queries.MultimodalQueries.ReencodeEvery == 0 &&
+        r.data.nonEmpty)
+      .map(r => r.copy(
+        media_id = r.media_id + graft.queries.MultimodalQueries.ReencodeIdOffset,
+        data = r.data.map(b => (b + 1).toByte)))
+    val sigs = FakeCodec.ahashBatch((baseRecs ++ planted).toSeq, samples = 56)
     val brute = (for {
       a <- sigs; b <- sigs if a.media_id < b.media_id
       h = java.lang.Long.bitCount(a.ahash ^ b.ahash) if h <= 3
@@ -112,6 +124,9 @@ class MultimodalSpec extends SparkSpec {
     val got = graft.queries.MultimodalQueries.queries("multimodal_ahash_dedup")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == brute, s"banding candidates ${got.size} != brute ${brute.size}")
+    val off = graft.queries.MultimodalQueries.ReencodeIdOffset
+    assert(brute.exists { case (a, b, h) => (a >= off || b >= off) && h == 0L },
+      "planted re-encodes must surface at ham 0 (mean-shift invariance)")
   }
 
   test("pHash: 63-bit signature, EXACTLY invariant to uniform brightness shift") {
@@ -196,48 +211,79 @@ class MultimodalSpec extends SparkSpec {
     }
     texts += "a completely unrelated filler document about maritime insurance law"
     texts += "another unrelated one: seventy bottles of ink, a ledger, and a goose"
-    val dir = java.nio.file.Files.createTempDirectory("phash_fixture").toString
-    import spark.implicits._
-    texts.toSeq.zipWithIndex
-      .map { case (t, i) => (i.toLong, t, "en", "fixture", t.length.toLong) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dirPath = java.nio.file.Files.createTempDirectory("phash_fixture")
+    val dir = dirPath.toString
+    try {
+      import spark.implicits._
+      texts.toSeq.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "fixture", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val sigs = MediaPipeline.perceptualDctHashes(
-      spark, Tables.load(spark, dir, "documents")).collect()
-    val pairs = for {
-      a <- sigs; b <- sigs if a.media_id < b.media_id
-      if java.lang.Long.bitCount(a.phash ^ b.phash) <= 2
-    } yield (a.media_id, b.media_id)
-    assert(pairs.length >= 6, s"fixture must carry planted pairs, got ${pairs.toSeq}")
-    val brute = (for {
-      a <- sigs; b <- sigs if a.media_id < b.media_id
-      h = java.lang.Long.bitCount(a.phash ^ b.phash) if h <= 2
-    } yield (a.media_id, b.media_id, h.toLong)).toSet
-    val got = graft.queries.MultimodalQueries.queries("multimodal_phash_dedup")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == brute, s"banding candidates ${got.size} != brute ${brute.size}")
+      // the reference corpus includes the QUERY's planted brightness-
+      // shift re-encodes (id % ReencodeEvery == 0 → byte+1 copy under
+      // id + ReencodeIdOffset) — planting is part of the registered
+      // query's semantics, so the brute-force reference replays it
+      val baseRecs = texts.toSeq.zipWithIndex.map { case (t, i) =>
+        MediaRecord(i.toLong, "image", t.getBytes("UTF-8"), "m", 1, 1)
+      }
+      val planted = baseRecs
+        .filter(r => r.media_id % graft.queries.MultimodalQueries.ReencodeEvery == 0 &&
+          r.data.nonEmpty)
+        .map(r => r.copy(
+          media_id = r.media_id + graft.queries.MultimodalQueries.ReencodeIdOffset,
+          data = r.data.map(b => (b + 1).toByte)))
+      val sigs = FakeCodec.phashBatch(baseRecs ++ planted)
+      val pairs = for {
+        a <- sigs; b <- sigs if a.media_id < b.media_id
+        if java.lang.Long.bitCount(a.phash ^ b.phash) <= 2
+      } yield (a.media_id, b.media_id)
+      assert(pairs.length >= 6, s"fixture must carry planted pairs, got ${pairs.toSeq}")
+      val brute = (for {
+        a <- sigs; b <- sigs if a.media_id < b.media_id
+        h = java.lang.Long.bitCount(a.phash ^ b.phash) if h <= 2
+      } yield (a.media_id, b.media_id, h.toLong)).toSet
+      val got = graft.queries.MultimodalQueries.queries("multimodal_phash_dedup")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == brute, s"banding candidates ${got.size} != brute ${brute.size}")
 
-    // driver-side union-find as the reference labeling
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      // driver-side union-find as the reference labeling
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(x => (x, find(x))).toSet
+      val gotCc = graft.queries.MultimodalQueries
+        .queries("multimodal_phash_survivors")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotCc == expect, s"diff=${(gotCc diff expect) ++ (expect diff gotCc)}")
+    } finally {
+      // advice round 13: the fixture leaked one directory per run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val expect = parent.keys.map(x => (x, find(x))).toSet
-    val gotCc = graft.queries.MultimodalQueries
-      .queries("multimodal_phash_survivors")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(gotCc == expect, s"diff=${(gotCc diff expect) ++ (expect diff gotCc)}")
   }
 
   test("phash near-dup on the driver corpus: 63 bits admit NO birthday pairs (no false positives)") {
     val docs = Tables.load(spark, sf0001, "documents")
-    val sigs = MediaPipeline.perceptualDctHashes(spark, docs).collect()
+    // pristine corpus signatures + the query's planted re-encodes —
+    // every emitted pair must involve a planted id; pristine-only
+    // pairs would be 63-bit birthday collisions (false positives)
+    val baseRecs = docs.select("doc_id", "text").collect().map(r =>
+      MediaRecord(r.getLong(0), "image", r.getString(1).getBytes("UTF-8"), "m", 1, 1))
+    val planted = baseRecs
+      .filter(r => r.media_id % graft.queries.MultimodalQueries.ReencodeEvery == 0 &&
+        r.data.nonEmpty)
+      .map(r => r.copy(
+        media_id = r.media_id + graft.queries.MultimodalQueries.ReencodeIdOffset,
+        data = r.data.map(b => (b + 1).toByte)))
+    val sigs = FakeCodec.phashBatch((baseRecs ++ planted).toSeq)
     val brute = (for {
       a <- sigs; b <- sigs if a.media_id < b.media_id
       h = java.lang.Long.bitCount(a.phash ^ b.phash) if h <= 2
@@ -245,7 +291,9 @@ class MultimodalSpec extends SparkSpec {
     val got = graft.queries.MultimodalQueries.queries("multimodal_phash_dedup")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == brute, s"banding candidates ${got.size} != brute ${brute.size}")
-    assert(brute.isEmpty,
-      "driver corpus has no re-encodes: any pair at 63 bits is a false positive")
+    val off = graft.queries.MultimodalQueries.ReencodeIdOffset
+    assert(brute.forall { case (a, b, _) => a >= off || b >= off },
+      "pristine corpus has no re-encodes: any pristine-only pair at 63 bits is a false positive")
+    assert(brute.nonEmpty, "the planted re-encodes must surface (ham = 0 by DCT linearity)")
   }
 }

@@ -42,8 +42,16 @@ def main(out_path, *window_specs):
         w = json.load(open(path))
         if meta is None:
             meta = w
+        elif w.get("sf") != meta.get("sf"):
+            raise SystemExit(
+                f"window {path} measures sf={w.get('sf')!r} but the first "
+                f"window measured sf={meta.get('sf')!r} — refusing to merge "
+                "mixed scale factors")
         for k, v in w["queries"].items():
-            if v < 0:
+            # a failed COLD measurement (-1 sentinel) must not fold
+            # silently into the headline cold sum even when the warm
+            # value succeeded — treat the window as failed for k
+            if v < 0 or w["queries_cold"].get(k, -1) < 0:
                 failed.setdefault(k, []).append(int(p))
                 continue
             if k not in warm or v < warm[k]:
