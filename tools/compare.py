@@ -38,13 +38,21 @@ def cells_equal(a, b):
     return str(a) == str(b)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
+    report = {}
+
+    def record(name, rows_match, schema_match, hash_match,
+               spark_rows, oracle_rows, err=None):
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     for name, sql in sorted(oracle.items()):
         try:
             got = canon(con, con.sql(
@@ -53,14 +61,17 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             failed.append(name)
+            record(name, False, False, False, -1, -1, str(e)[:300])
             continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
             failed.append(name)
+            record(name, len(got) == len(want), False, False, len(got), len(want))
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             failed.append(name)
+            record(name, False, True, False, len(got), len(want))
             continue
         ok = True
         for col in got.columns:
@@ -76,9 +87,15 @@ def main(sf_dir, out_dir):
             print(f"ok   {name} ({len(got)} rows)")
         else:
             failed.append(name)
+        record(name, True, True, ok, len(got), len(want))
     print(f"\n{len(oracle) - len(failed)}/{len(oracle)} passed")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(report.items())), f, indent=2)
+            f.write("\n")
     return 1 if failed else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
