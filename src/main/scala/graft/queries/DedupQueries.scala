@@ -804,9 +804,28 @@ object DedupQueries {
           .groupBy(col("s")).agg(count(lit(1)).as("c"))
       val lshCounts = corpusBands(s, dir)
         .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("c"))
+      // the simhash block buckets joined the census in round 14: the
+      // first sf0.1 hash-compare found narrow block (3, 0) at 2046
+      // distinct signatures — the one capped surface the gauge was NOT
+      // watching is exactly the one that bound first
+      def simhashCounts(sig: org.apache.spark.sql.Column, widths: Seq[Int]): DataFrame = {
+        val offs = widths.scanLeft(0)(_ + _).init
+        val blocks = array(widths.indices.map { i =>
+          struct(lit(i).as("blk"),
+            simhashBlockBits(col("sh"), offs(i), widths(i)).as("bits"))
+        }: _*)
+        docs(s, dir).select(sig.as("sh")).distinct()
+          .select(explode(blocks).as("b"))
+          .groupBy(col("b.blk").as("blk"), col("b.bits").as("bits"))
+          .agg(count(lit(1)).as("c"))
+      }
       census(prefixCounts(7, 10), "ppjoin_tau07")
         .unionByName(census(prefixCounts(4, 5), "ppjoin_tau08"))
         .unionByName(census(lshCounts, "lsh_bands"))
+        .unionByName(census(
+          simhashCounts(simhash31(col("text")), Simhash31Blocks), "simhash31_blocks"))
+        .unionByName(census(
+          simhashCounts(simhash62(col("text")), Simhash62Blocks), "simhash62_blocks"))
     }),
 
     // BANDING PARAMETER SWEEP — the candidate audit extended across
@@ -1633,6 +1652,60 @@ object DedupQueries {
       |    (x, y) -> x + y) sh
       |  FROM h)""".stripMargin
 
+  /** The capped simhash pair CTEs — the oracle replay of
+    * [[simhashPairs]]' PLAN SHAPE, not a brute-force stand-in: given
+    * an upstream CTE `s(doc_id, sh)`, emits `spp(doc_a, doc_b, ham)`
+    * with the cross-signature branch anchor-capped by
+    * distinct-signature rank at the FIRST equal block (exactly
+    * [[simhashBlockCandidates]]' rail) and the equal-signature branch
+    * uncapped (exactly the engine's `same` branch). Round 14: the
+    * first sf0.1 hash-compare proved the brute-force oracles WRONG at
+    * scale — narrow-simhash block (3, 0) holds 2046 distinct
+    * signatures at 5000 docs (the "nothing approaches the cap at test
+    * scale" claim held only for averages, not the skewed tail), so
+    * the rail binds and drops ~1.7% of pairs the brute force kept.
+    * Whether the cap binds is censused by `dedup_cap_binding`'s
+    * simhash surfaces; this mirror makes the oracles exact at every
+    * scale REGARDLESS. MATERIALIZED throughout — sigs/sbd/ssp feed
+    * multiple consumers and DuckDB's default inlining re-derives the
+    * signature fold per reference. */
+  private def simhashCappedPairCtes(widths: Seq[Int]): String = {
+    val offs = widths.scanLeft(0)(_ + _).init
+    def blockBits(c: String, blk: String): String =
+      "CASE " + widths.indices.map(i =>
+        s"WHEN $blk = $i THEN ($c >> ${offs(i)}) & ${(1L << widths(i)) - 1}")
+        .mkString(" ") + " END"
+    s"""sigs AS MATERIALIZED (SELECT DISTINCT sh FROM s),
+       |sbd AS MATERIALIZED (
+       |  SELECT sh, g.blk,
+       |         row_number() OVER (
+       |           PARTITION BY g.blk, ${blockBits("sh", "g.blk")}
+       |           ORDER BY sh) AS srk
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${widths.size})) AS blk) g),
+       |ssp AS MATERIALIZED (
+       |  SELECT a.sh AS sa, b.sh AS sb,
+       |         CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
+       |  FROM sigs a JOIN sigs b ON a.sh < b.sh
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+       |sspf AS MATERIALIZED (
+       |  SELECT p.sa, p.sb, p.ham,
+       |         min(CASE WHEN ${blockBits("p.sa", "g.blk")} = ${blockBits("p.sb", "g.blk")}
+       |                  THEN g.blk END) AS fblk
+       |  FROM ssp p CROSS JOIN (SELECT unnest(range(0, ${widths.size})) AS blk) g
+       |  GROUP BY p.sa, p.sb, p.ham),
+       |sspc AS MATERIALIZED (
+       |  SELECT f.sa, f.sb, f.ham FROM sspf f
+       |  JOIN sbd ON sbd.sh = f.sa AND sbd.blk = f.fblk
+       |  WHERE sbd.srk <= $LshBucketCap),
+       |spp AS MATERIALIZED (
+       |  SELECT least(da.doc_id, db.doc_id) AS doc_a,
+       |         greatest(da.doc_id, db.doc_id) AS doc_b, c.ham
+       |  FROM sspc c JOIN s da ON da.sh = c.sa JOIN s db ON db.sh = c.sb
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id, CAST(0 AS BIGINT)
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** [[simhashSigCtes]] over the stride-sampled corpus — the oracle
     * replay of [[SimhashCcAuditCap]]'s rail (identity at every oracle
     * scale: n ≤ cap ⇒ stride = 1), used only by the narrow-simhash
@@ -2000,9 +2073,23 @@ object DedupQueries {
 
     // unreferenced CTEs in the shared prefix (e.g. the O(n²) `tr`
     // truth) are never evaluated by DuckDB — this gauge replays only
-    // shingles, the two τ-prefix indexes, and the band buckets
-    "dedup_cap_binding" ->
+    // shingles, the two τ-prefix indexes, the band buckets, and (round
+    // 14) the simhash block buckets that the sf0.1 compare caught
+    // binding first
+    "dedup_cap_binding" -> {
+      def bits(c: String, blk: String, widths: Seq[Int]): String = {
+        val offs = widths.scanLeft(0)(_ + _).init
+        "CASE " + widths.indices.map(i =>
+          s"WHEN $blk = $i THEN ($c >> ${offs(i)}) & ${(1L << widths(i)) - 1}")
+          .mkString(" ") + " END"
+      }
+      val sim31 = simhashSigCtes.replace("h AS (", "h31 AS (")
+        .replace("FROM h)", "FROM h31)").replace("s AS (", "s31 AS (")
+      val sim62 = simhash62SigCtes.replace("h AS (", "h62 AS (")
+        .replace("FROM h)", "FROM h62)").replace("s AS (", "s62 AS (")
       s"""WITH $minhashSigPrefixCtes,
+         |$sim31,
+         |$sim62,
          |ex AS (SELECT doc_id, len(g) n, unnest(g) s FROM tf),
          |freq AS (SELECT s, count(*) df FROM ex GROUP BY s),
          |pr AS (
@@ -2019,7 +2106,15 @@ object DedupQueries {
          |  FROM sl CROSS JOIN (SELECT unnest(range(0, 16)) j) bj),
          |g07 AS (SELECT CAST(count(*) AS BIGINT) c FROM p07 GROUP BY s),
          |g08 AS (SELECT CAST(count(*) AS BIGINT) c FROM p08 GROUP BY s),
-         |gl AS (SELECT CAST(count(*) AS BIGINT) c FROM bands GROUP BY j, bucket)
+         |gl AS (SELECT CAST(count(*) AS BIGINT) c FROM bands GROUP BY j, bucket),
+         |gs31 AS (SELECT CAST(count(*) AS BIGINT) c
+         |         FROM (SELECT DISTINCT sh FROM s31) q31
+         |         CROSS JOIN (SELECT unnest(range(0, 4)) AS blk) g
+         |         GROUP BY g.blk, ${bits("sh", "g.blk", Simhash31Blocks)}),
+         |gs62 AS (SELECT CAST(count(*) AS BIGINT) c
+         |         FROM (SELECT DISTINCT sh FROM s62) q62
+         |         CROSS JOIN (SELECT unnest(range(0, 4)) AS blk) g
+         |         GROUP BY g.blk, ${bits("sh", "g.blk", Simhash62Blocks)})
          |SELECT 'ppjoin_tau07' AS surface, CAST($LshBucketCap AS BIGINT) AS cap,
          |       CAST(count(*) AS BIGINT) AS n_keys,
          |       CAST(max(c) AS BIGINT) AS max_group,
@@ -2032,7 +2127,16 @@ object DedupQueries {
          |UNION ALL
          |SELECT 'lsh_bands', CAST($LshBucketCap AS BIGINT), CAST(count(*) AS BIGINT),
          |       CAST(max(c) AS BIGINT), CAST(sum(greatest(c - $LshBucketCap, 0)) AS BIGINT)
-         |FROM gl""".stripMargin,
+         |FROM gl
+         |UNION ALL
+         |SELECT 'simhash31_blocks', CAST($LshBucketCap AS BIGINT), CAST(count(*) AS BIGINT),
+         |       CAST(max(c) AS BIGINT), CAST(sum(greatest(c - $LshBucketCap, 0)) AS BIGINT)
+         |FROM gs31
+         |UNION ALL
+         |SELECT 'simhash62_blocks', CAST($LshBucketCap AS BIGINT), CAST(count(*) AS BIGINT),
+         |       CAST(max(c) AS BIGINT), CAST(sum(greatest(c - $LshBucketCap, 0)) AS BIGINT)
+         |FROM gs62""".stripMargin
+    },
 
     // same 32-char block key, same LshBucketCap-member anchor rail,
     // same strict-prefix verification
@@ -2312,21 +2416,20 @@ object DedupQueries {
          |            JOIN wcnt w ON w.rep = n.rep
          |            LEFT JOIN tcnt t ON t.rep = n.rep""".stripMargin,
 
+    // the capped plan shape replayed (see simhashCappedPairCtes): the
+    // sf0.1 hash-compare (round 14) proved the brute force diverges
+    // once a block bucket crosses the 1024-sig anchor rail
     "dedup_simhash" ->
-      s"""WITH $simhashSigCtes
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+      s"""WITH $simhashSigCtes,
+         |${simhashCappedPairCtes(Simhash31Blocks)}
+         |SELECT doc_a, doc_b, ham FROM spp""".stripMargin,
 
-    // 62-bit dual-signature brute force — banding is recall-exact by
-    // pigeonhole, so the engine's block plan must reproduce this set
+    // 62-bit dual-signature form, same capped replay (its top block
+    // saturates the same way — ~2% divergence at sf0.1 before this)
     "dedup_simhash_wide" ->
-      s"""WITH $simhash62SigCtes
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+      s"""WITH $simhash62SigCtes,
+         |${simhashCappedPairCtes(Simhash62Blocks)}
+         |SELECT doc_a, doc_b, ham FROM spp""".stripMargin,
 
     // same recursive-CTE survivor rule as survivorsSql, but the edge
     // set is the simhash ham ≤ 3 pairs instead of Jaccard τ = 0.8 —
@@ -2334,12 +2437,9 @@ object DedupQueries {
     // identity at oracle scale; see componentLabelsSimhash)
     "dedup_survivors_simhash" ->
       s"""WITH RECURSIVE $simhashSampledSigCtes,
-         |p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-         |      UNION SELECT doc_b, doc_a FROM p),
+         |${simhashCappedPairCtes(Simhash31Blocks)},
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM spp
+         |      UNION SELECT doc_b, doc_a FROM spp),
          |reach(src, dst) AS (
          |  SELECT src, dst FROM e
          |  UNION
@@ -2350,15 +2450,12 @@ object DedupQueries {
          |FROM reach GROUP BY src""".stripMargin,
 
     // the survivor rule over the 62-bit edge set, replaying the dual
-    // signature fold
+    // signature fold through the same capped pair shape
     "dedup_survivors_wide" ->
       s"""WITH RECURSIVE $simhash62SigCtes,
-         |p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-         |      UNION SELECT doc_b, doc_a FROM p),
+         |${simhashCappedPairCtes(Simhash62Blocks)},
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM spp
+         |      UNION SELECT doc_b, doc_a FROM spp),
          |reach(src, dst) AS (
          |  SELECT src, dst FROM e
          |  UNION
