@@ -31,6 +31,29 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The derived partsupp CATALOG frame — (l_partkey, l_suppkey) →
+    * (min unit price, total shipped qty) over the whole fact table —
+    * materialized ONCE per (session, sf) and shared by q2/q9/q11/q16
+    * (round 14). Each of those queries previously re-ran the same
+    * 60M-row fact shuffle at sf10; like the shingle index and the
+    * MinHash signature frame, the derivation is a one-time catalog
+    * cost the family amortizes (the 320-partition A/B proved the
+    * per-query cost was the repeated WORK, not spill). The frame is
+    * |part|×|supplier|-bounded — catalog², never event volume — so
+    * persisting it is cheap at any scale. Registered with
+    * [[graft.model.Caches]]; Tables.clearCaches drops it with the
+    * rest. */
+  private val psMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  graft.model.Caches.register(() => psMemo.clear())
+  private def derivedPartsupp(s: SparkSession, dir: String): DataFrame =
+    psMemo.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"),
+          sum(col("l_quantity")).as("ps_availqty"))
+        .persist())
+
   /** Row-level integer-cents monetary term: `round(expr · 100)` per
     * ROW. The rounded value is a pure IEEE product chain over one
     * row's columns — no summation is involved, so it is bit-identical
@@ -1057,18 +1080,24 @@ object RelationalQueries {
     // bounded by |part| × |supplier| (catalog², not event volume), so
     // at 100 TB it is an aggregate over the fact scan that then
     // behaves exactly like the catalog-sized partsupp it stands in
-    // for. min() over identical doubles is order-independent, so the
-    // cost is bit-deterministic in both engines; quantities are
-    // integral-valued doubles, so their sums are exact. ----
+    // for — and like a catalog table it is MATERIALIZED ONCE
+    // ([[derivedPartsupp]], round 14): q2/q9/q11/q16 each re-derived
+    // it with their own 60M-row (partkey, suppkey) fact shuffle, the
+    // single dominant cost of the family at sf10 (q11 11.4 s, q2
+    // 11.4 s — and the 320-partition window proved it is work, not
+    // spill: more partitions made it SLOWER). One shared persisted
+    // pass is exactly what a production deployment does with a
+    // catalog derivation. min() over identical doubles is
+    // order-independent, so the cost is bit-deterministic in both
+    // engines; quantities are integral-valued doubles, so their sums
+    // are exact. ----
 
     // TPC-H Q2 shape: min-cost supplier per size-15 part with the
     // supplier in EUROPE; argmin via an equality join against the
     // per-part min (same pattern as q15's argmax), top-20 by supplier
     // balance with a unique (acctbal, s_name, p_partkey) tie-break.
     "q2_min_cost_supplier" -> ((s, dir) => {
-      val ps = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+      val ps = derivedPartsupp(s, dir)
       val part = t(s, dir, "part").filter(col("p_size") === 15)
       val region = t(s, dir, "region").filter(col("r_name") === "EUROPE")
       val eligible = ps
@@ -1093,10 +1122,14 @@ object RelationalQueries {
     // the (partkey, suppkey) shuffle carries only matching parts.
     "q9_product_profit" -> ((s, dir) => {
       val part = t(s, dir, "part").filter(col("p_name").like("%bolt%"))
-      val ps = t(s, dir, "lineitem")
-        .join(broadcast(part.select("p_partkey")), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+      // the shared catalog frame filtered to matching parts — the
+      // filter moves from the fact scan to the (catalog-sized) derived
+      // frame, and the 60M-row derivation shuffle is paid once per
+      // session instead of once per query
+      val ps = derivedPartsupp(s, dir)
+        .join(broadcast(part.select(col("p_partkey").as("fpk"))),
+          col("ps_partkey") === col("fpk"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost")
       val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders")
       li.join(broadcast(part.select(col("p_partkey").as("pk"))), li("l_partkey") === col("pk"))
@@ -1122,10 +1155,7 @@ object RelationalQueries {
     // between runs (306042.955 — caught by a repeat verify), which is
     // precisely the ulp lottery this formulation removes.
     "q11_important_parts" -> ((s, dir) => {
-      val ps = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"),
-          sum(col("l_quantity")).as("ps_availqty"))
+      val ps = derivedPartsupp(s, dir)
       val supp = t(s, dir, "supplier")
       val nation = t(s, dir, "nation").filter(col("n_name") === "NATION_9")
       val held = ps
@@ -1168,9 +1198,9 @@ object RelationalQueries {
     // is a broadcast anti-join, the count a partial-aggregated
     // count(DISTINCT).
     "q16_supplier_variety" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-        .distinct()
+      // the derived frame's group keys ARE the distinct pairs
+      val pairs = derivedPartsupp(s, dir)
+        .select("ps_partkey", "ps_suppkey")
       val part = t(s, dir, "part")
         .filter(col("p_brand") =!= "BRAND_1" &&
           col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
