@@ -41,23 +41,30 @@ object DedupQueries {
     Tables.load(s, dir, "documents")
 
   /** Winnow shared-fingerprint pairs with counts — the dedup_winnow
-    * body, shared with the candidate audit so both consume ONE plan. */
-  private def winnowSharedCounts(s: SparkSession, dir: String): DataFrame = {
-    val sel = TextQueries.winnowSelected(docs(s, dir),
-        TextQueries.WinnowK, TextQueries.WinnowW)
-      .select(col("doc_id"), col("fp")).distinct()
-    sel.as("a").join(sel.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-  }
+    * body, shared with the candidate audit. MEMO-PERSISTED (round 15):
+    * the frame is pair-graph-sized but its derivation is a corpus
+    * fingerprint pass + self-join that dedup_winnow and the audit each
+    * re-paid per run (part of the audit's 36.6 s sf10 line). */
+  private def winnowSharedCounts(s: SparkSession, dir: String): DataFrame =
+    ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "winnow_shared"), _ => {
+      val sel = TextQueries.winnowSelected(docs(s, dir),
+          TextQueries.WinnowK, TextQueries.WinnowW)
+        .select(col("doc_id"), col("fp")).distinct()
+      sel.as("a").join(sel.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .persist()
+    })
 
-  /** Memoized connected-components labels per (session, dataset, edge
-    * source). The CC result is an eagerly checkpointed frame produced
-    * by an iterative job — it cannot be shared through the CacheManager
-    * like the plan-cached frames, so dedup_survivors and the cleaning
-    * pipeline would otherwise each pay the full iteration. Cleared via
-    * [[graft.model.Caches]]. */
+  /** Memoized shared frames per (session, dataset, tag) — the CC
+    * labels, PageRank, and the τ-sweep's pinned verified pairs. The CC
+    * results are eagerly checkpointed frames produced by iterative
+    * jobs — they cannot be shared through the CacheManager like the
+    * plan-cached frames, so dedup_survivors and the cleaning pipeline
+    * would otherwise each pay the full iteration; the persisted
+    * entries ride along so ONE frame object owns each pin by
+    * construction. Cleared via [[graft.model.Caches]]. */
   private val ccMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
   graft.model.Caches.register(() => ccMemo.clear())
@@ -154,6 +161,19 @@ object DedupQueries {
     ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "simhash_wide"), _ =>
       graft.ops.Graph.connectedComponents(
         queries("dedup_simhash_wide")(s, dir).select("doc_a", "doc_b")))
+
+  /** Memo-persisted corpus SNM candidate pairs (round 15): O(n·w)
+    * rows by construction, but each derivation is a corpus sort (+
+    * zipWithIndex rank for the global form) that the owning query,
+    * the candidate audit, and the SNM survivor CC each re-paid per
+    * run. One frame object per (session, dataset) ends that. */
+  private def snmCandidatesMemo(s: SparkSession, dir: String): DataFrame =
+    ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "snm_cands"), _ =>
+      snmCandidates(docs(s, dir)).persist())
+
+  private def snmGlobalCandidatesMemo(s: SparkSession, dir: String): DataFrame =
+    ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "snm_global_cands"), _ =>
+      snmGlobalCandidates(docs(s, dir)).persist())
 
   private[queries] def componentLabelsSnm(s: SparkSession, dir: String): DataFrame =
     ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "snm"), _ =>
@@ -253,9 +273,36 @@ object DedupQueries {
     (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))) * tauDen >=
       greatest(col("na"), col("nb")) * tauNum
 
+  /** Memoized τ = 0.7 prefix inverted index over the CORPUS shingle
+    * sets — the shared substrate of every corpus PPJoin caller. The
+    * prefix at any tighter τ is a pure `rk` filter of this frame
+    * (prefix length n − ⌈τ·n⌉ + 1 shrinks as τ grows, over the same
+    * (df asc, shingle) total order), so one explode + df-count +
+    * per-doc rank pass serves the τ = 0.8 pair generator, the τ-sweep,
+    * the candidate audit, and both cap-census arms — previously each
+    * re-ran the full pass per invocation (round-14 verdict: the audit
+    * alone was 36.6 s at sf10, most of it re-derivation). Pinnable by
+    * construction: prefix rows ≈ 0.3·Σ|g| (measured ~3 M rows at
+    * sf10 — the census' Σ posting-list sizes), graph-index-sized,
+    * never corpus-text-sized. */
+  private[queries] def corpusPrefixIndex(s: SparkSession, dir: String): DataFrame =
+    ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "ppjoin_prefix07"), _ =>
+      ppjoinPrefix(shingled(s, dir), 7, 10).persist())
+
+  /** The τ = tauNum/tauDen prefix as a filter of the memoized τ = 0.7
+    * index — valid for τ ≥ 0.7 only (looser τ needs a longer prefix
+    * than the memo holds). */
+  private def prefixAtTau(pre: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum * 10 >= tauDen * 7,
+      s"corpus prefix memo covers tau >= 0.7 only, got $tauNum/$tauDen")
+    pre.filter(col("rk") <=
+      col("n") - floor((col("n") * tauNum + (tauDen - 1)) / tauDen) + 1)
+  }
+
   private[graft] def ppjoinCandidates(sh: DataFrame, tauNum: Int, tauDen: Int,
-      anchorCap: Option[Int] = None): DataFrame = {
-    val prefix = ppjoinPrefix(sh, tauNum, tauDen)
+      anchorCap: Option[Int] = None,
+      prefixOpt: Option[DataFrame] = None): DataFrame = {
+    val prefix = prefixOpt.getOrElse(ppjoinPrefix(sh, tauNum, tauDen))
     val joined = anchorCap match {
       case Some(cap) =>
         // rank posting-list members by doc_id (one window sort riding
@@ -305,7 +352,8 @@ object DedupQueries {
       // oracle checks — 500 docs at sf0.01 vs cap 1024; TextDedupSpec
       // proves capped==uncapped below the cap), bounded Θ(cap·m) per
       // hot gram on boilerplate-dense corpora at 100 TB
-      ppjoinCandidates(sh, tauNum = 4, tauDen = 5, anchorCap = Some(LshBucketCap))
+      ppjoinCandidates(sh, tauNum = 4, tauDen = 5, anchorCap = Some(LshBucketCap),
+        prefixOpt = Some(prefixAtTau(corpusPrefixIndex(s, dir), 4, 5)))
         .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
       .filter(col("jac") >= 0.8)
@@ -366,6 +414,36 @@ object DedupQueries {
     * (TextDedupSpec's planted-boilerplate case pins the bound and the
     * anchor connectivity). */
   private[graft] val LshBucketCap = 1024
+
+  /** Anchor rail for the simhash BLOCK-BANDING family — deliberately
+    * 16× [[LshBucketCap]], because the two index families have
+    * opposite occupancy profiles. An LSH band bucket or PPJoin prefix
+    * posting list is sparse by construction (sf10 census: hottest LSH
+    * bucket = 4 members, hottest prefix list = 9), so 1024 is pure
+    * safety margin there. A narrow-simhash block bucket is DENSE by
+    * construction — an 8-bit block has 256 values, so buckets hold
+    * ~n_distinct/256 signatures however dissimilar the documents, and
+    * the corpus' bit skew concentrates them further (measured census,
+    * hottest (block, bits) bucket in DISTINCT signatures:
+    * sf0.1 = 2046, sf1 = 4750, sf10 = 13304 — the round-14 sf0.1
+    * hash-compare caught LshBucketCap binding here and silently
+    * dropping ~2% of true ham ≤ 3 pairs; in a dedup pipeline those
+    * are MISSED DUPLICATES). At this cap no bucket binds at any
+    * measured scale (rows_beyond_cap = 0 through sf10, re-censused by
+    * `dedup_cap_binding`), so the published pair sets are the exact
+    * brute-force truth and the oracles are independent brute force
+    * again, not a replay of the engine's rail. Affordability: the
+    * uncapped candidate volume is Σ_bucket m² over distinct
+    * signatures — 1.7×10⁹ xor+popcount rows at sf10 (measured, one
+    * codegen'd filter each), and each bucket at the cap is ~1.3×10⁸
+    * in-bucket pairs, seconds of work; the rail exists for genuinely
+    * degenerate corpora (10⁹⁺ distinct signatures, where the 31-bit
+    * block space itself saturates) — and at THAT scale the production
+    * configuration is the 62-bit wide form whose 2¹⁵⁺-value blocks
+    * stay 128× sparser. The streaming twin keeps [[LshBucketCap]]:
+    * its cap bounds per-key STATE (O(cap) retained ids per bucket),
+    * a different contract from batch recall. */
+  private[graft] val SimhashAnchorCap = 16384
 
   /** Audit-scale rail for the suite's one inherently Θ(n²) surface,
     * `dedup_embedding_cosine`: the maximum number of vectors allowed
@@ -475,18 +553,21 @@ object DedupQueries {
     * An 8-bit block has only 256 values, so at corpus scale a bucket
     * holds ~n_distinct/256 signatures and the self-join would go
     * quadratic — the simhash analogue of the hot LSH bucket. The same
-    * ANCHOR cap applies: a pair survives iff its smaller signature
-    * ranks within `cap` in the first-equal-block's bucket. Below the
-    * cap (every bucket at test scale — sf0.1 has 2675 distinct sigs
-    * over 1021 buckets) this is the identity, and the brute-force
-    * Hamming oracle stays exact; above it, per-bucket fan-out is
-    * ≤ cap·m. The recall-lossless PRODUCTION fix at 10⁹+ distinct
-    * signatures is wider blocks (e.g. a 62-bit dual-polynomial
-    * signature with 4×15-bit blocks → 2¹⁵ buckets, 128× less
-    * fan-out); this engine keeps the 31-bit form because the whole
-    * signature is oracle-expressible, and rails the join instead. */
+    * ANCHOR-cap mechanism applies — a pair survives iff its smaller
+    * signature ranks within `cap` in the first-equal-block's bucket —
+    * but at the family's own [[SimhashAnchorCap]] rail: block buckets
+    * are DENSE by construction, and LshBucketCap bound at sf0.1 and
+    * dropped true pairs (the round-14 lesson; see the cap's scaladoc
+    * for the measured occupancy census). Below the cap — every bucket
+    * through sf10 — this is the identity and the brute-force Hamming
+    * oracle is exact; above it, per-bucket fan-out is ≤ cap·m. The
+    * recall-lossless PRODUCTION fix at 10⁹+ distinct signatures is
+    * wider blocks (e.g. a 62-bit dual-polynomial signature with
+    * 4×15-bit blocks → 2¹⁵ buckets, 128× less fan-out); this engine
+    * keeps the 31-bit form because the whole signature is
+    * oracle-expressible, and rails the join instead. */
   private[graft] def simhashBlockCandidates(
-      sigs: DataFrame, cap: Int = LshBucketCap,
+      sigs: DataFrame, cap: Int = SimhashAnchorCap,
       widths: Seq[Int] = Simhash31Blocks): DataFrame = {
     val offs = widths.scanLeft(0)(_ + _).init
     val blocks = array(widths.indices.map { i =>
@@ -516,7 +597,7 @@ object DedupQueries {
     * xor+popcount verification each, then pure equi-join expansion
     * back to document pairs (plus the ham=0 same-signature groups). */
   private[graft] def simhashPairs(
-      d: DataFrame, cap: Int = LshBucketCap,
+      d: DataFrame, cap: Int = SimhashAnchorCap,
       widths: Seq[Int] = Simhash31Blocks): DataFrame = {
     val sigPairs = simhashBlockCandidates(d.select("sh").distinct(), cap, widths)
       .withColumn("ham", hamming(col("sha"), col("shb")))
@@ -681,15 +762,19 @@ object DedupQueries {
     // builds on the 31-bit polynomial hash + LCG permutations (engine-
     // independent arithmetic), so the DuckDB oracle replays BOTH
     // candidate generators — signatures, band buckets, prefix filter —
-    // not just the verified pair set. Each candidate frame is consumed in ONE
-    // pass: a broadcast left join against the (tiny, persisted) exact
-    // pair set marks verified candidates, and a single aggregate counts
-    // proposed and verified together — no candidate-frame persist, no
-    // second materialization. (Round 5 persisted both candidate frames
-    // to share them across two aggregates each; the pinned frames
-    // outlived the query and evicted the caches the pipeline/sim
-    // families rely on — 186 s cold for this line, 7× warm regressions
-    // elsewhere.)
+    // not just the verified pair set. The two UNBOUNDED candidate
+    // frames (minhash bands, ppjoin) are consumed in ONE pass each: a
+    // broadcast left join against the (tiny, persisted) exact pair set
+    // marks verified candidates, and a single aggregate counts
+    // proposed and verified together — no corpus-scale candidate
+    // persist, no second materialization. (Round 5 persisted both;
+    // the pinned frames outlived the query and evicted the caches the
+    // pipeline/sim families rely on — 186 s cold for this line, 7×
+    // warm regressions elsewhere.) What IS shared (round 15): the
+    // memoized τ=0.7 prefix index feeds the ppjoin generator, and the
+    // snm/winnow generators are the owning queries' memo-persisted
+    // O(n·w)/pair-graph-sized frames — the audit no longer re-derives
+    // what its siblings already computed.
     "dedup_candidate_audit" -> ((s, dir) => {
       val sh = shingled(s, dir)
       val truth = ngramJaccardPairs(s, dir)
@@ -702,13 +787,14 @@ object DedupQueries {
         // the smaller doc), so both sides agree even if a posting list
         // ever crosses the cap
         ("ppjoin", ppjoinCandidates(sh, tauNum = 4, tauDen = 5,
-          anchorCap = Some(LshBucketCap))),
+          anchorCap = Some(LshBucketCap),
+          prefixOpt = Some(prefixAtTau(corpusPrefixIndex(s, dir), 4, 5)))),
         ("winnow", winnowSharedCounts(s, dir).select("doc_a", "doc_b")),
-        ("snm", snmCandidates(docs(s, dir))),
+        ("snm", snmCandidatesMemo(s, dir)),
         // equal-key SNM vs classic global-order SNM side by side: the
         // recall column quantifies exactly what the boundary windows
         // buy (on boundary-free corpora the two rows are identical)
-        ("snm_global", snmGlobalCandidates(docs(s, dir)))
+        ("snm_global", snmGlobalCandidatesMemo(s, dir))
       ).map { case (m, cands) =>
         cands.join(broadcast(truth), Seq("doc_a", "doc_b"), "left")
           .agg(count(lit(1)).as("n_candidates"), count(col("_t")).as("n_verified"))
@@ -744,22 +830,29 @@ object DedupQueries {
     // read each n_pairs as a lower bound.
     "dedup_threshold_sensitivity" -> ((s, dir) => {
       val sh = shingled(s, dir)
-      // PERSISTED: the pair frame is read by TWO aggregates (pair
-      // counts, exploded-endpoint doc counts) — without the pin each
-      // aggregate re-runs the entire candidate generation + verify
-      // join, exactly doubling the most expensive pass in the dedup
-      // family (sf10 round 13: this line alone was 28% of the
-      // full-suite total). The frame is τ≥0.7 verified pairs — tiny
-      // (hundreds of rows at oracle scale, ~graph-sized always), so
-      // the pin cannot evict corpus-scale caches (the round-5 hazard).
-      val verified = jaccardFromCounts(
-        ppjoinCandidates(sh, tauNum = 7, tauDen = 10, // τ = 0.7 superset
-          anchorCap = Some(LshBucketCap))
-          .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
-        .filter(col("jac") >= 0.7)
-        .select("doc_a", "doc_b", "jac")
-        .persist()
+      // PERSISTED VIA THE MEMO: the pair frame is read by TWO
+      // aggregates (pair counts, exploded-endpoint doc counts) —
+      // without the pin each aggregate re-runs the entire candidate
+      // generation + verify join, exactly doubling the most expensive
+      // pass in the dedup family (sf10 round 13: this line alone was
+      // 28% of the full-suite total). The frame is τ≥0.7 verified
+      // pairs — tiny (hundreds of rows at oracle scale, ~graph-sized
+      // always), so the pin cannot evict corpus-scale caches (the
+      // round-5 hazard). Registered in ccMemo (round-14 advice) so
+      // repeat invocations share ONE pinned frame by construction
+      // instead of relying on CacheManager plan canonicalization, and
+      // Caches.clearAll visibly owns its lifetime.
+      val verified = ccMemo.computeIfAbsent(
+        (System.identityHashCode(s), dir, "tau_sweep_verified"), _ =>
+          jaccardFromCounts(
+            ppjoinCandidates(sh, tauNum = 7, tauDen = 10, // τ = 0.7 superset
+              anchorCap = Some(LshBucketCap),
+              prefixOpt = Some(corpusPrefixIndex(s, dir)))
+              .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+              .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
+            .filter(col("jac") >= 0.7)
+            .select("doc_a", "doc_b", "jac")
+            .persist())
       def nP(t: Double) = sum(when(col("jac") >= t, 1L).otherwise(0L))
       val pairAgg = verified.agg(
         nP(0.7).as("p70"), nP(0.8).as("p80"), nP(0.9).as("p90"))
@@ -792,22 +885,29 @@ object DedupQueries {
     // two aggregates per surface, no pair join anywhere, so the gauge
     // itself is 100 TB-safe.
     "dedup_cap_binding" -> ((s, dir) => {
-      val sh = shingled(s, dir)
-      val cap = lit(LshBucketCap.toLong)
-      def census(grouped: DataFrame, surface: String): DataFrame =
+      // each surface is censused against ITS OWN rail: the sparse
+      // indexes (prefix lists, LSH buckets) against LshBucketCap, the
+      // dense simhash block buckets against SimhashAnchorCap
+      def census(grouped: DataFrame, surface: String,
+          capV: Long = LshBucketCap.toLong): DataFrame = {
+        val cap = lit(capV)
         grouped.agg(count(lit(1)).as("n_keys"), max(col("c")).as("max_group"),
           sum(greatest(col("c") - cap, lit(0L))).as("rows_beyond_cap"))
           .select(lit(surface).as("surface"), cap.as("cap"),
             col("n_keys"), col("max_group"), col("rows_beyond_cap"))
+      }
       def prefixCounts(tauNum: Int, tauDen: Int): DataFrame =
-        ppjoinPrefix(sh, tauNum, tauDen)
+        prefixAtTau(corpusPrefixIndex(s, dir), tauNum, tauDen)
           .groupBy(col("s")).agg(count(lit(1)).as("c"))
       val lshCounts = corpusBands(s, dir)
         .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("c"))
       // the simhash block buckets joined the census in round 14: the
       // first sf0.1 hash-compare found narrow block (3, 0) at 2046
       // distinct signatures — the one capped surface the gauge was NOT
-      // watching is exactly the one that bound first
+      // watching is exactly the one that bound first. Round 15 moved
+      // the family to its own SimhashAnchorCap rail (never binds
+      // through sf10 — see the constant's census table), so these two
+      // arms guard that the brute-force oracles stay valid truth.
       def simhashCounts(sig: org.apache.spark.sql.Column, widths: Seq[Int]): DataFrame = {
         val offs = widths.scanLeft(0)(_ + _).init
         val blocks = array(widths.indices.map { i =>
@@ -823,9 +923,11 @@ object DedupQueries {
         .unionByName(census(prefixCounts(4, 5), "ppjoin_tau08"))
         .unionByName(census(lshCounts, "lsh_bands"))
         .unionByName(census(
-          simhashCounts(simhash31(col("text")), Simhash31Blocks), "simhash31_blocks"))
+          simhashCounts(simhash31(col("text")), Simhash31Blocks),
+          "simhash31_blocks", SimhashAnchorCap.toLong))
         .unionByName(census(
-          simhashCounts(simhash62(col("text")), Simhash62Blocks), "simhash62_blocks"))
+          simhashCounts(simhash62(col("text")), Simhash62Blocks),
+          "simhash62_blocks", SimhashAnchorCap.toLong))
     }),
 
     // BANDING PARAMETER SWEEP — the candidate audit extended across
@@ -1385,7 +1487,7 @@ object DedupQueries {
     // verification joins the shared persisted shingle index.
     "dedup_sorted_neighborhood" -> ((s, dir) => {
       val sh = shingled(s, dir)
-      jaccardFromCounts(snmCandidates(docs(s, dir))
+      jaccardFromCounts(snmCandidatesMemo(s, dir)
           .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
           .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
         .filter(col("jac") >= 0.8)
@@ -1467,7 +1569,7 @@ object DedupQueries {
     // EQUI-join — O(n·w) pairs with no hot-key task bound at all
     "dedup_snm_global" -> ((s, dir) => {
       val sh = shingled(s, dir)
-      jaccardFromCounts(snmGlobalCandidates(docs(s, dir))
+      jaccardFromCounts(snmGlobalCandidatesMemo(s, dir)
           .join(sh.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
           .join(sh.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b"))
         .filter(col("jac") >= 0.8)
@@ -1652,59 +1754,36 @@ object DedupQueries {
       |    (x, y) -> x + y) sh
       |  FROM h)""".stripMargin
 
-  /** The capped simhash pair CTEs — the oracle replay of
-    * [[simhashPairs]]' PLAN SHAPE, not a brute-force stand-in: given
-    * an upstream CTE `s(doc_id, sh)`, emits `spp(doc_a, doc_b, ham)`
-    * with the cross-signature branch anchor-capped by
-    * distinct-signature rank at the FIRST equal block (exactly
-    * [[simhashBlockCandidates]]' rail) and the equal-signature branch
-    * uncapped (exactly the engine's `same` branch). Round 14: the
-    * first sf0.1 hash-compare proved the brute-force oracles WRONG at
-    * scale — narrow-simhash block (3, 0) holds 2046 distinct
-    * signatures at 5000 docs (the "nothing approaches the cap at test
-    * scale" claim held only for averages, not the skewed tail), so
-    * the rail binds and drops ~1.7% of pairs the brute force kept.
-    * Whether the cap binds is censused by `dedup_cap_binding`'s
-    * simhash surfaces; this mirror makes the oracles exact at every
-    * scale REGARDLESS. MATERIALIZED throughout — sigs/sbd/ssp feed
-    * multiple consumers and DuckDB's default inlining re-derives the
-    * signature fold per reference. */
-  private def simhashCappedPairCtes(widths: Seq[Int]): String = {
-    val offs = widths.scanLeft(0)(_ + _).init
-    def blockBits(c: String, blk: String): String =
-      "CASE " + widths.indices.map(i =>
-        s"WHEN $blk = $i THEN ($c >> ${offs(i)}) & ${(1L << widths(i)) - 1}")
-        .mkString(" ") + " END"
-    s"""sigs AS MATERIALIZED (SELECT DISTINCT sh FROM s),
-       |sbd AS MATERIALIZED (
-       |  SELECT sh, g.blk,
-       |         row_number() OVER (
-       |           PARTITION BY g.blk, ${blockBits("sh", "g.blk")}
-       |           ORDER BY sh) AS srk
-       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${widths.size})) AS blk) g),
-       |ssp AS MATERIALIZED (
-       |  SELECT a.sh AS sa, b.sh AS sb,
-       |         CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
-       |  FROM sigs a JOIN sigs b ON a.sh < b.sh
-       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-       |sspf AS MATERIALIZED (
-       |  SELECT p.sa, p.sb, p.ham,
-       |         min(CASE WHEN ${blockBits("p.sa", "g.blk")} = ${blockBits("p.sb", "g.blk")}
-       |                  THEN g.blk END) AS fblk
-       |  FROM ssp p CROSS JOIN (SELECT unnest(range(0, ${widths.size})) AS blk) g
-       |  GROUP BY p.sa, p.sb, p.ham),
-       |sspc AS MATERIALIZED (
-       |  SELECT f.sa, f.sb, f.ham FROM sspf f
-       |  JOIN sbd ON sbd.sh = f.sa AND sbd.blk = f.fblk
-       |  WHERE sbd.srk <= $LshBucketCap),
-       |spp AS MATERIALIZED (
-       |  SELECT least(da.doc_id, db.doc_id) AS doc_a,
-       |         greatest(da.doc_id, db.doc_id) AS doc_b, c.ham
-       |  FROM sspc c JOIN s da ON da.sh = c.sa JOIN s db ON db.sh = c.sb
-       |  UNION ALL
-       |  SELECT a.doc_id, b.doc_id, CAST(0 AS BIGINT)
-       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id)""".stripMargin
-  }
+  /** Brute-force ham ≤ 3 pair CTEs — INDEPENDENT truth for the simhash
+    * family (no banding, no blocks, no rail): given an upstream CTE
+    * `s(doc_id, sh)`, emits `spp(doc_a, doc_b, ham)` from an exact
+    * all-pairs Hamming scan over DISTINCT signatures (the only
+    * admissible shortcut — ham is a function of the signatures alone,
+    * so expansion back to document pairs is pure equi-join output),
+    * plus the ham = 0 same-signature groups. History: round 14's
+    * sf0.1 hash-compare caught the engine's LshBucketCap binding on a
+    * dense block bucket, and the interim fix made these oracles
+    * REPLAY the engine's cap — certifying the contract, not the
+    * truth. Round 15 moved the family to [[SimhashAnchorCap]]
+    * (rows_beyond_cap = 0 through sf10, see the constant's census
+    * table), so the oracles define truth independently again;
+    * `dedup_cap_binding`'s simhash arms guard the precondition.
+    * MATERIALIZED so DuckDB computes the signature fold and the
+    * quadratic scan once per reference. */
+  private val simhashBrutePairCtes: String =
+    """sigs AS MATERIALIZED (SELECT DISTINCT sh FROM s),
+      |ssp AS MATERIALIZED (
+      |  SELECT a.sh AS sa, b.sh AS sb,
+      |         CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
+      |  FROM sigs a JOIN sigs b ON a.sh < b.sh
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |spp AS MATERIALIZED (
+      |  SELECT least(da.doc_id, db.doc_id) AS doc_a,
+      |         greatest(da.doc_id, db.doc_id) AS doc_b, c.ham
+      |  FROM ssp c JOIN s da ON da.sh = c.sa JOIN s db ON db.sh = c.sb
+      |  UNION ALL
+      |  SELECT a.doc_id, b.doc_id, CAST(0 AS BIGINT)
+      |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id)""".stripMargin
 
   /** [[simhashSigCtes]] over the stride-sampled corpus — the oracle
     * replay of [[SimhashCcAuditCap]]'s rail (identity at every oracle
@@ -2129,12 +2208,12 @@ object DedupQueries {
          |       CAST(max(c) AS BIGINT), CAST(sum(greatest(c - $LshBucketCap, 0)) AS BIGINT)
          |FROM gl
          |UNION ALL
-         |SELECT 'simhash31_blocks', CAST($LshBucketCap AS BIGINT), CAST(count(*) AS BIGINT),
-         |       CAST(max(c) AS BIGINT), CAST(sum(greatest(c - $LshBucketCap, 0)) AS BIGINT)
+         |SELECT 'simhash31_blocks', CAST($SimhashAnchorCap AS BIGINT), CAST(count(*) AS BIGINT),
+         |       CAST(max(c) AS BIGINT), CAST(sum(greatest(c - $SimhashAnchorCap, 0)) AS BIGINT)
          |FROM gs31
          |UNION ALL
-         |SELECT 'simhash62_blocks', CAST($LshBucketCap AS BIGINT), CAST(count(*) AS BIGINT),
-         |       CAST(max(c) AS BIGINT), CAST(sum(greatest(c - $LshBucketCap, 0)) AS BIGINT)
+         |SELECT 'simhash62_blocks', CAST($SimhashAnchorCap AS BIGINT), CAST(count(*) AS BIGINT),
+         |       CAST(max(c) AS BIGINT), CAST(sum(greatest(c - $SimhashAnchorCap, 0)) AS BIGINT)
          |FROM gs62""".stripMargin
     },
 
@@ -2416,19 +2495,18 @@ object DedupQueries {
          |            JOIN wcnt w ON w.rep = n.rep
          |            LEFT JOIN tcnt t ON t.rep = n.rep""".stripMargin,
 
-    // the capped plan shape replayed (see simhashCappedPairCtes): the
-    // sf0.1 hash-compare (round 14) proved the brute force diverges
-    // once a block bucket crosses the 1024-sig anchor rail
+    // independent brute-force truth (see simhashBrutePairCtes) —
+    // valid because SimhashAnchorCap never binds at oracle scales
+    // (dedup_cap_binding guards the precondition)
     "dedup_simhash" ->
       s"""WITH $simhashSigCtes,
-         |${simhashCappedPairCtes(Simhash31Blocks)}
+         |$simhashBrutePairCtes
          |SELECT doc_a, doc_b, ham FROM spp""".stripMargin,
 
-    // 62-bit dual-signature form, same capped replay (its top block
-    // saturates the same way — ~2% divergence at sf0.1 before this)
+    // 62-bit dual-signature form, same independent brute force
     "dedup_simhash_wide" ->
       s"""WITH $simhash62SigCtes,
-         |${simhashCappedPairCtes(Simhash62Blocks)}
+         |$simhashBrutePairCtes
          |SELECT doc_a, doc_b, ham FROM spp""".stripMargin,
 
     // same recursive-CTE survivor rule as survivorsSql, but the edge
@@ -2437,7 +2515,7 @@ object DedupQueries {
     // identity at oracle scale; see componentLabelsSimhash)
     "dedup_survivors_simhash" ->
       s"""WITH RECURSIVE $simhashSampledSigCtes,
-         |${simhashCappedPairCtes(Simhash31Blocks)},
+         |$simhashBrutePairCtes,
          |e AS (SELECT doc_a AS src, doc_b AS dst FROM spp
          |      UNION SELECT doc_b, doc_a FROM spp),
          |reach(src, dst) AS (
@@ -2449,11 +2527,11 @@ object DedupQueries {
          |               AS BIGINT) FROM nn) AS stride
          |FROM reach GROUP BY src""".stripMargin,
 
-    // the survivor rule over the 62-bit edge set, replaying the dual
-    // signature fold through the same capped pair shape
+    // the survivor rule over the 62-bit edge set, same independent
+    // brute-force pair truth under the dual signature fold
     "dedup_survivors_wide" ->
       s"""WITH RECURSIVE $simhash62SigCtes,
-         |${simhashCappedPairCtes(Simhash62Blocks)},
+         |$simhashBrutePairCtes,
          |e AS (SELECT doc_a AS src, doc_b AS dst FROM spp
          |      UNION SELECT doc_b, doc_a FROM spp),
          |reach(src, dst) AS (

@@ -103,9 +103,19 @@ object MultimodalQueries {
       val base = mediaDs(s, dir)
       val variants = base
         .filter(r => r.media_id % ReencodeEvery == 0 && r.data.nonEmpty)
-        .map(r => r.copy(
-          media_id = r.media_id + ReencodeIdOffset,
-          data = r.data.map(b => (b + 1).toByte)))
+        .map { r =>
+          // the oracle replays this shift as ascii(c) + 1, which the
+          // byte arithmetic matches ONLY below DEL (0x7F + 1 would
+          // sign-wrap to -128 vs the oracle's 128) — assert the
+          // ASCII-printable corpus invariant at the plant site so a
+          // future corpus change fails loudly here, not as an opaque
+          // hash mismatch downstream
+          require(r.data.forall(b => b >= 0 && b < 0x7f),
+            s"planted re-encode needs printable-ASCII payloads; media ${r.media_id} breaks the shift+1 oracle mirror")
+          r.copy(
+            media_id = r.media_id + ReencodeIdOffset,
+            data = r.data.map(b => (b + 1).toByte))
+        }
       base.toDF().unionByName(variants.toDF())
     }.as[MediaRecord]
   }
@@ -410,7 +420,7 @@ object MultimodalQueries {
     // engine's heavy-hitter guard exactly (no fp approaches 1024 videos
     // at oracle scale, so the cap is exercised but drops nothing)
     "multimodal_video_neardup" ->
-      """WITH fr AS (
+      s"""WITH fr AS (
         |  SELECT DISTINCT doc_id AS media_id,
         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
         |           list_transform(string_split(substring(text, CAST(i*32+1 AS INTEGER), 32), ''),
@@ -419,7 +429,7 @@ object MultimodalQueries {
         |  FROM documents, UNNEST(range(0, (length(text)+31)//32)) AS t(i)
         |  WHERE i % 2 = 0),
         |keep AS (
-        |  SELECT frame_fp FROM fr GROUP BY frame_fp HAVING count(*) <= 1024)
+        |  SELECT frame_fp FROM fr GROUP BY frame_fp HAVING count(*) <= $VideoHotFrameCap)
         |SELECT a.media_id AS media_a, b.media_id AS media_b,
         |       CAST(count(*) AS BIGINT) AS shared_frames
         |FROM fr a JOIN fr b ON a.frame_fp = b.frame_fp AND a.media_id < b.media_id
@@ -539,7 +549,7 @@ object MultimodalQueries {
        |spc AS MATERIALIZED (
        |  SELECT f.sa, f.sb FROM spf f
        |  JOIN bd ON bd.sig = f.sa AND bd.blk = f.fblk
-       |  WHERE bd.srk <= 1024),
+       |  WHERE bd.srk <= ${graft.queries.DedupQueries.LshBucketCap}),
        |pp AS MATERIALIZED (
        |  SELECT least(da.media_id, db.media_id) AS media_a,
        |         greatest(da.media_id, db.media_id) AS media_b,
@@ -548,6 +558,6 @@ object MultimodalQueries {
        |  UNION ALL
        |  SELECT a.media_id, b.media_id, CAST(0 AS BIGINT)
        |  FROM r a JOIN r b ON a.sig = b.sig AND a.media_id < b.media_id
-       |  WHERE a.rn <= 1024)""".stripMargin
+       |  WHERE a.rn <= ${graft.queries.DedupQueries.LshBucketCap})""".stripMargin
   }
 }

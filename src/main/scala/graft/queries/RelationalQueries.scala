@@ -193,20 +193,36 @@ object RelationalQueries {
         .limit(10)
     }),
 
-    // TPC-H Q5 shape: 6-table join, dims broadcast, revenue per nation
+    // TPC-H Q5 shape: 6-table join, dims broadcast, revenue per
+    // nation. JOIN ORDER is the lever (round-14 verdict: 17× at sf10
+    // with dims broadcast but applied ABOVE the fact-fact shuffle):
+    // the region→nation→supplier chain and the region→nation→customer
+    // chain are each folded into their fact side FIRST, so only the
+    // ~1/5 of lineitem with an ASIA supplier and the ~1/5 of orders
+    // with an ASIA customer reach the one unavoidable fact-fact
+    // shuffle — a 5× reduction on both shuffle inputs that Catalyst
+    // cannot derive itself (it would need the r_name selectivity to
+    // reorder a broadcast below a shuffle join). The residual
+    // c_nationkey = s_nationkey equality stays a post-join filter,
+    // exactly as in the oracle.
     "q5_region_revenue" -> ((s, dir) => {
       val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      val nation = t(s, dir, "nation")
-      val supp = t(s, dir, "supplier")
-      val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val asiaSupp = t(s, dir, "supplier")
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val asiaCust = t(s, dir, "customer")
+        .join(broadcast(asiaNations.select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
       val li = t(s, dir, "lineitem")
-      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-        .filter(cust("c_nationkey") === supp("s_nationkey"))
-        .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
-        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+      val ord = t(s, dir, "orders")
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
         .groupBy("n_name")
         .agg(money4(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount"))))).as("revenue"))
     }),
@@ -1244,25 +1260,32 @@ object RelationalQueries {
     // multi-supplier finished orders — their line came back 'R' while
     // every co-supplier's lines stayed clean (no receipt/commit dates
     // in this schema, so the returned flag plays the late-delivery
-    // role). The famous EXISTS / NOT-EXISTS pair compiles to one
-    // left-semi and one left-anti hash join on orderkey with a
-    // suppkey-inequality residual — never a pair expansion.
+    // role). The oracle keeps the famous EXISTS / NOT-EXISTS pair; the
+    // engine folds it into ONE per-order aggregate (round-14 verdict:
+    // 9.7× at sf10 — the semi/anti formulation shuffled lineitem-sized
+    // frames five times). An order blames supplier x iff x has a
+    // returned line, the order has ≥ 2 distinct suppliers (EXISTS a
+    // co-supplier), and x is the ONLY supplier with a returned line
+    // (NOT EXISTS another) — all three are aggregates of the order's
+    // own lines, and the blamed supplier is then max(returned
+    // suppkey) of a group known to have exactly one. Shuffle count:
+    // the orderkey semi-join (the one unavoidable fact-fact exchange),
+    // then the groupBy(l_orderkey) rides that same hash partitioning
+    // with NO new exchange (countDistinct's expand keys on the group
+    // column, already clustered); everything after is
+    // order-cardinality rows into a broadcast dim join and a top-10.
     "q21_sole_blame" -> ((s, dir) => {
       val fin = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       val li = t(s, dir, "lineitem")
         .join(fin, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      val ret = li.filter(col("l_returnflag") === "R")
-        .select("l_orderkey", "l_suppkey").distinct()
-      val all = li.select(col("l_orderkey").as("a_ok"), col("l_suppkey").as("a_sk"))
-        .distinct()
-      val hasOther = ret.join(all,
-        col("l_orderkey") === col("a_ok") && col("l_suppkey") =!= col("a_sk"),
-        "left_semi")
-      val sole = hasOther.join(
-        ret.select(col("l_orderkey").as("r_ok"), col("l_suppkey").as("r_sk")),
-        col("l_orderkey") === col("r_ok") && col("l_suppkey") =!= col("r_sk"),
-        "left_anti")
-      sole.join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      val ret = when(col("l_returnflag") === "R", col("l_suppkey"))
+      val blamed = li
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(ret).as("n_ret"),
+          max(ret).as("l_suppkey"))
+        .filter(col("n_supp") >= 2 && col("n_ret") === 1)
+      blamed.join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_suppkey"), col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))

@@ -1014,11 +1014,13 @@ object TextQueries {
     // merge budgets several corpus-sized snapshots accumulate).
     def materialized(df: DataFrame, viaCheckpoint: Boolean): (DataFrame, () => Unit) =
       if (viaCheckpoint) {
-        val before = s.sparkContext.getPersistentRDDs.keySet
+        // release exactly THIS snapshot's RDD (the plan's LogicalRDD
+        // leaf), never a global persistent-RDD set diff — on a shared
+        // SparkContext a diff would sweep up anything another thread
+        // persisted in the window (round-14 advice)
         val d = df.localCheckpoint(true)
-        val fresh = s.sparkContext.getPersistentRDDs.keySet.diff(before)
-        (d, () => fresh.foreach(id =>
-          s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+        val own = org.apache.spark.sql.graftbridge.Bridge.checkpointRdds(d)
+        (d, () => own.foreach(_.unpersist(false)))
       } else {
         val n = df.persist(); n.count()
         (n, () => { n.unpersist(); () })

@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The persisted RDDs backing a checkpoint-detached frame — the
+    * `LogicalRDD` leaves of its analyzed plan. Lets a caller that
+    * `localCheckpoint(true)`ed a frame release EXACTLY that snapshot's
+    * blocks, instead of diffing `sparkContext.getPersistentRDDs`
+    * before/after (which, on a shared SparkContext, would sweep up any
+    * RDD another thread persisted in the window and silently evict an
+    * unrelated cache). */
+  def checkpointRdds(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 }

@@ -10,6 +10,7 @@ diffs values. Exit code 1 on any mismatch.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -41,8 +42,12 @@ def cells_equal(a, b):
 def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one file per table; MakeScaled output
+        # (target/sf1, target/sf10) is a Spark directory of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
     report = {}
