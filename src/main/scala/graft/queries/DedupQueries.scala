@@ -423,26 +423,28 @@ object DedupQueries {
     * safety margin there. A narrow-simhash block bucket is DENSE by
     * construction — an 8-bit block has 256 values, so buckets hold
     * ~n_distinct/256 signatures however dissimilar the documents, and
-    * the corpus' bit skew concentrates them further (measured census,
-    * hottest (block, bits) bucket in DISTINCT signatures:
-    * sf0.1 = 2046, sf1 = 4750, sf10 = 13304 — the round-14 sf0.1
-    * hash-compare caught LshBucketCap binding here and silently
-    * dropping ~2% of true ham ≤ 3 pairs; in a dedup pipeline those
-    * are MISSED DUPLICATES). At this cap no bucket binds at any
-    * measured scale (rows_beyond_cap = 0 through sf10, re-censused by
-    * `dedup_cap_binding`), so the published pair sets are the exact
-    * brute-force truth and the oracles are independent brute force
-    * again, not a replay of the engine's rail. Affordability: the
-    * uncapped candidate volume is Σ_bucket m² over distinct
-    * signatures — 1.7×10⁹ xor+popcount rows at sf10 (measured, one
-    * codegen'd filter each), and each bucket at the cap is ~1.3×10⁸
-    * in-bucket pairs, seconds of work; the rail exists for genuinely
-    * degenerate corpora (10⁹⁺ distinct signatures, where the 31-bit
-    * block space itself saturates) — and at THAT scale the production
-    * configuration is the 62-bit wide form whose 2¹⁵⁺-value blocks
-    * stay 128× sparser. The streaming twin keeps [[LshBucketCap]]:
-    * its cap bounds per-key STATE (O(cap) retained ids per bucket),
-    * a different contract from batch recall. */
+    * the corpus' bit skew concentrates them further (measured census
+    * of the round-14 SINGLE-block buckets, hottest in DISTINCT
+    * signatures: sf0.1 = 2046, sf1 = 4750, sf10 = 13304 — the
+    * round-14 sf0.1 hash-compare caught LshBucketCap binding there
+    * and silently dropping ~2% of true ham ≤ 3 pairs; in a dedup
+    * pipeline those are MISSED DUPLICATES). Round 15 banding is
+    * 2-of-5 block PAIRS (see [[simhashBlockCandidates]]), whose
+    * combined keys are sparser still — hottest pair bucket 2 901
+    * distinct signatures at sf10 — so at this cap no bucket binds at
+    * any measured scale (rows_beyond_cap = 0 through sf10,
+    * re-censused by `dedup_cap_binding`), the published pair sets are
+    * the exact brute-force truth, and the oracles are independent
+    * brute force again, not a replay of the engine's rail.
+    * Affordability: the uncapped pair-bucket candidate volume
+    * Σ_bucket m² is 3.3×10⁸ xor+popcount rows at sf10 (measured, one
+    * codegen'd filter each); the rail exists for genuinely degenerate
+    * corpora (10⁹⁺ distinct signatures, where the 31-bit key space
+    * itself saturates) — and at THAT scale the production
+    * configuration is the 62-bit wide form whose 2²⁴⁺-value block
+    * pairs stay ~4000× sparser. The streaming twin keeps
+    * [[LshBucketCap]]: its cap bounds per-key STATE (O(cap) retained
+    * ids per bucket), a different contract from batch recall. */
   private[graft] val SimhashAnchorCap = 16384
 
   /** Audit-scale rail for the suite's one inherently Θ(n²) surface,
@@ -537,42 +539,64 @@ object DedupQueries {
   private def simhashBlockBits(c: org.apache.spark.sql.Column, off: Int, width: Int) =
     shiftrightunsigned(c, off).bitwiseAND(lit((1L << width) - 1))
 
-  /** Default 31-bit layout: 4 blocks of 8+8+8+7 bits. The WIDE layout
-    * ([[graft.functions.TextFunctions.simhash62]]) is 16+16+15+15 —
-    * 2¹⁵⁺ bucket values per block, the production-scale banding. */
-  private[graft] val Simhash31Blocks: Seq[Int] = Seq(8, 8, 8, 7)
-  private[graft] val Simhash62Blocks: Seq[Int] = Seq(16, 16, 15, 15)
+  /** Default 31-bit layout: FIVE blocks of 7+6+6+6+6 bits (round 15 —
+    * was four of 8+8+8+7). Five blocks buy the sharper pigeonhole:
+    * ham ≤ 3 leaves at least TWO blocks clean, so candidates band on
+    * block PAIRS (C(5,2) = 10 combos, 12–13-bit keys) instead of
+    * single blocks — measured at sf10, 1.7×10⁹ single-block candidate
+    * pairs drop to 3.3×10⁸ two-block ones for the same exact output.
+    * The WIDE layout ([[graft.functions.TextFunctions.simhash62]]) is
+    * 13+13+12+12+12 — 2²⁴⁺ values per block pair, the
+    * production-scale banding. */
+  private[graft] val Simhash31Blocks: Seq[Int] = Seq(7, 6, 6, 6, 6)
+  private[graft] val Simhash62Blocks: Seq[Int] = Seq(13, 13, 12, 12, 12)
 
-  /** Candidate signature pairs (sha < shb) from the pigeonhole block
-    * banding over a DISTINCT-signature frame `sigs(sh)` — 4 blocks of
-    * 8+8+8+7 bits; Hamming ≤ 3 ⇒ ≥ 1 identical block, so the 4
-    * (block, bits) equi-joins are recall-complete. Each pair is kept
-    * once via its FIRST equal block (a per-row bitwise when-chain —
-    * no distinct() shuffle).
+  /** Ordered block-pair combos (i < j) of a widths layout, with their
+    * stable combo ids — shared by the candidate join, the cap census,
+    * and the census oracle so all three band on the identical keys. */
+  private[graft] def blockPairCombos(widths: Seq[Int]): Seq[(Int, Int, Int)] =
+    for { i <- widths.indices; j <- widths.indices if i < j }
+      yield (i, j, i * widths.size + j)
+
+  /** The combined two-block key: block i's bits shifted above block
+    * j's — injective per combo, so (combo id, key) IS the bucket. */
+  private def pairKeyBits(c: org.apache.spark.sql.Column,
+      widths: Seq[Int], offs: Seq[Int], i: Int, j: Int) =
+    simhashBlockBits(c, offs(i), widths(i)) * lit(1L << widths(j)) +
+      simhashBlockBits(c, offs(j), widths(j))
+
+  /** Candidate signature pairs (sha < shb) from the 2-of-5 pigeonhole
+    * block-pair banding over a DISTINCT-signature frame `sigs(sh)`:
+    * ham ≤ 3 over 5 blocks ⇒ ≥ 2 identical blocks ⇒ the pair shares
+    * at least one of the 10 (block i, block j) combined keys, so the
+    * 10 (combo, bits) equi-joins are recall-complete. Each pair is
+    * kept once via its FIRST equal block pair in combo order (a
+    * per-row bitwise when-chain — no distinct() shuffle).
     *
-    * An 8-bit block has only 256 values, so at corpus scale a bucket
-    * holds ~n_distinct/256 signatures and the self-join would go
-    * quadratic — the simhash analogue of the hot LSH bucket. The same
-    * ANCHOR-cap mechanism applies — a pair survives iff its smaller
-    * signature ranks within `cap` in the first-equal-block's bucket —
-    * but at the family's own [[SimhashAnchorCap]] rail: block buckets
-    * are DENSE by construction, and LshBucketCap bound at sf0.1 and
-    * dropped true pairs (the round-14 lesson; see the cap's scaladoc
-    * for the measured occupancy census). Below the cap — every bucket
-    * through sf10 — this is the identity and the brute-force Hamming
-    * oracle is exact; above it, per-bucket fan-out is ≤ cap·m. The
-    * recall-lossless PRODUCTION fix at 10⁹+ distinct signatures is
-    * wider blocks (e.g. a 62-bit dual-polynomial signature with
-    * 4×15-bit blocks → 2¹⁵ buckets, 128× less fan-out); this engine
-    * keeps the 31-bit form because the whole signature is
-    * oracle-expressible, and rails the join instead. */
+    * Why pairs and not single blocks (the round-14 form): a 6–7-bit
+    * block has ≤ 128 values, so single-block buckets hold
+    * ~n_distinct/128 signatures however dissimilar the documents, and
+    * the corpus' bit skew piles most signatures into a few of them —
+    * the join volume Σ m² was 1.7×10⁹ at sf10. The two-block keys
+    * multiply the value space (~2¹²⁺ per combo) and break the skew's
+    * correlation: same corpus, 3.3×10⁸ — a 5× cut with recall intact
+    * by pigeonhole, not by a rail. The ANCHOR cap still applies — a
+    * pair survives iff its smaller signature ranks within `cap` of
+    * its first-equal-combo bucket — at the family's own
+    * [[SimhashAnchorCap]]: hottest two-block bucket measured 2 901
+    * distinct signatures at sf10, nowhere near the rail, so the
+    * brute-force Hamming oracle is exact at every measured scale; at
+    * genuinely degenerate cardinalities per-bucket fan-out is ≤ cap·m.
+    * The production fix at 10⁹⁺ distinct signatures remains the
+    * 62-bit wide layout (2²⁴⁺-value block pairs). */
   private[graft] def simhashBlockCandidates(
       sigs: DataFrame, cap: Int = SimhashAnchorCap,
       widths: Seq[Int] = Simhash31Blocks): DataFrame = {
     val offs = widths.scanLeft(0)(_ + _).init
-    val blocks = array(widths.indices.map { i =>
-      struct(lit(i).as("blk"),
-        simhashBlockBits(col("sh"), offs(i), widths(i)).as("bits"))
+    val combos = blockPairCombos(widths)
+    val blocks = array(combos.map { case (i, j, id) =>
+      struct(lit(id).as("blk"),
+        pairKeyBits(col("sh"), widths, offs, i, j).as("bits"))
     }: _*)
     val banded = withBucketRank(
       sigs.select(col("sh"), explode(blocks).as("b"))
@@ -581,14 +605,14 @@ object DedupQueries {
     val a = banded.filter(col("rk") <= cap)
       .select(col("blk"), col("bits"), col("sh").as("sha"))
     val b = banded.select(col("blk"), col("bits"), col("sh").as("shb"))
-    val firstEqualBlock = widths.indices.foldRight(lit(-1)) { (i, acc) =>
-      when(simhashBlockBits(col("sha"), offs(i), widths(i)) ===
-          simhashBlockBits(col("shb"), offs(i), widths(i)), lit(i))
+    val firstEqualPair = combos.foldRight(lit(-1)) { case ((i, j, id), acc) =>
+      when(pairKeyBits(col("sha"), widths, offs, i, j) ===
+          pairKeyBits(col("shb"), widths, offs, i, j), lit(id))
         .otherwise(acc)
     }
     a.join(b, Seq("blk", "bits"))
       .filter(col("sha") < col("shb"))
-      .filter(col("blk") === firstEqualBlock)
+      .filter(col("blk") === firstEqualPair)
       .select("sha", "shb")
   }
 
@@ -905,14 +929,16 @@ object DedupQueries {
       // first sf0.1 hash-compare found narrow block (3, 0) at 2046
       // distinct signatures — the one capped surface the gauge was NOT
       // watching is exactly the one that bound first. Round 15 moved
-      // the family to its own SimhashAnchorCap rail (never binds
-      // through sf10 — see the constant's census table), so these two
-      // arms guard that the brute-force oracles stay valid truth.
+      // the family to its own SimhashAnchorCap rail and to 2-of-5
+      // block-PAIR banding, so these two arms census the pair buckets
+      // the candidate join actually probes (shared blockPairCombos /
+      // key arithmetic) and guard that the brute-force oracles stay
+      // valid truth.
       def simhashCounts(sig: org.apache.spark.sql.Column, widths: Seq[Int]): DataFrame = {
         val offs = widths.scanLeft(0)(_ + _).init
-        val blocks = array(widths.indices.map { i =>
-          struct(lit(i).as("blk"),
-            simhashBlockBits(col("sh"), offs(i), widths(i)).as("bits"))
+        val blocks = array(blockPairCombos(widths).map { case (i, j, id) =>
+          struct(lit(id).as("blk"),
+            pairKeyBits(col("sh"), widths, offs, i, j).as("bits"))
         }: _*)
         docs(s, dir).select(sig.as("sh")).distinct()
           .select(explode(blocks).as("b"))
@@ -1116,21 +1142,22 @@ object DedupQueries {
     // 12.5M doc pairs are within distance 3 — the OUTPUT is quadratic
     // in the duplicate groups, but the comparisons need not be):
     //
-    //  1. compare DISTINCT SIGNATURES, not documents, via pigeonhole
-    //     block banding: 4 blocks (8+8+8+7 bits); Hamming ≤ 3 means at
-    //     most 3 blocks differ, so ≥ 1 block is identical — candidates
-    //     from 4 equi-joins on (block, bits) over the distinct-sig
-    //     frame, verified with one xor+popcount each;
+    //  1. compare DISTINCT SIGNATURES, not documents, via 2-of-5
+    //     pigeonhole block-pair banding (7+6+6+6+6 bits; Hamming ≤ 3
+    //     leaves ≥ 2 blocks identical, so the 10 equi-joins on
+    //     (block pair, combined bits) are recall-complete — see
+    //     [[simhashBlockCandidates]]), verified with one xor+popcount
+    //     each;
     //  2. expand matched signature pairs (plus the ham=0 same-signature
     //     groups) back to document pairs with plain equi-joins — pure
     //     output materialization, no comparisons.
     //
-    // Comparison count is Σ_block Σ_value distinctSigFreq², independent
+    // Comparison count is Σ_combo Σ_key distinctSigFreq², independent
     // of how many documents share a signature (the round-1 plan was an
     // O(n²) BroadcastNestedLoopJoin over documents; PlanSpec asserts
-    // that shape never returns), and each block bucket is anchor-capped
-    // (see [[simhashBlockCandidates]]) so a saturated 8-bit block value
-    // cannot go quadratic in distinct signatures at corpus scale.
+    // that shape never returns), and each pair bucket is anchor-capped
+    // (see [[SimhashAnchorCap]]) so a degenerate key value cannot go
+    // quadratic in distinct signatures at corpus scale.
     "dedup_simhash" -> ((s, dir) =>
       simhashPairs(
         docs(s, dir).select(col("doc_id"), simhash31(col("text")).as("sh")).persist())),
@@ -2156,12 +2183,18 @@ object DedupQueries {
     // 14) the simhash block buckets that the sf0.1 compare caught
     // binding first
     "dedup_cap_binding" -> {
+      // the two-block combined key per combo id — the SQL twin of
+      // pairKeyBits/blockPairCombos, so the oracle censuses exactly
+      // the buckets the candidate join probes
       def bits(c: String, blk: String, widths: Seq[Int]): String = {
         val offs = widths.scanLeft(0)(_ + _).init
-        "CASE " + widths.indices.map(i =>
-          s"WHEN $blk = $i THEN ($c >> ${offs(i)}) & ${(1L << widths(i)) - 1}")
-          .mkString(" ") + " END"
+        "CASE " + blockPairCombos(widths).map { case (i, j, id) =>
+          s"WHEN $blk = $id THEN (($c >> ${offs(i)}) & ${(1L << widths(i)) - 1})" +
+            s" * ${1L << widths(j)} + (($c >> ${offs(j)}) & ${(1L << widths(j)) - 1})"
+        }.mkString(" ") + " END"
       }
+      def comboIds(widths: Seq[Int]): String =
+        blockPairCombos(widths).map(_._3).mkString("[", ", ", "]")
       val sim31 = simhashSigCtes.replace("h AS (", "h31 AS (")
         .replace("FROM h)", "FROM h31)").replace("s AS (", "s31 AS (")
       val sim62 = simhash62SigCtes.replace("h AS (", "h62 AS (")
@@ -2188,11 +2221,11 @@ object DedupQueries {
          |gl AS (SELECT CAST(count(*) AS BIGINT) c FROM bands GROUP BY j, bucket),
          |gs31 AS (SELECT CAST(count(*) AS BIGINT) c
          |         FROM (SELECT DISTINCT sh FROM s31) q31
-         |         CROSS JOIN (SELECT unnest(range(0, 4)) AS blk) g
+         |         CROSS JOIN (SELECT unnest(${comboIds(Simhash31Blocks)}) AS blk) g
          |         GROUP BY g.blk, ${bits("sh", "g.blk", Simhash31Blocks)}),
          |gs62 AS (SELECT CAST(count(*) AS BIGINT) c
          |         FROM (SELECT DISTINCT sh FROM s62) q62
-         |         CROSS JOIN (SELECT unnest(range(0, 4)) AS blk) g
+         |         CROSS JOIN (SELECT unnest(${comboIds(Simhash62Blocks)}) AS blk) g
          |         GROUP BY g.blk, ${bits("sh", "g.blk", Simhash62Blocks)})
          |SELECT 'ppjoin_tau07' AS surface, CAST($LshBucketCap AS BIGINT) AS cap,
          |       CAST(count(*) AS BIGINT) AS n_keys,

@@ -211,17 +211,21 @@ object StreamingJobs {
 
   /** Streaming SimHash near-dup detection (ham ≤ 3) — the online form
     * of the batch block-banded plan (DedupQueries.simhashPairs): each
-    * arriving document's signature is exploded into its 4 pigeonhole
+    * arriving document's signature is exploded into its 5 pigeonhole
     * blocks; per (block, bits) bucket the state holds the member
     * (doc_id, signature) set, and the arrival is xor+popcount-verified
-    * against the members — ham ≤ 3 guarantees ≥ 1 shared block, so
-    * recall within the retention window equals the batch operator's.
+    * against the members — ham ≤ 3 over 5 blocks guarantees ≥ 2
+    * shared blocks, so single-block state grouping is recall-complete
+    * within the retention window, same as the batch operator. (Batch
+    * bands on block PAIRS to shrink its self-join; streaming keeps
+    * single blocks because state is per-bucket and 10 combo buckets
+    * would hold each doc 10 times for no recall gain.)
     * A pair sharing several blocks is emitted once per block;
     * consumers dedup, same as the per-band LSH contract.
     *
     * Signature-width agnostic: pass [[graft.functions.TextFunctions
-    * .simhash31]] signatures with the default 8+8+8+7 layout, or
-    * [[graft.functions.TextFunctions.simhash62]] with 16+16+15+15 —
+    * .simhash31]] signatures with the default 7+6+6+6+6 layout, or
+    * [[graft.functions.TextFunctions.simhash62]] with 13+13+12+12+12 —
     * the block arithmetic derives from `widths` exactly as in batch.
     *
     * State carries the same bounds as [[lshCandidatesStreaming]]:

@@ -749,9 +749,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q21 EXISTS/NOT-EXISTS pair compiles to semi+anti hash joins on orderkey") {
+  test("q21 folds EXISTS/NOT-EXISTS into one per-order aggregate riding the semi-join's partitioning") {
     val p = plan("q21_sole_blame")
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    // the one fact-fact exchange is the orderkey semi-join's; the
+    // per-order aggregate reuses that hash partitioning, so no
+    // LeftAnti and no second lineitem-sized exchange appear
+    assert(p.contains("LeftSemi") && !p.contains("LeftAnti"), p)
+    assert(p.split("Exchange hashpartitioning\\(l_orderkey").length - 1 <= 2, p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 

@@ -174,15 +174,15 @@ class TextDedupSpec extends SparkSpec {
       cap.toLong * (cap - 1) / 2)
   }
 
-  test("simhash block banding: anchor cap bounds a saturated block value") {
-    // signatures i << 8 put i into block 1 and ZERO into blocks 0, 2,
-    // 3 — three saturated buckets. Every pair's first equal block is
-    // 0, so uncapped candidates are all m(m-1)/2 pairs through that
-    // one bucket; the anchor cap keeps a pair iff its smaller
-    // signature ranks within cap there.
-    val m = 100
+  test("simhash block banding: anchor cap bounds a saturated pair bucket") {
+    // signatures i << 13 put i into block 2 of the 7+6+6+6+6 layout
+    // and ZERO into blocks 0, 1, 3, 4 — so every pair's FIRST equal
+    // block pair is (0, 1), one saturated two-block bucket. Uncapped
+    // candidates are all m(m-1)/2 pairs through it; the anchor cap
+    // keeps a pair iff its smaller signature ranks within cap there.
+    val m = 60 // block 2 is 6 bits — keep i inside one block
     val cap = 4
-    val sigs = (1 to m).map(i => Tuple1(i.toLong << 8)).toDF("sh")
+    val sigs = (1 to m).map(i => Tuple1(i.toLong << 13)).toDF("sh")
     val unc = DedupQueries.simhashBlockCandidates(sigs, cap = Int.MaxValue)
     assert(unc.count() == m.toLong * (m - 1) / 2)
     val capped = DedupQueries.simhashBlockCandidates(sigs, cap = cap)
@@ -190,7 +190,7 @@ class TextDedupSpec extends SparkSpec {
     assert(capped.size == (1 to cap).map(m - _).sum)
     assert(capped.subsetOf(unc.as[(Long, Long)].collect().toSet))
     // every signature still meets the bucket's anchors
-    assert(capped.flatMap(p => Set(p._1, p._2)) == (1 to m).map(_.toLong << 8).toSet)
+    assert(capped.flatMap(p => Set(p._1, p._2)) == (1 to m).map(_.toLong << 13).toSet)
     // and the full pair operator is unchanged on realistic data where
     // nothing approaches the cap
     val d = Tables.load(spark, sf0001, "documents")
