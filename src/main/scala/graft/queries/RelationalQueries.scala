@@ -1261,29 +1261,33 @@ object RelationalQueries {
     // every co-supplier's lines stayed clean (no receipt/commit dates
     // in this schema, so the returned flag plays the late-delivery
     // role). The oracle keeps the famous EXISTS / NOT-EXISTS pair; the
-    // engine folds it into ONE per-order aggregate (round-14 verdict:
+    // engine folds it into per-order aggregation (round-14 verdict:
     // 9.7× at sf10 — the semi/anti formulation shuffled lineitem-sized
     // frames five times). An order blames supplier x iff x has a
     // returned line, the order has ≥ 2 distinct suppliers (EXISTS a
     // co-supplier), and x is the ONLY supplier with a returned line
-    // (NOT EXISTS another) — all three are aggregates of the order's
-    // own lines, and the blamed supplier is then max(returned
-    // suppkey) of a group known to have exactly one. Shuffle count:
-    // the orderkey semi-join (the one unavoidable fact-fact exchange),
-    // then the groupBy(l_orderkey) rides that same hash partitioning
-    // with NO new exchange (countDistinct's expand keys on the group
-    // column, already clustered); everything after is
-    // order-cardinality rows into a broadcast dim join and a top-10.
+    // (NOT EXISTS another) — all aggregates of the order's own lines,
+    // and the blamed supplier is then the returned suppkey of a group
+    // known to have exactly one. Two STACKED plain aggregates, not
+    // countDistinct: distinct aggregation plans an Expand that
+    // triples the lineitem-sized input (measured 13.9 s vs 8.5 at
+    // sf10/320); instead groupBy(orderkey, suppkey) then
+    // groupBy(orderkey) — BOTH satisfy ClusteredDistribution under
+    // the semi-join's hash(l_orderkey) output partitioning, so the
+    // orderkey semi-join stays the ONE fact-fact exchange and
+    // everything after is order-cardinality rows into a broadcast dim
+    // join and a top-10.
     "q21_sole_blame" -> ((s, dir) => {
       val fin = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       val li = t(s, dir, "lineitem")
         .join(fin, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      val ret = when(col("l_returnflag") === "R", col("l_suppkey"))
-      val blamed = li
+      val perSupp = li
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      val blamed = perSupp
         .groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(ret).as("n_ret"),
-          max(ret).as("l_suppkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("r")).as("n_ret"),
+          max(when(col("r") === 1L, col("l_suppkey"))).as("l_suppkey"))
         .filter(col("n_supp") >= 2 && col("n_ret") === 1)
       blamed.join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_suppkey"), col("s_name"))

@@ -44,13 +44,25 @@ object StreamBench {
   private case class R(name: String, rows: Long, sec: Double,
       maxStateRows: Long, outRows: Long, batches: Long)
 
+  /** Optional operator subset (comma-separated names or prefixes) for
+    * targeted experiments — e.g. the keyed-scaling A/B re-runs the two
+    * sliding-count rows alone instead of paying the full 11-operator
+    * suite per window. Empty/unset = everything (the artifact-of-
+    * record configuration). */
+  private val onlySel: String => Boolean = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .filter(_.nonEmpty)
+    .map(pats => (n: String) => pats.exists(p => n == p || n.startsWith(p)))
+    .getOrElse((_: String) => true)
+
   private def maxStateOf(q: StreamingQuery): Long =
     q.recentProgress.map(p =>
       Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L))
       .foldLeft(0L)(math.max)
 
   private def drain[T](name: String, rows: Seq[T], chunks: Int,
-      start: Seq[T] => (MemoryStream[T], StreamingQuery)): R = {
+      start: Seq[T] => (MemoryStream[T], StreamingQuery)): Option[R] = {
+    if (!onlySel(name)) return None
     val (in, q) = start(rows)
     try {
       val t0 = System.nanoTime()
@@ -68,7 +80,7 @@ object StreamBench {
       // every feed size; a per-row-bound one shows sec_per_batch
       // growing with the slice)
       val batches = q.recentProgress.map(_.batchId).distinct.length.toLong
-      R(name, rows.size.toLong, sec, maxStateOf(q), out, batches)
+      Some(R(name, rows.size.toLong, sec, maxStateOf(q), out, batches))
     } finally q.stop()
   }
 
@@ -121,7 +133,7 @@ object StreamBench {
 
     val results = scala.collection.mutable.ArrayBuffer.empty[R]
 
-    results += drain[StreamingJobs.KeyedEvent]("sliding_count", keyed, chunks, rows => {
+    results ++= drain[StreamingJobs.KeyedEvent]("sliding_count", keyed, chunks, rows => {
       val in = MemoryStream[StreamingJobs.KeyedEvent]
       val q = mem(StreamingJobs.slidingCountStreaming(
         in.toDS().withWatermark("ts", "0 seconds"), 60L,
@@ -141,7 +153,7 @@ object StreamBench {
     val keyed1k = events.zipWithIndex.map { case (r, i) =>
       StreamingJobs.KeyedEvent(f"k${i % 1000}%04d", r.getAs[Timestamp](2))
     }.toSeq
-    results += drain[StreamingJobs.KeyedEvent]("sliding_count_1k_keys", keyed1k, chunks, rows => {
+    results ++= drain[StreamingJobs.KeyedEvent]("sliding_count_1k_keys", keyed1k, chunks, rows => {
       val in = MemoryStream[StreamingJobs.KeyedEvent]
       val q = mem(StreamingJobs.slidingCountStreaming(
         in.toDS().withWatermark("ts", "0 seconds"), 60L,
@@ -149,42 +161,42 @@ object StreamBench {
       (in, q)
     })
 
-    results += drain[(String, Timestamp)]("anomaly", typed, chunks, rows => {
+    results ++= drain[(String, Timestamp)]("anomaly", typed, chunks, rows => {
       val in = MemoryStream[(String, Timestamp)]
       val q = mem(StreamingJobs.anomalyStreaming(
         in.toDF().toDF("event_type", "ts"), "ts", "event_type").toDF(), "anomaly")
       (in, q)
     })
 
-    results += drain[(Long, String, Timestamp)]("cep", userEv, chunks, rows => {
+    results ++= drain[(Long, String, Timestamp)]("cep", userEv, chunks, rows => {
       val in = MemoryStream[(Long, String, Timestamp)]
       val q = mem(StreamingJobs.cepStreaming(
         in.toDF().toDF("user_id", "event_type", "t"), "t", "user_id").toDF(), "cep")
       (in, q)
     })
 
-    results += drain[String]("fuzzy_match", names, chunks, rows => {
+    results ++= drain[String]("fuzzy_match", names, chunks, rows => {
       val in = MemoryStream[String]
       val q = mem(StreamingJobs.fuzzyMatchStreaming(
         in.toDF().toDF("name"), catalog), "fuzzy_match")
       (in, q)
     })
 
-    results += drain[(Long, String, Timestamp)]("exact_substr", docRows, chunks, rows => {
+    results ++= drain[(Long, String, Timestamp)]("exact_substr", docRows, chunks, rows => {
       val in = MemoryStream[(Long, String, Timestamp)]
       val q = mem(StreamingJobs.exactSubstrStreaming(
         in.toDF().toDF("doc_id", "text", "ts"), docsDf), "exact_substr")
       (in, q)
     })
 
-    results += drain[(Long, String, Timestamp)]("exact_dedup", docRows, chunks, rows => {
+    results ++= drain[(Long, String, Timestamp)]("exact_dedup", docRows, chunks, rows => {
       val in = MemoryStream[(Long, String, Timestamp)]
       val q = mem(StreamingJobs.exactDedupStreaming(
         in.toDF().toDF("doc_id", "text", "ts"), "text", "ts"), "exact_dedup")
       (in, q)
     })
 
-    results += drain[(Long, String, Timestamp)]("lsh_candidates", docRows, chunks, rows => {
+    results ++= drain[(Long, String, Timestamp)]("lsh_candidates", docRows, chunks, rows => {
       val in = MemoryStream[(Long, String, Timestamp)]
       val banded = graft.queries.DedupQueries
         .bandedDocs(in.toDF().toDF("doc_id", "text", "ts"), passthrough = Seq("ts"))
@@ -195,7 +207,7 @@ object StreamBench {
 
     val userEvId = events.map(r =>
       (r.getLong(0), r.getString(1), r.getAs[Timestamp](2), r.getLong(3))).toSeq
-    results += drain[(Long, String, Timestamp, Long)]("markov_transitions", userEvId, chunks, rows => {
+    results ++= drain[(Long, String, Timestamp, Long)]("markov_transitions", userEvId, chunks, rows => {
       val in = MemoryStream[(Long, String, Timestamp, Long)]
       val q = mem(StreamingJobs.markovTransitionsStreaming(
         in.toDF().toDF("user_id", "event_type", "t", "event_id"), "t", "user_id").toDF(),
@@ -205,7 +217,7 @@ object StreamBench {
 
     // stateless scored-ingest operators: the claim is the ZERO in
     // max_state_rows (broadcast index / pure map, no stream state)
-    results += drain[(Long, String, Timestamp)]("dsir_score", docRows, chunks, rows => {
+    results ++= drain[(Long, String, Timestamp)]("dsir_score", docRows, chunks, rows => {
       val in = MemoryStream[(Long, String, Timestamp)]
       val q = mem(StreamingJobs.dsirScoreStreaming(
         in.toDF().toDF("doc_id", "text", "ts"), docsDf), "dsir_score")
@@ -221,7 +233,7 @@ object StreamBench {
       .zipWithIndex.map { case (r, i) =>
         (r.getLong(0), r.getSeq[Float](1), new Timestamp(1704067200000L + i * 1000L))
       }.toSeq
-    results += drain[(Long, Seq[Float], Timestamp)]("sem_dedup", embRows, chunks, rows => {
+    results ++= drain[(Long, Seq[Float], Timestamp)]("sem_dedup", embRows, chunks, rows => {
       val in = MemoryStream[(Long, Seq[Float], Timestamp)]
       val q = mem(StreamingJobs.semDedupStreaming(
         in.toDF().toDF("vec_id", "embedding", "ts"), sfDir), "sem_dedup")
