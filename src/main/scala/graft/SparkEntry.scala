@@ -37,4 +37,12 @@ object SparkEntry {
     EventQueries.oracles ++ RelationalQueries.oracles ++
       DedupQueries.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ PipelineQueries.oracles
+
+  /** Scaled-decade (sf1+) oracle overrides: same queries and threshold
+    * arithmetic as [[oracleSql]], with the O(n²) brute pair scans
+    * re-expressed on an inverted-index join so DuckDB stays feasible at
+    * 50 k+ documents (see [[DedupQueries.scaledOracles]]). Consumed by
+    * tools/scaled_compare.py only — the driver's sf0.01 gate keeps the
+    * brute formulation. */
+  def scaledOracleSql: Map[String, String] = DedupQueries.scaledOracles
 }

@@ -54,6 +54,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // scaled-decade overrides (sf1+): same queries, index-form pair
+    // enumeration — used only by tools/scaled_compare.py, never by the
+    // driver's sf0.01 gate (which reads oracle_sql.json above)
+    val scaledJson = SparkEntry.scaledOracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_scaled.json"), scaledJson)
     // optional subset filter (comma-separated names or prefixes) for
     // targeted local iteration; the driver sets no filter and gets all
     val onlySel: String => Boolean = sys.env.get("SPARK_GRAFT_QUERIES")

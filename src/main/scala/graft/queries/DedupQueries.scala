@@ -250,9 +250,24 @@ object DedupQueries {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
     ex.join(freq, "s")
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("n") - floor((col("n") * tauNum + (tauDen - 1)) / tauDen) + 1)
+      .filter(prefixRkBound(tauNum, tauDen))
       .select(col("s"), col("doc_id"), col("n"), col("rk"))
   }
+
+  /** THE prefix-length inequality, in one place: a (df asc, shingle)-
+    * ordered gram at rank `rk` of an n-gram set is in the τ prefix iff
+    * rk ≤ n − ⌈τ·n⌉ + 1. [[ppjoinPrefix]] applies it when building the
+    * index and [[prefixAtTau]] re-applies it to filter the memoized
+    * τ = 0.7 index down to a tighter τ — the memo-sharing contract
+    * "filter of the τ=0.7 index == direct prefix" holds exactly
+    * because both sides evaluate THIS expression (a drift between two
+    * hand-maintained copies would silently break the audit/cap-census/
+    * pair-generator sharing; PropertySpec pins the equivalence on a
+    * sample corpus). ⌈τ·n⌉ is computed as floor((n·num + den−1)/den) —
+    * numerator ≤ ~2³¹·10 sits exactly in a double's 2⁵³ integer range,
+    * so the Column `/` (double division) inside floor is exact. */
+  private[graft] def prefixRkBound(tauNum: Int, tauDen: Int) =
+    col("rk") <= col("n") - floor((col("n") * tauNum + (tauDen - 1)) / tauDen) + 1
 
   /** PPJoin+ positional filter (Xiao et al. 2011 §3.2, set-join form):
     * a candidate row meeting at shingle s, sitting at positions
@@ -295,8 +310,7 @@ object DedupQueries {
   private def prefixAtTau(pre: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum * 10 >= tauDen * 7,
       s"corpus prefix memo covers tau >= 0.7 only, got $tauNum/$tauDen")
-    pre.filter(col("rk") <=
-      col("n") - floor((col("n") * tauNum + (tauDen - 1)) / tauDen) + 1)
+    pre.filter(prefixRkBound(tauNum, tauDen))
   }
 
   private[graft] def ppjoinCandidates(sh: DataFrame, tauNum: Int, tauDen: Int,
@@ -442,10 +456,22 @@ object DedupQueries {
     * corpora (10⁹⁺ distinct signatures, where the 31-bit key space
     * itself saturates) — and at THAT scale the production
     * configuration is the 62-bit wide form whose 2²⁴⁺-value block
-    * pairs stay ~4000× sparser. The streaming twin keeps
-    * [[LshBucketCap]]: its cap bounds per-key STATE (O(cap) retained
-    * ids per bucket), a different contract from batch recall. */
-  private[graft] val SimhashAnchorCap = 16384
+    * pairs stay ~4000× sparser. The streaming twin rides the same
+    * rail since round 16 (its per-bucket anchor state bounds RECALL
+    * too — the old LshBucketCap default saturated at every scale
+    * ≥ sf0.1; StreamingDedupSpec plants the loss above a forced low
+    * cap).
+    *
+    * `SPARK_GRAFT_SIMHASH_CAP` (test-only override): forces the rail
+    * low so the harness precondition is provable end-to-end — with a
+    * binding cap the census reports rows_beyond_cap > 0 and
+    * compare.py must FAIL the simhash rows rather than hash-compare a
+    * lower bound against brute-force truth (round-15 verdict item 5).
+    * Engine, census, and interpolated oracle constants all read THIS
+    * value, so the forced run stays self-consistent; production runs
+    * never set the variable. */
+  private[graft] val SimhashAnchorCap: Int =
+    sys.env.get("SPARK_GRAFT_SIMHASH_CAP").map(_.toInt).getOrElse(16384)
 
   /** Audit-scale rail for the suite's one inherently Θ(n²) surface,
     * `dedup_embedding_cosine`: the maximum number of vectors allowed
@@ -1749,6 +1775,88 @@ object DedupQueries {
     s"""WITH $bruteForceJaccardCtes
        |SELECT doc_a, doc_b, jac FROM p WHERE jac >= 0.8""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Scaled-decade oracle forms (sf1+). The committed oracles above stay
+  // the brute-force formulation — maximal independence, feasible at the
+  // driver's sf0.01 gate and at sf0.1. At sf1 the O(n²) list-op pair
+  // scan OOMs DuckDB (round-15 verdict item 2: "the oracle, not the
+  // engine, is the scaling bottleneck of the verification method"), so
+  // these variants replace ONLY the pair-enumeration step with an
+  // inverted-index equi-join. Recall-completeness needs no similarity
+  // theorem and borrows nothing from the engine's PPJoin/prefix/banding
+  // machinery: jac(A,B) ≥ τ > 0 (or containment ≥ τ > 0) already implies
+  // A and B share at least one trigram, so joining the full, uncapped,
+  // unordered inverted index (join mass Σ df² — measured ~3×10⁶ at sf1,
+  // max df = 25) enumerates a superset of every positive pair, and
+  // m = count(*) per pair over DISTINCT trigram lists equals the brute
+  // form's len(list_filter(a.g, x -> list_contains(b.g, x))). All
+  // downstream arithmetic keeps the brute form's exact integer inputs —
+  // identical doubles, identical threshold comparisons.
+  // tools/scaled_compare.py --xcheck re-runs both formulations at
+  // sf0.1, where both are feasible, and asserts row-identical output
+  // (recorded in CORRECTNESS_SF1.json _meta.oracle_xcheck).
+  // ---------------------------------------------------------------------
+
+  /** Trigram index core: `nl(doc_id, n)` + the pair overlap counts
+    * `ov(doc_a, doc_b, m)` over the unordered index join (doc_a < doc_b,
+    * only pairs sharing ≥ 1 trigram — exactly the pairs any positive
+    * similarity can live on). */
+  private val indexPairCoreCtes =
+    """t AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) g
+      |  FROM documents),
+      |nl AS (SELECT doc_id, len(g) AS n FROM t WHERE len(g) > 0),
+      |ex AS (SELECT doc_id, unnest(g) AS s FROM t WHERE len(g) > 0),
+      |ov AS MATERIALIZED (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS m
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Drop-in replacement for [[bruteForceJaccardCtes]]' `p`: same
+    * columns (doc_a, doc_b, jac), same doubles — m and n_a + n_b are the
+    * identical integers the brute form divides. Pairs with jac = 0 are
+    * absent; every committed consumer filters at τ ≥ 0.7. */
+  private val indexJaccardCtes =
+    s"""$indexPairCoreCtes,
+       |p AS (
+       |  SELECT ov.doc_a, ov.doc_b,
+       |         CAST(ov.m AS DOUBLE) /
+       |         (CAST(na.n + nb.n AS DOUBLE) - CAST(ov.m AS DOUBLE)) AS jac
+       |  FROM ov JOIN nl na ON na.doc_id = ov.doc_a
+       |          JOIN nl nb ON nb.doc_id = ov.doc_b)""".stripMargin
+
+  private val indexJaccardSql =
+    s"""WITH $indexJaccardCtes
+       |SELECT doc_a, doc_b, jac FROM p WHERE jac >= 0.8""".stripMargin
+
+  /** [[survivorsCcCtes]] with the brute pair scan swapped for the index
+    * form; `p` keeps the original's contract (τ ≥ 0.8 pairs, columns
+    * doc_a/doc_b) so every consumer built on the original's CTE names
+    * (`p`, `e`, `reach`) composes unchanged via [[onScaledCc]]. */
+  private val scaledSurvivorsCcCtes =
+    s"""WITH RECURSIVE $indexPairCoreCtes,
+       |p AS (
+       |  SELECT ov.doc_a, ov.doc_b
+       |  FROM ov JOIN nl na ON na.doc_id = ov.doc_a
+       |          JOIN nl nb ON nb.doc_id = ov.doc_b
+       |  WHERE CAST(ov.m AS DOUBLE) /
+       |        (CAST(na.n + nb.n AS DOUBLE) - CAST(ov.m AS DOUBLE)) >= 0.8),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)""".stripMargin
+
+  /** Rebase a committed oracle built on [[survivorsCcCtes]] onto the
+    * scaled pair scan — exact prefix substitution, so the tail SQL (the
+    * part under test) is byte-identical to the committed oracle's. */
+  private def onScaledCc(sql: String): String = {
+    require(sql.startsWith(survivorsCcCtes), "oracle does not start with survivorsCcCtes")
+    scaledSurvivorsCcCtes + sql.stripPrefix(survivorsCcCtes)
+  }
+
   /** DuckDB expression for the distinct 8-token spans of `text` —
     * shared by the span-dedup and contamination oracles. */
   private[queries] val spanListSql: String = {
@@ -2036,6 +2144,35 @@ object DedupQueries {
        |  WHERE len(a.g) > 0 AND len(b.g) > 0
        |    AND CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE) /
        |        (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)) >= 0.8)""".stripMargin
+
+  /** [[minhashSigPrefixCtes]] with ONLY the `tr` truth CTE swapped for
+    * the index form (CTE names suffixed x to avoid the audit's own
+    * ex/freq/pre): the signature replay under test is byte-identical;
+    * the brute O(n²) list scan that OOM'd DuckDB at sf1 is gone. */
+  private val scaledMinhashSigPrefixCtes: String = {
+    val cut = minhashSigPrefixCtes.indexOf("tr AS (")
+    require(cut > 0, "minhashSigPrefixCtes lost its tr CTE")
+    minhashSigPrefixCtes.substring(0, cut) +
+      """nlx AS (SELECT doc_id, len(g) AS n FROM t WHERE len(g) > 0),
+        |exx AS (SELECT doc_id, unnest(g) AS s FROM t WHERE len(g) > 0),
+        |ovx AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS m
+        |  FROM exx a JOIN exx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |tr AS MATERIALIZED (
+        |  SELECT ovx.doc_a, ovx.doc_b
+        |  FROM ovx JOIN nlx na ON na.doc_id = ovx.doc_a
+        |           JOIN nlx nb ON nb.doc_id = ovx.doc_b
+        |  WHERE CAST(ovx.m AS DOUBLE) /
+        |        (CAST(na.n + nb.n AS DOUBLE) - CAST(ovx.m AS DOUBLE)) >= 0.8)""".stripMargin
+  }
+
+  /** Rebase a committed oracle built on [[minhashSigPrefixCtes]] onto
+    * the indexed truth — exact single-occurrence substitution. */
+  private def onScaledSig(sql: String): String = {
+    require(sql.contains(minhashSigPrefixCtes), "oracle does not embed minhashSigPrefixCtes")
+    sql.replace(minhashSigPrefixCtes, scaledMinhashSigPrefixCtes)
+  }
 
   private val candidateAuditSql: String =
     s"""WITH $minhashSigPrefixCtes,
@@ -2650,5 +2787,72 @@ object DedupQueries {
          |       round(CAST(tokens_stored AS DOUBLE)
          |             / CAST(tokens_total AS DOUBLE), 6) AS dedup_ratio
          |FROM tot, dis""".stripMargin
+  )
+
+  /** Scaled-decade oracle overrides (sf1+): same queries, same output
+    * contract, same threshold arithmetic as [[oracles]] — only the
+    * O(n²) brute pair scans are re-expressed on the inverted-index
+    * join (see the block comment above [[indexPairCoreCtes]] for the
+    * recall argument). Dumped by Verify as `oracle_sql_scaled.json`;
+    * tools/scaled_compare.py uses these at sf1+ and `--xcheck` proves
+    * each override row-identical to its committed brute twin at sf0.1
+    * where both formulations run. The committed [[oracles]] stay the
+    * driver's gate at sf0.01. */
+  val scaledOracles: Map[String, String] = Map(
+    "dedup_ngram_jaccard" -> indexJaccardSql,
+    "dedup_minhash_lsh" -> indexJaccardSql,
+
+    "dedup_cross_source_matrix" -> {
+      val sql = oracles("dedup_cross_source_matrix")
+      require(sql.contains(bruteForceJaccardCtes), "cross_source_matrix lost its brute CTEs")
+      sql.replace(bruteForceJaccardCtes, indexJaccardCtes)
+    },
+    "dedup_threshold_sensitivity" -> {
+      val sql = oracles("dedup_threshold_sensitivity")
+      require(sql.contains(bruteForceJaccardCtes), "threshold_sensitivity lost its brute CTEs")
+      sql.replace(bruteForceJaccardCtes, indexJaccardCtes)
+    },
+
+    // directed containment on the same index: m and n_a are the brute
+    // form's exact integers (threshold kept in integer arithmetic)
+    "dedup_containment" ->
+      s"""WITH $indexPairCoreCtes,
+         |ovd AS (
+         |  SELECT doc_a, doc_b, m FROM ov
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, m FROM ov)
+         |SELECT ovd.doc_a, ovd.doc_b,
+         |       CAST(ovd.m AS DOUBLE) / CAST(na.n AS DOUBLE) AS containment
+         |FROM ovd JOIN nl na ON na.doc_id = ovd.doc_a
+         |WHERE ovd.m * 10 >= na.n * 9""".stripMargin,
+
+    // new-batch (doc_id % 5 = 4) probe against corpus + later-id batch
+    // peers — the brute form's join condition verbatim, pair
+    // enumeration via the index
+    "dedup_incremental" ->
+      s"""WITH $indexPairCoreCtes,
+         |ovd AS (
+         |  SELECT doc_a AS new_id, doc_b AS matched_id, m FROM ov
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, m FROM ov),
+         |pd AS (
+         |  SELECT new_id, matched_id,
+         |         CAST(ovd.m AS DOUBLE) /
+         |         (CAST(na.n + nb.n AS DOUBLE) - CAST(ovd.m AS DOUBLE)) AS jac
+         |  FROM ovd JOIN nl na ON na.doc_id = ovd.new_id
+         |           JOIN nl nb ON nb.doc_id = ovd.matched_id
+         |  WHERE ovd.new_id % 5 = 4
+         |    AND (ovd.matched_id % 5 <> 4 OR ovd.new_id < ovd.matched_id))
+         |SELECT new_id, matched_id, jac FROM pd WHERE jac >= 0.8""".stripMargin,
+
+    "dedup_survivors" -> onScaledCc(survivorsSql),
+    "dedup_survivors_lsh" -> onScaledCc(survivorsSql),
+    "dedup_graph_rank" -> onScaledCc(graphRankSql),
+    "dedup_policy_audit" -> onScaledCc(oracles("dedup_policy_audit")),
+    "dedup_component_stats" -> onScaledCc(oracles("dedup_component_stats")),
+    "dedup_graph_triangles" -> onScaledCc(oracles("dedup_graph_triangles")),
+
+    "dedup_candidate_audit" -> onScaledSig(candidateAuditSql),
+    "dedup_banding_sweep" -> onScaledSig(bandingSweepSql)
   )
 }

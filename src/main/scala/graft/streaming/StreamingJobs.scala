@@ -216,7 +216,8 @@ object StreamingJobs {
     * (doc_id, signature) set, and the arrival is xor+popcount-verified
     * against the members — ham ≤ 3 over 5 blocks guarantees ≥ 2
     * shared blocks, so single-block state grouping is recall-complete
-    * within the retention window, same as the batch operator. (Batch
+    * within the retention window and the anchor cap (see the state
+    * paragraph below for the cap's recall bound). (Batch
     * bands on block PAIRS to shrink its self-join; streaming keeps
     * single blocks because state is per-bucket and 10 combo buckets
     * would hold each doc 10 times for no recall gain.)
@@ -228,15 +229,28 @@ object StreamingJobs {
     * [[graft.functions.TextFunctions.simhash62]] with 13+13+12+12+12 —
     * the block arithmetic derives from `widths` exactly as in batch.
     *
-    * State carries the same bounds as [[lshCandidatesStreaming]]:
-    * eviction once the watermark passes the bucket's newest member by
-    * `retention`, and the anchor cap keeps only the `cap` smallest
-    * doc_ids — O(cap) state and O(cap) verifications per arrival even
-    * when one block value saturates. */
+    * State carries the same eviction as [[lshCandidatesStreaming]]
+    * (watermark passes the bucket's newest member by `retention`), and
+    * the anchor cap keeps only the `cap` smallest doc_ids — O(cap)
+    * state and O(cap) verifications per arrival. The cap is a RECALL
+    * bound, not just a state bound: a true pair whose every shared
+    * block sits in a bucket already holding `cap` smaller ids is
+    * silently lost (both partners must co-reside in at least one
+    * bucket's anchor set — StreamingDedupSpec plants exactly this case
+    * above a forced low cap). Dense single-block buckets are the
+    * family's hot spot — measured occupancy of the hottest block
+    * bucket is 2 046 / 4 750 / 13 304 distinct signatures at
+    * sf0.1 / sf1 / sf10 (the `dedup_cap_binding` census) — so the
+    * default rides [[graft.queries.DedupQueries.SimhashAnchorCap]]
+    * (16 384, slack through sf10), NOT the sparse-LSH
+    * [[graft.queries.DedupQueries.LshBucketCap]] (1 024), which every
+    * scale ≥ sf0.1 would saturate. Within the census-audited range the
+    * operator's recall therefore equals the batch operator's; above it
+    * (unmeasured corpora), re-read the census before trusting either. */
   def simhashCandidatesStreaming(
       sigs: Dataset[SimhashDoc], retention: String = "1 hour",
       widths: Seq[Int] = graft.queries.DedupQueries.Simhash31Blocks,
-      cap: Int = graft.queries.DedupQueries.LshBucketCap): Dataset[CandPair] = {
+      cap: Int = graft.queries.DedupQueries.SimhashAnchorCap): Dataset[CandPair] = {
     import sigs.sparkSession.implicits._
     val offs = widths.scanLeft(0)(_ + _).init
     val retentionMs = {

@@ -49,9 +49,10 @@ object StreamBench {
     * sliding-count rows alone instead of paying the full 11-operator
     * suite per window. Empty/unset = everything (the artifact-of-
     * record configuration). */
-  private val onlySel: String => Boolean = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+  private val onlyFilter: Option[Seq[String]] = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     .filter(_.nonEmpty)
+  private val onlySel: String => Boolean = onlyFilter
     .map(pats => (n: String) => pats.exists(p => n == p || n.startsWith(p)))
     .getOrElse((_: String) => true)
 
@@ -205,6 +206,27 @@ object StreamBench {
       (in, q)
     })
 
+    // streaming simhash at the round-16 default (SimhashAnchorCap =
+    // 16384 anchors/bucket, 5 single-block buckets per doc — the r15
+    // LshBucketCap default silently lost recall past 1024 anchors in a
+    // hot block bucket; see simhashCandidatesStreaming's scaladoc).
+    // Signatures are computed batch-side (in production the signature
+    // is a cheap per-row map at ingest; the operator under measurement
+    // is the stateful block-bucket candidate join, not the hash), so
+    // max_state_rows here IS the anchor-state ceiling the cap bounds.
+    val sigRows = docsDf
+      .select($"doc_id", graft.functions.TextFunctions.simhash31($"text").as("sh"))
+      .collect().zipWithIndex.map { case (r, i) =>
+        StreamingJobs.SimhashDoc(r.getLong(0), r.getLong(1),
+          new Timestamp(1704067200000L + i * 1000L))
+      }.toSeq
+    results ++= drain[StreamingJobs.SimhashDoc]("simhash_candidates", sigRows, chunks, rows => {
+      val in = MemoryStream[StreamingJobs.SimhashDoc]
+      val q = mem(StreamingJobs.simhashCandidatesStreaming(in.toDS()).toDF(),
+        "simhash_candidates")
+      (in, q)
+    })
+
     val userEvId = events.map(r =>
       (r.getLong(0), r.getString(1), r.getAs[Timestamp](2), r.getLong(3))).toSeq
     results ++= drain[(Long, String, Timestamp, Long)]("markov_transitions", userEvId, chunks, rows => {
@@ -323,8 +345,22 @@ object StreamBench {
         s""","cpus":"$cpus","windows_folded":$windowsFolded""" +
         s""","synthesized":"per-operator record = whole record of the min-sec window across $windowsFolded runs at identical chunks+sf (min across windows is this box's only stable statistic); raw latest window in STREAM_BENCH_WINDOW.json"""" +
         s""","method":"$method"}"""
-    writeFile("STREAM_BENCH.json", foldedLine)
-    println(foldedLine)
+    // A SPARK_GRAFT_STREAM_ONLY subset run is a targeted experiment,
+    // not the artifact of record: foldedOps above is built only from
+    // the FILTERED results, so writing it to STREAM_BENCH.json would
+    // clobber the 11-operator artifact with a partial one (dropping
+    // every non-selected operator's record while windows_folded still
+    // increments). Subset runs emit only STREAM_BENCH_WINDOW.json.
+    onlyFilter match {
+      case Some(pats) =>
+        System.err.println(
+          s"[stream-bench] subset run (${pats.mkString(",")}): " +
+            "STREAM_BENCH.json left untouched; window in STREAM_BENCH_WINDOW.json")
+        println(windowLine) // the raw window IS the experiment's result
+      case None =>
+        writeFile("STREAM_BENCH.json", foldedLine)
+        println(foldedLine)
+    }
     spark.stop()
   }
 }

@@ -601,4 +601,29 @@ class PropertySpec extends SparkSpec {
     assert(got == want.toList && got.size == 4)
   }
 
+  test("∀ shingle corpora, τ ∈ {0.8, 0.9}: direct τ-prefix == rk-filter of the τ=0.7 index") {
+    // The memo-sharing contract behind corpusPrefixIndex: every tighter-τ
+    // caller (pair generator, τ-sweep, audit, cap census) filters the ONE
+    // τ=0.7 index with prefixRkBound instead of rebuilding — valid only
+    // while ppjoinPrefix and prefixAtTau evaluate the same rk inequality.
+    import graft.queries.DedupQueries
+    val corpusGen = for {
+      n <- Gen.choose(2, 24)
+      docs <- Gen.listOfN(n,
+        Gen.nonEmptyListOf(Gen.choose(0, 40)).map(_.distinct.map(i => s"g$i")))
+    } yield docs
+    check(Prop.forAll(corpusGen) { docs =>
+      val sh = docs.zipWithIndex
+        .map { case (g, i) => (i.toLong, g) }.toDF("doc_id", "g")
+      val base = DedupQueries.ppjoinPrefix(sh, 7, 10)
+      Seq((8, 10), (9, 10)).forall { case (num, den) =>
+        val direct = DedupQueries.ppjoinPrefix(sh, num, den)
+          .collect().map(_.toSeq).toSet
+        val filtered = base.filter(DedupQueries.prefixRkBound(num, den))
+          .collect().map(_.toSeq).toSet
+        direct == filtered
+      }
+    })
+  }
+
 }

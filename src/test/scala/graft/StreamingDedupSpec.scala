@@ -162,6 +162,69 @@ class StreamingDedupSpec extends SparkSpec {
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
   }
 
+  test("streaming simhash above 1024-bucket occupancy: SimhashAnchorCap default keeps " +
+      "full recall; a saturated cap visibly loses the planted pair") {
+    implicit val sql = spark.sqlContext
+    // The r15 census measured hottest single-block bucket occupancy of
+    // 2046/4750/13304 distinct signatures at sf0.1/sf1/sf10 — all past
+    // the sparse-LSH LshBucketCap (1024) the operator once defaulted
+    // to. Reproduce that regime synthetically: 1200 filler docs share
+    // block0 = 0 AND block4 = 0 (two saturated buckets), differing in
+    // the 18 bits of blocks 1–3; the planted pair (2000, 2001) shares
+    // ONLY those two hot blocks (ham = 3, one differing bit in each of
+    // blocks 1/2/3) and arrives after saturation. Any ham≤3 pair
+    // shares ≥2 blocks (pigeonhole), so losing it requires BOTH shared
+    // buckets past the cap — exactly this construction.
+    val widths = DedupQueries.Simhash31Blocks // 7+6+6+6+6
+    require(widths == Seq(7, 6, 6, 6, 6))
+    def sig(b1: Long, b2: Long, b3: Long): Long =
+      (b1 & 0x3f) << 7 | (b2 & 0x3f) << 13 | (b3 & 0x3f) << 19 // blocks 0 and 4 stay 0
+    val fillers = (1 to 1200).map { i =>
+      val h = i * 2654435761L // Knuth multiplicative spread over 18 bits
+      (i.toLong, sig(h >>> 3, h >>> 9, h >>> 15))
+    }
+    val planted = Seq(
+      (2000L, sig(8, 8, 8)),
+      (2001L, sig(8 ^ 1, 8 ^ 2, 8 ^ 4))) // ham = 3, blocks 1/2/3 all differ
+    val docs = fillers ++ planted
+    val brute = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(brute.contains((2000L, 2001L)))
+    val t0 = ts("2024-01-01 00:00:00")
+    def streamed(name: String, cap: Int): Set[(Long, Long)] = {
+      val in = MemoryStream[SimhashDoc]
+      val q = simhashCandidatesStreaming(in.toDS(), retention = "1 hour",
+        widths = widths, cap = cap)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        // three micro-batches (fillers | 2000 | 2001) so eviction order
+        // is deterministic: state commits between batches, and a
+        // saturated bucket holds exactly its cap smallest ids when the
+        // planted partner arrives (within one batch the group iterator
+        // order is not guaranteed and 2000/2001 could meet early)
+        in.addData(fillers.map { case (id, sh) => SimhashDoc(id, sh, t0) }: _*)
+        q.processAllAvailable()
+        planted.foreach { case (id, sh) =>
+          in.addData(SimhashDoc(id, sh, t0)); q.processAllAvailable()
+        }
+        spark.table(name).select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    // default cap (SimhashAnchorCap = 16384): occupancy 1202 < cap, no
+    // eviction, recall == brute truth
+    val full = streamed("simhash_hot_default", DedupQueries.SimhashAnchorCap)
+    assert(full == brute, s"default cap lost recall: ${brute -- full}")
+    // the old LshBucketCap default: both hot buckets evict past 1024
+    // anchors, 2000 is gone from each before 2001 arrives — the pair
+    // is silently dropped (this is the regression the default fix closes)
+    val capped = streamed("simhash_hot_capped", DedupQueries.LshBucketCap)
+    assert(!capped.contains((2000L, 2001L)),
+      "planted pair survived a saturated cap — the construction no longer binds")
+    assert(capped.subsetOf(brute) && capped.size < brute.size)
+  }
+
   test("streaming incremental ingest == batch dedup_incremental corpus-probe component") {
     implicit val sql = spark.sqlContext
     val t0 = ts("2024-01-01 00:00:00")

@@ -18,6 +18,52 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# The simhash oracles are BRUTE-FORCE truth (DedupQueries.simhashBrutePairCtes)
+# and therefore exact only while the engine's SimhashAnchorCap does not bind
+# on this corpus — the dedup_cap_binding census (dumped by the same Verify run)
+# publishes exactly that precondition as rows_beyond_cap per surface. If the
+# census reports binding at the compared scale, the engine result is a LOWER
+# BOUND and a green hash would be an accident of the corpus; fail the row
+# explicitly instead (round-15 verdict item 5: a future corpus/cap change must
+# not silently turn exact oracles back into lower bounds).
+SIMHASH_CENSUS_SURFACE = {
+    "dedup_simhash": "simhash31_blocks",
+    "dedup_simhash_wide": "simhash62_blocks",
+    "dedup_survivors_simhash": "simhash31_blocks",
+    "dedup_survivors_wide": "simhash62_blocks",
+}
+
+
+def precondition_failure(name, binding):
+    """Failure record if `name`'s brute-force oracle precondition is
+    violated (cap-binding census reports binding), else None."""
+    surface = SIMHASH_CENSUS_SURFACE.get(name)
+    if surface is None or binding.get(surface, 0) <= 0:
+        return None
+    msg = (f"precondition failed: cap-binding census reports "
+           f"{surface} rows_beyond_cap={binding[surface]} at this "
+           f"scale — engine pairs are a lower bound, brute-force "
+           f"oracle comparison is not meaningful")
+    print(f"FAIL {name}: {msg}")
+    return {"rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": -1, "oracle_rows": -1, "err": msg}
+
+
+def simhash_binding(con, out_dir):
+    """surface -> rows_beyond_cap from the dumped census, {} if absent."""
+    path = f"{out_dir}/dedup_cap_binding"
+    if not os.path.isdir(path):
+        return {}
+    try:
+        rows = con.sql(
+            f"SELECT surface, rows_beyond_cap FROM "
+            f"read_parquet('{path}/*.parquet')").fetchall()
+        return {s: int(r) for s, r in rows}
+    except Exception as e:
+        print(f"WARNING: could not read cap-binding census: {e}",
+              file=sys.stderr)
+        return {}
+
 
 def canon(con, rel):
     df = rel.fetchdf()
@@ -39,8 +85,10 @@ def cells_equal(a, b):
     return str(a) == str(b)
 
 
-def main(sf_dir, out_dir, json_out=None):
+def connect(sf_dir, mem_gb=None):
     con = duckdb.connect()
+    if mem_gb:
+        con.execute(f"SET memory_limit='{mem_gb}GB'")
     for t in TABLES:
         # driver testdata is one file per table; MakeScaled output
         # (target/sf1, target/sf10) is a Spark directory of part files
@@ -48,6 +96,43 @@ def main(sf_dir, out_dir, json_out=None):
         if os.path.isdir(path):
             path += "/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def compare_one(con, out_dir, name, sql):
+    """One query's record dict: spark parquet vs oracle SQL, canon'd."""
+    try:
+        got = canon(con, con.sql(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
+        want = canon(con, con.sql(sql))
+    except Exception as e:
+        print(f"FAIL {name}: error {e}")
+        return {"rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": -1, "oracle_rows": -1,
+                "err": str(e)[:300]}
+    rec = {"rows_match": True, "schema_match": True, "hash_match": True,
+           "spark_rows": len(got), "oracle_rows": len(want), "err": None}
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+        rec.update(rows_match=len(got) == len(want), schema_match=False,
+                   hash_match=False)
+        return rec
+    if len(got) != len(want):
+        print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+        rec.update(rows_match=False, hash_match=False)
+        return rec
+    for col in got.columns:
+        for i, (a, b) in enumerate(zip(got[col].tolist(), want[col].tolist())):
+            if not cells_equal(a, b):
+                print(f"FAIL {name}: col {col} row {i}: {a!r} vs {b!r}")
+                rec["hash_match"] = False
+                return rec
+    print(f"ok   {name} ({len(got)} rows)")
+    return rec
+
+
+def main(sf_dir, out_dir, json_out=None):
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
     report = {}
@@ -58,41 +143,16 @@ def main(sf_dir, out_dir, json_out=None):
                         "hash_match": hash_match, "spark_rows": spark_rows,
                         "oracle_rows": oracle_rows, "err": err}
 
+    binding = simhash_binding(con, out_dir)
     for name, sql in sorted(oracle.items()):
-        try:
-            got = canon(con, con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
-            want = canon(con, con.sql(sql))
-        except Exception as e:
-            print(f"FAIL {name}: error {e}")
+        rec = precondition_failure(name, binding) or \
+            compare_one(con, out_dir, name, sql)
+        if not (rec["rows_match"] and rec["schema_match"] and
+                rec["hash_match"]):
             failed.append(name)
-            record(name, False, False, False, -1, -1, str(e)[:300])
-            continue
-        if list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
-            failed.append(name)
-            record(name, len(got) == len(want), False, False, len(got), len(want))
-            continue
-        if len(got) != len(want):
-            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
-            failed.append(name)
-            record(name, False, True, False, len(got), len(want))
-            continue
-        ok = True
-        for col in got.columns:
-            ga, wa = got[col].tolist(), want[col].tolist()
-            for i, (a, b) in enumerate(zip(ga, wa)):
-                if not cells_equal(a, b):
-                    print(f"FAIL {name}: col {col} row {i}: {a!r} vs {b!r}")
-                    ok = False
-                    break
-            if not ok:
-                break
-        if ok:
-            print(f"ok   {name} ({len(got)} rows)")
-        else:
-            failed.append(name)
-        record(name, True, True, ok, len(got), len(want))
+        record(name, rec["rows_match"], rec["schema_match"],
+               rec["hash_match"], rec["spark_rows"], rec["oracle_rows"],
+               rec["err"])
     print(f"\n{len(oracle) - len(failed)}/{len(oracle)} passed")
     if json_out:
         with open(json_out, "w") as f:

@@ -83,6 +83,17 @@ def main(out_path, *window_specs):
                 if k in prev and prev[k] > 0 and v > 2 * prev[k]:
                     regressions[k] = {"prev": prev[k], "now": v,
                                       "ratio": round(v / prev[k], 2)}
+            # a query present in the previous artifact but absent from
+            # every new window's successes (dropped from the suite, or
+            # newly failing everywhere) is as much a regression as a 2x
+            # slowdown — without this, the only trace is a generic
+            # still_failed stderr line and the artifact silently shrinks
+            for k, pv in prev.items():
+                if k not in warm:
+                    regressions[k] = {"prev": pv, "now": None,
+                                      "reason": "failed in every window"
+                                      if k in failed else
+                                      "absent from all merged windows"}
         except (json.JSONDecodeError, OSError) as e:
             print(f"WARNING: could not diff against previous {out_path}: {e}",
                   file=sys.stderr)
