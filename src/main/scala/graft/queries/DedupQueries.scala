@@ -40,6 +40,18 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Input-spread documents scan (Tables.loadSpread) for the CPU-dense
+    * derivations only — tokenize + shingle sets, SNM sort keys, winnow
+    * fingerprints, span chunking. Measured r16 at sf0.1: spreading
+    * these sites cut the family's cold total ~21% (single-task 0.9–5 s
+    * substrate builds went 32-way), while spreading EVERY docs() call
+    * regressed the join-dominated queries (simhash banding, exact
+    * digest, incremental) whose scan projection is cheap — for them the
+    * extra exchange + AQE stage is pure overhead, so they keep the
+    * plain scan. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(s, dir, "documents")
+
   /** Winnow shared-fingerprint pairs with counts — the dedup_winnow
     * body, shared with the candidate audit. MEMO-PERSISTED (round 15):
     * the frame is pair-graph-sized but its derivation is a corpus
@@ -47,7 +59,7 @@ object DedupQueries {
     * re-paid per run (part of the audit's 36.6 s sf10 line). */
   private def winnowSharedCounts(s: SparkSession, dir: String): DataFrame =
     ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "winnow_shared"), _ => {
-      val sel = TextQueries.winnowSelected(docs(s, dir),
+      val sel = TextQueries.winnowSelected(docsSpread(s, dir),
           TextQueries.WinnowK, TextQueries.WinnowW)
         .select(col("doc_id"), col("fp")).distinct()
       sel.as("a").join(sel.as("b"),
@@ -169,11 +181,11 @@ object DedupQueries {
     * run. One frame object per (session, dataset) ends that. */
   private def snmCandidatesMemo(s: SparkSession, dir: String): DataFrame =
     ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "snm_cands"), _ =>
-      snmCandidates(docs(s, dir)).persist())
+      snmCandidates(docsSpread(s, dir)).persist())
 
   private def snmGlobalCandidatesMemo(s: SparkSession, dir: String): DataFrame =
     ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "snm_global_cands"), _ =>
-      snmGlobalCandidates(docs(s, dir)).persist())
+      snmGlobalCandidates(docsSpread(s, dir)).persist())
 
   private[queries] def componentLabelsSnm(s: SparkSession, dir: String): DataFrame =
     ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "snm"), _ =>
@@ -190,7 +202,7 @@ object DedupQueries {
     * verification is a linear merge ([[KernelExpressions.SortedIntersectCount]])
     * instead of a per-pair hash-set build. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    docsSpread(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks")) // materialize: see ngramsOfTokens
       .select(col("doc_id"),
         graft.functions.KernelExpressions.sortedNgramSet(col("toks"), 3).as("g"))
@@ -714,7 +726,7 @@ object DedupQueries {
     * train → eval so the drop policy reads off the result. */
   private[queries] def decontaminateLsh(s: SparkSession, dir: String): DataFrame = {
     val banded = bandedDocs(
-      docs(s, dir).select(col("doc_id"), col("text"), col("source")),
+      docsSpread(s, dir).select(col("doc_id"), col("text"), col("source")),
       passthrough = Seq("source"))
     val train = banded.filter(col("source") =!= "src0")
       .select(col("band"), col("bucket"), col("doc_id").as("train_id"))
@@ -966,7 +978,7 @@ object DedupQueries {
           struct(lit(id).as("blk"),
             pairKeyBits(col("sh"), widths, offs, i, j).as("bits"))
         }: _*)
-        docs(s, dir).select(sig.as("sh")).distinct()
+        docsSpread(s, dir).select(sig.as("sh")).distinct()
           .select(explode(blocks).as("b"))
           .groupBy(col("b.blk").as("blk"), col("b.bits").as("bits"))
           .agg(count(lit(1)).as("c"))
@@ -1212,7 +1224,7 @@ object DedupQueries {
     // 128-bit hashes (collision-free in practice); kept as text here
     // for oracle clarity.
     "dedup_common_spans" -> ((s, dir) => {
-      docs(s, dir)
+      docsSpread(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks")) // materialize: see ngramsOfTokens
         .select(col("doc_id"),
           explode(graft.functions.KernelExpressions.sortedNgramSet(col("toks"), 8)).as("span"))
@@ -1496,7 +1508,7 @@ object DedupQueries {
     // identity aggregate is the only shuffle and it carries
     // (hash, n_tokens, count) triples, never text.
     "dedup_cdc_storage" -> ((s, dir) => {
-      val ch = PipelineQueries.cdcChunks(docs(s, dir))
+      val ch = PipelineQueries.cdcChunks(docsSpread(s, dir))
       ch.groupBy(col("chunk_hash"), col("n_tokens"))
         .agg(count(lit(1)).as("n_copies"))
         .agg(sum(col("n_copies")).as("n_chunks"),
@@ -1566,7 +1578,7 @@ object DedupQueries {
     // cost cannot go quadratic under ANY corpus.
     "dedup_exact_substring" -> ((s, dir) => {
       val L = ExactSubstrL
-      val d = docs(s, dir)
+      val d = docsSpread(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= L)
       val occ = d
@@ -1599,7 +1611,7 @@ object DedupQueries {
     // 1-row aggregate over each side
     "dedup_substring_mass" -> ((s, dir) => {
       val spans = queries("dedup_exact_substring")(s, dir)
-      val tot = docs(s, dir)
+      val tot = docsSpread(s, dir)
         .select(size(tokens(col("text"))).cast("long").as("n"))
         .agg(sum(col("n")).as("total_tokens"), count(lit(1)).as("n_docs"))
       val dup = spans.agg(

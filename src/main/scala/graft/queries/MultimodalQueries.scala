@@ -48,6 +48,9 @@ object MultimodalQueries {
     * session/dataset. */
   private def media(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "media")(
+      // plain load (measured r16): every downstream fingerprint pass is
+      // mapPartitions with one codec init per partition — a 32-way
+      // spread multiplies the init cost and fragments the shared cache
       MediaPipeline.mediaFromDocuments(Tables.load(s, dir, "documents")).persist())
 
   private def mediaDs(s: SparkSession, dir: String) = {

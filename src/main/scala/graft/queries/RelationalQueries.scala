@@ -98,6 +98,25 @@ object RelationalQueries {
   private[queries] def money4(sum4: Column): Column =
     round(sum4.cast("double") / 10000.0, 2)
 
+  /** [[money4]] with the 2-dp HALF-UP decision made in EXACT integer
+    * arithmetic instead of `round(double, 2)`. The double path is
+    * engine-divergent at a narrow edge: Spark rounds the exact binary
+    * value of sum/10⁴ (BigDecimal HALF_UP) while DuckDB rounds
+    * x·10² — when the product rounds up to exactly .5 but the exact
+    * value sits just below it, the two engines disagree by one cent
+    * (caught at sf0.001: q9_product_profit row at …5645.0/10⁴, the
+    * r16 inherited-state fix). Here the half-up happens on the BIGINT
+    * sum itself — cents = (|s|+50) − ((|s|+50) mod 100), an exact
+    * multiple of 100 ≤ 2·10¹⁶, so both final divisions are the same
+    * IEEE ops on identical operands in both engines, bit-identical by
+    * construction. The matching oracle text uses the same integer
+    * form. */
+  private[queries] def money4Exact(sum4: Column): Column = {
+    val mag = abs(sum4) + lit(50L)
+    val cents = (mag - pmod(mag, lit(100L))) / lit(100L)
+    (when(sum4 < 0, lit(-1.0)).otherwise(lit(1.0)) * cents) / lit(100.0)
+  }
+
   /** Write `src` as an EXTERNAL bucketed table (16 buckets on `key`,
     * bucket-sorted) with a per-sf name and path, and return the table
     * name. External + DROP-IF-EXISTS because a fresh session's empty
@@ -1126,7 +1145,15 @@ object RelationalQueries {
       eligible.join(broadcast(minCost),
           col("ps_partkey") === col("mk") && col("ps_supplycost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
-          col("p_name"), round(col("ps_supplycost"), 4).as("supply_cost"))
+          col("p_name"),
+          // floor(x·10⁴ + 0.5)/10⁴, not round(x, 4): both engines then
+          // run the IDENTICAL per-row IEEE chain on the same double
+          // (supply costs are positive, so floor(+0.5) == half-up).
+          // round(double, 4) is engine-divergent when x·10⁴ rounds up
+          // to exactly .5 while the exact binary value sits below it
+          // (Spark rounds the exact value, DuckDB the product —
+          // caught at sf0.001, the r16 inherited-state fix)
+          (floor(col("ps_supplycost") * 10000 + 0.5) / 10000.0).as("supply_cost"))
         .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
         .limit(20)
     }),
@@ -1154,7 +1181,9 @@ object RelationalQueries {
         .join(broadcast(t(s, dir, "supplier")), li("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(money4(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        // money4Exact, not money4: profit sums land on 2-dp half-cent
+        // edges at sf0.001 where round(double, 2) is engine-divergent
+        .agg(money4Exact(sum(cents4(col("l_extendedprice") * (lit(1) - col("l_discount")) -
           col("ps_supplycost") * col("l_quantity")))).as("profit"))
     }),
 
@@ -2073,7 +2102,7 @@ object RelationalQueries {
         |  JOIN region ON n_regionkey = r_regionkey
         |  WHERE p_size = 15 AND r_name = 'EUROPE')
         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-        |       round(ps_supplycost, 4) AS supply_cost
+        |       floor(ps_supplycost * 10000 + 0.5) / 10000.0 AS supply_cost
         |FROM elig e
         |WHERE ps_supplycost = (SELECT min(ps_supplycost) FROM elig x
         |                       WHERE x.ps_partkey = e.ps_partkey)
@@ -2088,8 +2117,12 @@ object RelationalQueries {
         |  GROUP BY 1, 2)
         |SELECT n_name,
         |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
-        |             - ps_supplycost * l_quantity) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS profit
+        |       (CASE WHEN sum(CAST(round((l_extendedprice * (1 - l_discount)
+        |              - ps_supplycost * l_quantity) * 10000) AS BIGINT)) < 0
+        |             THEN -1.0 ELSE 1.0 END
+        |        * ((abs(sum(CAST(round((l_extendedprice * (1 - l_discount)
+        |              - ps_supplycost * l_quantity) * 10000) AS BIGINT))) + 50) // 100)
+        |       ) / 100.0 AS profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey

@@ -26,6 +26,10 @@ import graft.model.Tables
   */
 object SimilarityQueries {
 
+  // plain load, NOT loadSpread (measured r16): the frame is tiny and
+  // persisted once but scanned by ~20 ANN consumers — a 32-partition
+  // cache fragments every downstream job into 32 near-empty tasks,
+  // which cost more than the (trivial) norm derivation ever saves
   private[graft] def vectors(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

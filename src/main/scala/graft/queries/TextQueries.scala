@@ -24,6 +24,14 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Input-spread documents scan for the CPU-dense scan-rooted text
+    * derivations (winnow argmins, whole-doc polynomial hashes, RAKE
+    * windows) — a no-op at cluster scale (Tables.loadSpread scaladoc).
+    * The join/aggregate-dominated queries keep the plain scan: spreading
+    * every docs() call measurably regressed them (r16, sf0.1). */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(s, dir, "documents")
+
   /** Winnowing parameters: k-token grams, w-gram windows. Guarantee
     * threshold t = w + k − 1 = 8 tokens — aligned with the 8-token
     * span screens so the winnowed index detects exactly the runs the
@@ -209,7 +217,7 @@ object TextQueries {
     * span with a src0 document. Shared by the text_contamination query
     * and the end-to-end cleaning pipeline. */
   private[queries] def contaminatedDocs(s: SparkSession, dir: String): DataFrame = {
-    val spans = docs(s, dir)
+    val spans = docsSpread(s, dir)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
         explode(graft.functions.KernelExpressions.sortedNgramSet(col("toks"), 8)).as("span"))
@@ -408,7 +416,7 @@ object TextQueries {
 
     // document fingerprints: rolling polynomial hash + content digest
     "text_fingerprint" -> ((s, dir) =>
-      docs(s, dir).select(
+      docsSpread(s, dir).select(
         col("doc_id"),
         polyHash31(col("text")).as("fp_poly"),
         md5(col("text").cast("binary")).as("fp_md5"))),
@@ -892,7 +900,7 @@ object TextQueries {
     // [[winnowSelected]] for the plan shape (map-side HOFs, zero
     // shuffle — the selection never leaves the scan task).
     "text_winnow_fingerprint" -> ((s, dir) =>
-      winnowSelected(docs(s, dir), WinnowK, WinnowW)),
+      winnowSelected(docsSpread(s, dir), WinnowK, WinnowW)),
 
     // RAKE keyword extraction (Rose et al. 2010) — the classic
     // unsupervised keyphrase miner, corpus-level: candidate phrases
@@ -909,7 +917,7 @@ object TextQueries {
     // (ties broken by phrase text — total order). Shape at 100 TB:
     // two vocab-sized aggregates + one vocab-keyed equi-join; nothing
     // pairs, nothing collects.
-    "text_rake_keywords" -> ((s, dir) => rakeKeywords(docs(s, dir)))
+    "text_rake_keywords" -> ((s, dir) => rakeKeywords(docsSpread(s, dir)))
   )
 
   /** RAKE core over any (doc_id, text) frame — see the registered
@@ -1022,12 +1030,23 @@ object TextQueries {
         val own = org.apache.spark.sql.graftbridge.Bridge.checkpointRdds(d)
         (d, () => own.foreach(_.unpersist(false)))
       } else {
-        val n = df.persist(); n.count()
-        (n, () => { n.unpersist(); () })
+        // LAZY persist (r16): no eager count() — the next pair-count
+        // job materializes the cache as a side effect, so each round
+        // costs ONE corpus pass, not two. Correct because the parent
+        // round's frame stays pinned until this frame has actually
+        // materialized (see prevRelease below): the replace() recompute
+        // chain is never more than one link deep.
+        (df.persist(), () => { df.unpersist(); () })
       }
     var (cur, release) = materialized(
       docsDf.select(concat(lit(d2), array_join(tokens(col("text")), d3 + d2), lit(d3))
         .as("enc")), viaCheckpoint = false)
+    // the previous round's release, deferred one round: dropping the
+    // parent before the child materializes would force the child's
+    // first consumer to recompute the whole replace chain from the raw
+    // corpus (exactly what the old per-round count() paid to avoid —
+    // at twice the passes)
+    var prevRelease: () => Unit = () => ()
     // split back to tokens for the pair count: tokens never contain
     // the delimiters, so translate-stripping the split residue is exact
     val toksOfEnc = transform(split(col("enc"), d3 + d2),
@@ -1046,6 +1065,9 @@ object TextQueries {
         .agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("a"), col("b"))
         .limit(1).collect()
+      // cur is materialized now (the collect above ran over it) — the
+      // grandparent snapshot can finally go
+      prevRelease()
       if (top.isEmpty) exhausted = true
       else {
         val a = top(0).getString(0)
@@ -1062,15 +1084,19 @@ object TextQueries {
           // measurement: StackOverflowError at the 256-merge budget).
           // An eager localCheckpoint every 32 rounds truncates both
           // the logical plan and the RDD lineage — same arithmetic,
-          // bounded depth at any budget.
+          // bounded depth at any budget. (Checkpoint rounds are eager,
+          // so the parent can be released immediately; persist rounds
+          // defer the parent's release until the child materializes.)
           val (next, nextRelease) = materialized(replaced, viaCheckpoint = r % 32 == 0)
-          release()
+          if (r % 32 == 0) { release(); prevRelease = () => () }
+          else prevRelease = release
           cur = next
           release = nextRelease
         }
       }
       r += 1
     }
+    prevRelease()
     release()
     learned.toSeq
   }

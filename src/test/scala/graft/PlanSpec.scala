@@ -618,9 +618,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("winnow selection never leaves the scan task — zero shuffle, one explode") {
+  test("winnow selection never leaves its input task — zero KEY shuffle, one explode") {
+    // r16: the input-spread RoundRobin rebalance (Tables.loadSpread —
+    // a no-op at cluster scale) is the ONE allowed exchange; the claim
+    // with teeth is unchanged: no hash/range repartitioning, i.e. the
+    // winnow selection itself never shuffles by key.
     val p = plan("text_winnow_fingerprint")
-    assert(!p.contains("Exchange"), s"winnowing must not shuffle: $p")
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"winnowing must not key-shuffle: $p")
+    assert("Exchange".r.findAllIn(p).size <=
+      "RoundRobinPartitioning".r.findAllIn(p).size,
+      s"only the input-spread rebalance may shuffle: $p")
     assert(p.contains("Generate"), p) // the selected-set explode
   }
 
