@@ -161,12 +161,28 @@ object DedupQueries {
       .drop("_k")
   }
 
+  /** Memo-persisted (doc_id, sh31, sh62) corpus simhash signatures —
+    * ONE CPU-dense hash pass (r16) shared by dedup_simhash (narrow),
+    * dedup_simhash_wide, the simhash survivor CC, and the cap-binding
+    * census arms; each previously re-tokenized and re-hashed the whole
+    * corpus per run (profiler: 13/18 CPU-seconds per arm in the
+    * census alone). The frame is n × 2 longs — the same footprint
+    * class as [[corpusSignatures]]. */
+  private[queries] def simhashSigs(s: SparkSession, dir: String): DataFrame =
+    ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "simhash_sigs"), _ =>
+      docsSpread(s, dir).select(col("doc_id"),
+        simhash31(col("text")).as("sh31"),
+        simhash62(col("text")).as("sh62")).persist())
+
   private[queries] def componentLabelsSimhash(s: SparkSession, dir: String): DataFrame =
     ccMemo.computeIfAbsent((System.identityHashCode(s), dir, "simhash"), _ =>
       graft.ops.Graph.connectedComponents(
         simhashPairs(
-          strideSampled(docs(s, dir), "doc_id", SimhashCcAuditCap)
-            .select(col("doc_id"), simhash31(col("text")).as("sh")).persist())
+          // same rows as sampling docs first: the signature memo has
+          // one row per document, so the count-derived stride is
+          // identical and the id filter commutes with the projection
+          strideSampled(simhashSigs(s, dir), "doc_id", SimhashCcAuditCap)
+            .select(col("doc_id"), col("sh31").as("sh")))
           .select("doc_a", "doc_b")))
 
   private[queries] def componentLabelsSimhashWide(s: SparkSession, dir: String): DataFrame =
@@ -769,7 +785,11 @@ object DedupQueries {
     "dedup_canonical" -> ((s, dir) => {
       val canon = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^\\p{L}\\p{N} ]", ""), " +", " "))
-      docs(s, dir)
+      // docsSpread (r16): the double regexp + two md5s are the
+      // CPU-dense scan-root profile (measured 1.25 s single-task);
+      // contrast dedup_exact, whose lone cheap md5 stays on the plain
+      // scan — spreading it measurably regressed
+      docsSpread(s, dir)
         .groupBy(md5(canon.cast("binary")).as("digest"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
           countDistinct(md5(col("text").cast("binary"))).as("n_raw_variants"))
@@ -972,13 +992,21 @@ object DedupQueries {
       // the candidate join actually probes (shared blockPairCombos /
       // key arithmetic) and guard that the brute-force oracles stay
       // valid truth.
-      def simhashCounts(sig: org.apache.spark.sql.Column, widths: Seq[Int]): DataFrame = {
+      // census arms read the shared signature memo (r16,
+      // [[simhashSigs]]): each arm previously re-scanned the corpus
+      // and re-hashed it (profiler: two 33-task jobs at 13/18
+      // CPU-seconds — the two heaviest jobs of the query, re-paid
+      // every run). Same census counts by construction — the per-arm
+      // distinct is unchanged, only the signature derivation is
+      // shared.
+      val sigPair = simhashSigs(s, dir)
+      def simhashCounts(sigCol: String, widths: Seq[Int]): DataFrame = {
         val offs = widths.scanLeft(0)(_ + _).init
         val blocks = array(blockPairCombos(widths).map { case (i, j, id) =>
           struct(lit(id).as("blk"),
             pairKeyBits(col("sh"), widths, offs, i, j).as("bits"))
         }: _*)
-        docsSpread(s, dir).select(sig.as("sh")).distinct()
+        sigPair.select(col(sigCol).as("sh")).distinct()
           .select(explode(blocks).as("b"))
           .groupBy(col("b.blk").as("blk"), col("b.bits").as("bits"))
           .agg(count(lit(1)).as("c"))
@@ -987,10 +1015,10 @@ object DedupQueries {
         .unionByName(census(prefixCounts(4, 5), "ppjoin_tau08"))
         .unionByName(census(lshCounts, "lsh_bands"))
         .unionByName(census(
-          simhashCounts(simhash31(col("text")), Simhash31Blocks),
+          simhashCounts("sh31", Simhash31Blocks),
           "simhash31_blocks", SimhashAnchorCap.toLong))
         .unionByName(census(
-          simhashCounts(simhash62(col("text")), Simhash62Blocks),
+          simhashCounts("sh62", Simhash62Blocks),
           "simhash62_blocks", SimhashAnchorCap.toLong))
     }),
 
@@ -1197,8 +1225,11 @@ object DedupQueries {
     // (see [[SimhashAnchorCap]]) so a degenerate key value cannot go
     // quadratic in distinct signatures at corpus scale.
     "dedup_simhash" -> ((s, dir) =>
+      // signatures from the shared memo (r16, [[simhashSigs]]) — the
+      // per-query (doc_id, sh) persist re-hashed the corpus once per
+      // session per consumer; the pair plan itself is unchanged
       simhashPairs(
-        docs(s, dir).select(col("doc_id"), simhash31(col("text")).as("sh")).persist())),
+        simhashSigs(s, dir).select(col("doc_id"), col("sh31").as("sh")))),
 
     // the WIDE form of dedup_simhash: 62-bit dual-polynomial signature
     // (TextFunctions.simhash62) banded as 4×15–16-bit blocks — the
@@ -1211,7 +1242,7 @@ object DedupQueries {
     // near-dups only, not the saturated 31-bit neighborhood).
     "dedup_simhash_wide" -> ((s, dir) =>
       simhashPairs(
-        docs(s, dir).select(col("doc_id"), simhash62(col("text")).as("sh")).persist(),
+        simhashSigs(s, dir).select(col("doc_id"), col("sh62").as("sh")),
         widths = Simhash62Blocks)),
 
     // exact substring-span dedup (the fixed-k core of suffix-array

@@ -122,7 +122,11 @@ object PipelineQueries {
     * recomputed per scan. */
   private[queries] def dsirBucketCounts(s: SparkSession, dir: String): DataFrame =
     dsirMemo.computeIfAbsent((System.identityHashCode(s), dir), _ =>
-      dsirBuckets(Tables.load(s, dir, "documents"))
+      // loadSpread (r16): the feature pass below (tokenize + bigram
+      // zip + per-char poly31 fold over every feature) is the
+      // CPU-dense scan-root profile — measured 1.08 s single-task on
+      // the 1-split scan; a no-op at cluster scale
+      dsirBuckets(Tables.loadSpread(s, dir, "documents"))
         .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("c"))
         .persist())
 

@@ -152,6 +152,14 @@ object RelationalQueries {
       if (freshJvm || !s.catalog.tableExists(tbl)) {
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         t(s, dir, src)
+          // repartition on the bucket key to the bucket count (r16,
+          // guide §6 output layout): Spark's bucket id uses the same
+          // Murmur3 hash as HashPartitioning, so each of the 16 write
+          // tasks holds exactly one bucket's rows — the write
+          // parallelizes 16-way (measured 3.1 s as a 3-task write on
+          // the raw scan splits) and each bucket lands in ONE file
+          // instead of one per input split. Table contents unchanged.
+          .repartition(16, col(key))
           .write.mode("overwrite")
           .option("path", new java.io.File(s"target/layout/$tbl").getAbsolutePath)
           .bucketBy(16, key).sortBy(key)
@@ -616,6 +624,17 @@ object RelationalQueries {
       val counts = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
         .agg(count(lit(1)).as("c"))
+      // single-window form KEPT (measured r16): a two-level chunked
+      // cumsum (per-(flag, floor(v/1000)) subtotals + chunk-base
+      // window + within-chunk window, ~330-way parallel) was built to
+      // fix the 3-task serialization of the flag-partitioned window
+      // (guide §2.5) — and the full bench REJECTED it: warm 0.95 →
+      // 1.36 s, cold 1.63 → 2.50 s. At this histogram size the two
+      // extra exchanges + two broadcast builds cost more than the
+      // ~0.4 s of 3-task window work they parallelize; the skew fix
+      // only pays once the per-flag histogram outgrows a task, which
+      // is a value-DOMAIN property (distinct prices), not a row-count
+      // property — it does not grow with corpus scale.
       val wCum = Window.partitionBy("l_returnflag").orderBy("v")
       val wAll = Window.partitionBy("l_returnflag")
       val lo = ((col("n") + 1) / 2).cast("long") // (n+1)/2 exact in double for n << 2^52

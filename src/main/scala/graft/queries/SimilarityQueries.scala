@@ -424,10 +424,20 @@ object SimilarityQueries {
       val vs = vectors(s, dir)
       // memo-persisted: the greedy unroll references these frames in
       // every step, and without the plan cut each step would re-run
-      // the corpus-wide shortlist scan (measured 33 s → ~1 s)
+      // the corpus-wide shortlist scan (measured 33 s → ~1 s).
+      // repartition(1) (r16): both frames are bounded by INDEX
+      // parameters (≤ queries·k and ≤ queries·k² rows at any corpus
+      // size), but their cached form kept the 32 post-window shuffle
+      // partitions — every greedy step then launched 33-task map
+      // stages over ≤ 100 rows (profiler: the unroll's jobs were
+      // 33–128 tasks of pure scheduling, run≈5 s/job with cpu≈0.7 s).
+      // repartition, NOT coalesce: coalesce(1) would pull the rank
+      // window into one task and serialize the corpus-sized shortlist
+      // ranking at scale; the exchange moves ≤ 100 rows once.
       val short = memoShortlist(s, dir, "mmr_short")(
         topK(vs.filter(col("vec_id") < 10), vs, k = 10)
-          .select(col("query_id"), col("neighbor_id"), col("cos").as("rel")))
+          .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"))
+          .repartition(1))
       val pair = memoShortlist(s, dir, "mmr_pair") {
         val cv = short
           .join(vs.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
@@ -439,7 +449,25 @@ object SimilarityQueries {
           .filter(col("a") =!= col("b"))
           .select(col("query_id"), col("a"), col("b"),
             round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6).as("cs"))
+          .repartition(1)
       }
+      // materialize the substrate at session parallelism BEFORE
+      // scoping the shuffle width down for the unroll (the corpus-
+      // sized shortlist scan must not run single-partition at scale);
+      // memo hit → this is a cache-only count
+      pair.count()
+      // the greedy unroll runs over shortlist-sized frames only —
+      // scope the shuffle width and codegen to the FRAME, not the
+      // session (the Graph.connectedComponents discipline): every
+      // step's joins/windows move ≤ queries·k² rows regardless of
+      // corpus size, and each step plans fresh operators whose janino
+      // compiles cost more than interpreting ~100 rows ever could.
+      // The loop is synchronous; conf restored in finally.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val prevCodegen = s.conf.get("spark.sql.codegen.wholeStage", "true")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      try {
       val w1 = Window.partitionBy(col("query_id"))
         .orderBy(col("rel").desc, col("neighbor_id"))
       var selected = short
@@ -472,6 +500,10 @@ object SimilarityQueries {
         selected = selected.unionByName(pick).localCheckpoint()
       }
       selected.select("query_id", "rank", "neighbor_id", "rel", "mmr_score")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+      }
     }),
 
     // hyperplane-LSH ANN: same output shape, candidates from bucket join
@@ -773,17 +805,25 @@ object SimilarityQueries {
     // connected components label the clusters — the SemDeDup-style
     // grouping consumers read cluster exemplars from. Edge volume
     // ≤ 4n before symmetrization; CC shuffles are graph-sized.
-    "sim_knn_clusters" -> ((s, dir) => {
-      val g = queries("sim_knn_graph")(s, dir)
-        .select(col("vec_id"), col("neighbor_id"))
-      val mutual = g.as("a").join(g.as("b"),
-          col("a.vec_id") === col("b.neighbor_id") &&
-            col("a.neighbor_id") === col("b.vec_id") &&
-            col("a.vec_id") < col("a.neighbor_id"))
-        .select(col("a.vec_id").as("doc_a"), col("a.neighbor_id").as("doc_b"))
-      graft.ops.Graph.connectedComponents(mutual)
-        .select(col("node").as("vec_id"), col("rep"))
-    }),
+    "sim_knn_clusters" -> ((s, dir) =>
+      // memoShortlist (r16): the cluster labels are an index artifact
+      // like every other ANN memo here — the graph was already
+      // persisted but the mutual join + CC fixpoint (~40 driver-bound
+      // jobs; warm 1.6 s, nearly all job-launch overhead on a tiny
+      // contracted edge set) re-ran on every scan. Same session-memo
+      // discipline as DedupQueries.componentLabels*, which memoize the
+      // CC labels their survivor queries read.
+      memoShortlist(s, dir, "knn_cc") {
+        val g = queries("sim_knn_graph")(s, dir)
+          .select(col("vec_id"), col("neighbor_id"))
+        val mutual = g.as("a").join(g.as("b"),
+            col("a.vec_id") === col("b.neighbor_id") &&
+              col("a.neighbor_id") === col("b.vec_id") &&
+              col("a.vec_id") < col("a.neighbor_id"))
+          .select(col("a.vec_id").as("doc_a"), col("a.neighbor_id").as("doc_b"))
+        graft.ops.Graph.connectedComponents(mutual)
+          .select(col("node").as("vec_id"), col("rep"))
+      }),
 
     // product-quantization ANN (Jégou et al., "Product Quantization for
     // Nearest Neighbor Search"): 64 dims → 8 subspaces × 16 centroids,
@@ -1042,7 +1082,18 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (n, f) =>
       n -> (if (memoizedMethods(n))
-              ((s: SparkSession, dir: String) => memoShortlist(s, dir, n)(f(s, dir)))
+              // repartition(1) (r16): every memoized method frame is a
+              // top-5-per-query result — ≤ queries·k rows at ANY corpus
+              // size (index parameters) — but its cached form kept the
+              // 32 post-window shuffle partitions, so every downstream
+              // scan (the method's own warm runs, the recall audit's 7
+              // joins) launched 33-task stages over ≤ 70 rows. The
+              // extra exchange moves ≤ 70 rows once at build;
+              // repartition, NOT coalesce — coalesce(1) would pull the
+              // rank window itself into one task, serializing the
+              // corpus-sized candidate ranking at scale.
+              ((s: SparkSession, dir: String) =>
+                memoShortlist(s, dir, n)(f(s, dir).repartition(1)))
             else f)
     }
 

@@ -1103,6 +1103,14 @@ object TextQueries {
 
   private[graft] def bpeTrain(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     import s.implicits._
+    // plain docs, NOT docsSpread (measured r16, twice): spreading the
+    // loop's corpus 32-way REGRESSED it (warm 2.0 → 3.2 s) — each
+    // merge round became a 33-task job whose run time doubled its CPU
+    // time (allocation contention between 32 concurrent string-heavy
+    // tasks on the shared heap, plus a shuffle barrier per round),
+    // where the 1-partition form runs the same rounds as cheap
+    // single-stage jobs. At cluster scale the input arrives
+    // multi-split and the loop parallelizes through the scan itself.
     bpeTrainMerges(docs(s, dir), rounds)
       .map { case (r, a, b, f) => (r, a + " " + b, f) }
       .toDF("round", "pair", "freq")
